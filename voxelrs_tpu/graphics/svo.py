@@ -1,0 +1,185 @@
+"""Renderer front-end: owns the device-resident SVO buffer, material table
+and texture mips; exposes ``update`` (delta upload), ``render`` (full frame)
+and ``raycast`` (picker batches).
+
+TPU-native translation of reference: src/graphics/svo.rs:56-255 — the
+persistently-mapped GL buffer becomes an HBM jnp array patched with
+``lax.dynamic_update_slice`` on exactly the ranges the serializer changed;
+GL fences become XLA dataflow ordering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.shading import FACE_NORMALS, make_alpha_fn, render_frame
+from ..ops.traversal import intersect_octree
+from .picker import PickerBatch, PickerBatchResult
+
+
+@dataclass
+class RenderParams:
+    """Per-frame render inputs (reference: src/graphics/svo.rs:85-106)."""
+
+    cam_pos: np.ndarray
+    cam_fwd: np.ndarray
+    cam_up: np.ndarray = field(default_factory=lambda: np.array([0, 1, 0], np.float32))
+    fov_y_rad: float = np.radians(72.0)
+    aspect_ratio: float = 16 / 9
+    ambient_intensity: float = 0.3
+    light_dir: np.ndarray = field(
+        default_factory=lambda: np.array([-1, -1, -1], np.float32) / np.sqrt(3)
+    )
+    render_shadows: bool = True
+    shadow_distance: float = 300.0
+    selected_voxel: Optional[np.ndarray] = None
+
+
+@dataclass
+class Stats:
+    used_bytes: int = 0
+    capacity_bytes: int = 0
+    depth: int = 0
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _apply_range(buf, update, start, _bucket):
+    return jax.lax.dynamic_update_slice(buf, update, (start,))
+
+
+def _bucket(n: int) -> int:
+    return 1 << max(6, (n - 1).bit_length())
+
+
+class Svo:
+    """Device-side SVO renderer."""
+
+    def __init__(self, registry, capacity_mb: float = 64.0):
+        self.mips, self.mat_params, self.mat_tex = registry.build()
+        capacity_u32 = int(capacity_mb * 1_000_000) // 4
+        self.capacity_u32 = capacity_u32
+        self.device_buf = jnp.zeros(capacity_u32, jnp.uint32)
+        self.host_buf = np.zeros(capacity_u32, np.uint32)
+        self.octree_scale = np.float32(1.0)
+        self.depth = 0
+        self.stats = Stats(capacity_bytes=capacity_u32 * 4)
+        self._render_cache: dict = {}
+        self._raycast_cache: dict = {}
+
+    # -- world upload ---------------------------------------------------------
+
+    def update(self, world_svo) -> None:
+        """Apply the serializer's changed ranges to the device buffer
+        (reference: svo.rs:171-189)."""
+        self.depth = world_svo.depth()
+        self.octree_scale = np.float32(2.0 ** -self.depth) if self.depth else np.float32(1.0)
+
+        ranges = world_svo.write_changes_to(self.host_buf, reset=True)
+        for start, length in ranges:
+            b = min(_bucket(length), self.capacity_u32 - start)
+            chunk = jnp.asarray(self.host_buf[start : start + b])
+            self.device_buf = _apply_range(self.device_buf, chunk, start, b)
+
+        self.stats = Stats(
+            used_bytes=world_svo.size_in_bytes(),
+            capacity_bytes=self.capacity_u32 * 4,
+            depth=self.depth,
+        )
+
+    # -- rendering --------------------------------------------------------------
+
+    def render(self, params: RenderParams, width: int, height: int,
+               max_steps: int = 1000) -> np.ndarray:
+        """Render one frame; returns an (H, W, 4) float32 image (row 0 = top)."""
+        from .camera import Camera
+
+        cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01, 1024)
+        cam.position = np.asarray(params.cam_pos, np.float32)
+        cam.forward = np.asarray(params.cam_fwd, np.float32)
+        cam.up = np.asarray(params.cam_up, np.float32)
+        s, u, f = cam.camera_basis()
+
+        key = (width, height, bool(params.render_shadows), max_steps)
+        if key not in self._render_cache:
+            def fn(buf, scale, mips, mat_params, mat_tex, cam_pos, cam_right,
+                   cam_up, cam_fwd, fov, aspect, ambient, light_dir,
+                   shadow_distance, highlight):
+                return render_frame(
+                    buf, scale, mips, mat_params, mat_tex,
+                    width=key[0], height=key[1], render_shadows=key[2],
+                    cam_pos=cam_pos, cam_right=cam_right, cam_up=cam_up,
+                    cam_fwd=cam_fwd, fov_y_rad=fov, aspect=aspect,
+                    ambient=ambient, light_dir=light_dir,
+                    shadow_distance=shadow_distance, highlight_pos=highlight,
+                    max_steps=key[3],
+                )
+
+            self._render_cache[key] = jax.jit(fn)
+
+        highlight = (
+            np.asarray(params.selected_voxel, np.float32)
+            if params.selected_voxel is not None
+            else np.full(3, np.nan, np.float32)
+        )
+        img = self._render_cache[key](
+            self.device_buf, jnp.float32(self.octree_scale), self.mips,
+            self.mat_params, self.mat_tex,
+            jnp.asarray(cam.position), jnp.asarray(s), jnp.asarray(u),
+            jnp.asarray(f), jnp.float32(params.fov_y_rad),
+            jnp.float32(params.aspect_ratio),
+            jnp.float32(params.ambient_intensity),
+            jnp.asarray(params.light_dir, jnp.float32),
+            jnp.float32(params.shadow_distance), jnp.asarray(highlight),
+        )
+        return img
+
+    # -- picking -------------------------------------------------------------
+
+    def _raycast_fn(self, n_pad: int):
+        if n_pad not in self._raycast_cache:
+            alpha = None  # picker casts are opaque (cast_translucent=False)
+
+            def fn(buf, scale, tasks):
+                ro = tasks[:, 1:4]
+                rd = tasks[:, 4:7]
+                res = intersect_octree(buf, scale, ro, rd, tasks[:, 0], False)
+                hit = res.t > 0
+                dst = jnp.where(hit, res.t, -1.0)
+                pos = jnp.where(hit[:, None], res.pos, 0.0)
+                normal = jnp.where(
+                    hit[:, None],
+                    FACE_NORMALS[jnp.clip(res.face_id, 0, 5)],
+                    0.0,
+                )
+                return dst, res.inside_voxel & hit, pos, normal
+
+            self._raycast_cache[n_pad] = jax.jit(fn)
+        return self._raycast_cache[n_pad]
+
+    def raycast(self, batch: PickerBatch, result: PickerBatchResult) -> None:
+        """Run the picker traversal over the batch
+        (reference: svo.rs:233-255 + picker.glsl:30-51)."""
+        tasks = batch.serialize_tasks()
+        n = len(tasks)
+        if n == 0:
+            return
+        n_pad = 1 << max(3, (n - 1).bit_length())
+        padded = np.zeros((n_pad, 7), np.float32)
+        padded[:n] = tasks
+        padded[n:, 4] = 1.0  # valid dir for padding lanes
+        dst, inside, pos, normal = self._raycast_fn(n_pad)(
+            self.device_buf, jnp.float32(self.octree_scale), jnp.asarray(padded)
+        )
+        batch.deserialize_results(
+            np.asarray(dst)[:n], np.asarray(inside)[:n], np.asarray(pos)[:n],
+            np.asarray(normal)[:n], result,
+        )
+
+    def get_stats(self) -> Stats:
+        return self.stats
