@@ -43,13 +43,30 @@ def face_texture_layer(mat_tex, value, face_id, normal: bool):
     return jnp.where(face_id == 3, top, jnp.where(face_id == 2, bottom, side))
 
 
-def make_alpha_fn(mips, mat_tex):
-    """In-traversal texel alpha sampler for translucent pass-through."""
+def make_alpha_fn(mips, mat_tex, exact: bool = False):
+    """In-traversal texel alpha sampler for translucent pass-through.
+
+    The default fast path reads level 0 with NEAREST — identical to GL
+    semantics for lod <= 0 (all hits closer than 15 blocks, where the
+    custom lod curve is zero) and only differing on far translucent edges;
+    it keeps the traversal loop body small. ``exact=True`` uses the full
+    trilinear sampler."""
+    if exact:
+        def alpha_fn(value, face_id, uv, lod):
+            layer = face_texture_layer(mat_tex, value, face_id, normal=False)
+            return sample_texture_lod(mips, layer, uv, lod)[:, 3]
+
+        return alpha_fn
+
+    level0 = mips[0]
+    T, h, w = level0.shape[0], level0.shape[1], level0.shape[2]
+    alpha0 = level0[..., 3]
 
     def alpha_fn(value, face_id, uv, lod):
-        layer = face_texture_layer(mat_tex, value, face_id, normal=False)
-        rgba = sample_texture_lod(mips, layer, uv, lod)
-        return rgba[:, 3]
+        layer = jnp.clip(face_texture_layer(mat_tex, value, face_id, False), 0, T - 1)
+        x = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
+        return alpha0[layer, y, x]
 
     return alpha_fn
 

