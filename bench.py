@@ -1,0 +1,108 @@
+"""Headline benchmark: Mrays/sec/chip at 1080p on the fly-through scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the BASELINE.json north star of 250 Mrays/s on one v5e chip
+(1080p primary + shadow rays at 60 FPS-equivalent).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from voxelrs_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+from voxelrs_tpu.gamelogic.content import new_registry  # noqa: E402
+from voxelrs_tpu.graphics.svo import RenderParams, Svo  # noqa: E402
+from voxelrs_tpu.world import ChunkPos, Position  # noqa: E402
+from voxelrs_tpu.world.esvo import Esvo, SerializedChunk  # noqa: E402
+
+BASELINE_MRAYS = 250.0
+W, H = 1920, 1080
+FRAMES = 5
+
+
+def build_world(radius: int = 4) -> tuple[Esvo, int]:
+    """Procedural terrain region (seed-stable)."""
+    from voxelrs_tpu.gamelogic.worldgen import Generator, default_config
+    from voxelrs_tpu.world.chunk import Chunk
+
+    gen = Generator(1, default_config())
+    svo = Esvo()
+    count = 0
+    for cx in range(radius * 2):
+        for cz in range(radius * 2):
+            col = gen.get_column(cx, cz)
+            for cy in range(0, 8):
+                if not col.contains_chunk(cy):
+                    continue
+                chunk = Chunk(ChunkPos(cx, cy, cz))
+                gen.generate_chunk(chunk)
+                sc = SerializedChunk.from_voxels(chunk.pos, chunk.voxels, 5)
+                if not sc.has_data():
+                    continue
+                svo.set_leaf(Position(cx, cy, cz), sc, True)
+                count += 1
+    svo.serialize()
+    return svo, count
+
+
+def main() -> None:
+    world_svo, chunks = build_world()
+    svo = Svo(new_registry(), capacity_mb=64)
+    svo.update(world_svo)
+    print(
+        f"# world: {chunks} chunks, depth {svo.depth}, "
+        f"{svo.stats.used_bytes/1e6:.1f} MB SVO",
+        file=sys.stderr,
+    )
+
+    # camera flying over the terrain looking down the valley
+    fwd = np.array([0.55, -0.35, 0.76], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    params = RenderParams(
+        cam_pos=np.array([16.0, 95.0, -20.0], np.float32),
+        cam_fwd=fwd,
+        aspect_ratio=W / H,
+        fov_y_rad=np.radians(80.0),
+        render_shadows=True,
+        shadow_distance=300.0,
+    )
+
+    img = svo.render(params, W, H)
+    img.block_until_ready()
+    _ = float(np.asarray(img[0, 0, 0]))  # force real completion
+
+    times = []
+    cam = np.array(params.cam_pos, np.float32)
+    for i in range(FRAMES):
+        params.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
+        t0 = time.time()
+        img = svo.render(params, W, H)
+        img.block_until_ready()
+        _ = float(np.asarray(img[0, 0, 0]))
+        times.append(time.time() - t0)
+
+    dt = float(np.median(times))
+    # workload: primary + shadow ray per pixel (reference benchmark config)
+    mrays = W * H * 2 / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays_per_sec_chip_1080p_shadows",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
