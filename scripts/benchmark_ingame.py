@@ -1,0 +1,118 @@
+"""In-game benchmark harness: runs the engine over the reference's config
+matrix and writes results.csv (reference: benchmark-ingame.py:9-121).
+
+Matrix: render_distance {10,20,30,40} x shadows {on,off} x no_lod {on,off},
+1080p, fov 80, the bundled MC benchmark world, N passes each. The camera
+starts inside the world's generated strip (the reference's recorded
+position predates its bundled world snapshot and sits in the void; see
+notes in the repo docs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import itertools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from voxelrs_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+from voxelrs_tpu.gamelogic import benchmark  # noqa: E402
+from voxelrs_tpu.gamelogic.game import Game, GameArgs  # noqa: E402
+
+# camera inside the MC world's dense terrain strip (engine chunks
+# x ~ [-36,-6], z ~ [48,65])
+CAM_POS = (-26 * 32 + 16.0, 40.0, 63 * 32 + 16.0)
+CAM_ROT = (-10.0, 160.0, 0.0)
+
+
+def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
+               passes):
+    rows = []
+    for p in range(passes):
+        benchmark.reset_all()
+        game = Game(
+            GameArgs(
+                mc_world=world_path,
+                player_pos=CAM_POS,
+                player_euler_rot=CAM_ROT,
+                render_distance=rd,
+                fov=80.0,
+                render_shadows=shadows,
+                no_lod=no_lod,
+                gpu_buffer_size_mb=256,
+                width=width,
+                height=height,
+                benchmark_mode=True,
+            )
+        )
+        loaded = game.wait_for_world(timeout=600)
+        t_end = time.time() + sample_s
+        frames = 0
+        while time.time() < t_end:
+            t0 = time.time()
+            img = game.step_frame(render=True, width=width, height=height)
+            img.block_until_ready()
+            _ = float(np.asarray(img[0, 0, 0]))
+            dt = time.time() - t0
+            benchmark.push_frame(1.0 / dt, dt * 1e3)
+            frames += 1
+        m = benchmark.collect()
+        rows.append(
+            dict(
+                render_distance=rd,
+                shadows=shadows,
+                no_lod=no_lod,
+                pass_=p,
+                loaded=loaded,
+                frames=frames,
+                fps_avg=round(m["fps"]["avg"], 2),
+                fps_med=round(m["fps"]["med"], 2),
+                frame_ms_avg=round(m["frame_time_ms"]["avg"], 2),
+                frame_ms_med=round(m["frame_time_ms"]["med"], 2),
+                svo_mb=round(m["svo_size_mb"], 1),
+            )
+        )
+        game.shutdown()
+        print(rows[-1], flush=True)
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--world", default="/root/reference/assets/worlds/benchmark")
+    ap.add_argument("--out", default="results.csv")
+    ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--sample-seconds", type=float, default=20.0)
+    ap.add_argument("--quick", action="store_true", help="small matrix")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    args = ap.parse_args()
+
+    rds = [10] if args.quick else [10, 20, 30, 40]
+    shadow_opts = [True] if args.quick else [True, False]
+    lod_opts = [False] if args.quick else [False, True]
+
+    rows = []
+    for rd, sh, nl in itertools.product(rds, shadow_opts, lod_opts):
+        rows += run_config(
+            args.world, rd, sh, nl, args.width, args.height,
+            args.sample_seconds, args.passes,
+        )
+
+    with open(args.out, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {args.out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

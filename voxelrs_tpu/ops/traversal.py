@@ -148,18 +148,32 @@ def intersect_octree(
     in_z = t_min0 < 1.5 * tcz - tbz
     idx0 = in_x.astype(i32) | (in_y.astype(i32) << 1) | (in_z.astype(i32) << 2)
 
+    # Every block (preamble included) is one 12-u32 row: a single row gather
+    # per step fetches the whole octant (header words 0..3 + body 4..11),
+    # replacing 2-4 element gathers — gathers dominate traversal cost.
     nbuf = descriptors.shape[0]
+    n_rows = nbuf // 12
+    rows = descriptors[: n_rows * 12].reshape(n_rows, 12)
+    _word_iota = jnp.arange(12, dtype=i32)[None, :]
 
-    def gather(indices):
-        return descriptors[jnp.clip(indices.astype(i32), 0, nbuf - 1)]
+    def gather_row(ptr):
+        r = jnp.clip((ptr // 12).astype(i32), 0, n_rows - 1)
+        return rows[r]  # (B, 12)
 
-    def get_octant_ptr(ptr, pidx):
+    def row_word(row, widx):
+        """Select word ``widx`` (B,) from each row (B, 12)."""
+        return (
+            jnp.where(_word_iota == widx[:, None], row, jnp.uint32(0))
+            .sum(axis=1)
+            .astype(u32)
+        )
+
+    def resolve_ptr(raw, ptr, pidx):
         """Resolve relative/absolute child pointer (svo.esvo.glsl:9-16)."""
-        raw = gather(ptr + 4 + pidx)
         rel = ptr + 4 + pidx + (raw & jnp.uint32(0x7FFFFFFF))
         return jnp.where((raw & RELATIVE_BIT) != 0, rel, raw).astype(u32)
 
-    def hit_phase(pp, idx, scale, posx, posy, posz, t_min):
+    def hit_phase(pp, idx, scale, posx, posy, posz, t_min, row=None):
         """Candidate leaf-hit data, recomputable from (frozen) state.
         Returns (leaf_value, face_id, ux, uy, dst, tex_lod, upos)."""
         ptr = pp & PTR_MASK
@@ -167,8 +181,12 @@ def intersect_octree(
         octant_idx = (idx ^ octant_mask).astype(u32)
         scale_exp2 = _exp2_scale(scale)
 
-        next_ptr = get_octant_ptr(ptr, pidx.astype(u32))
-        leaf_value = gather(next_ptr + 4 + octant_idx)
+        if row is None:
+            row = gather_row(ptr)
+        raw = row_word(row, 4 + pidx)
+        next_ptr = resolve_ptr(raw, ptr, pidx.astype(u32))
+        child_row = gather_row(next_ptr)
+        leaf_value = row_word(child_row, 4 + octant_idx.astype(i32))
 
         t2x = (posx + scale_exp2) * tcx - tbx
         t2y = (posy + scale_exp2) * tcy - tby
@@ -233,7 +251,8 @@ def intersect_octree(
         octant_idx = (idx ^ octant_mask).astype(u32)
         bit = (jnp.uint32(1) << octant_idx).astype(u32)
 
-        descriptor = gather(ptr + (pidx // 2).astype(u32))
+        row = gather_row(ptr)  # the step's single block fetch
+        descriptor = row_word(row, pidx // 2)
         descriptor = jnp.where(pidx % 2 != 0, descriptor >> jnp.uint32(16), descriptor)
         is_child = (descriptor & (bit << jnp.uint32(8))) != 0
         is_leaf = (descriptor & bit) != 0
@@ -246,7 +265,7 @@ def intersect_octree(
 
         if cast_translucent and alpha_fn is not None:
             leaf_value, face_id, ux, uy, _, tex_lod, _ = hit_phase(
-                pp, idx, scale, posx, posy, posz, t_min
+                pp, idx, scale, posx, posy, posz, t_min, row=row
             )
             alpha = alpha_fn(leaf_value, face_id, jnp.stack([ux, uy], -1), tex_lod)
             first_of_kind = (adj_count == 0) | (
@@ -285,7 +304,7 @@ def intersect_octree(
         stack_tmax = jnp.where(do_store, t_max[None, :], stack_tmax)
         h_new = jnp.where(want_push, tc_max, h)
 
-        next_ptr = get_octant_ptr(ptr, pidx.astype(u32))
+        next_ptr = resolve_ptr(row_word(row, 4 + pidx), ptr, pidx.astype(u32))
         push_pp = (next_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
         push_scale = scale - 1
 
@@ -377,8 +396,12 @@ def intersect_octree(
     if record_trace:
         # Trace-recording variant used by shader-style tests: separate, simple
         # path with per-step appends (slow, small batches only).
+        def fetch_descriptor(ptr, pidx):
+            d = row_word(gather_row(ptr), pidx // 2)
+            return jnp.where(pidx % 2 != 0, d >> jnp.uint32(16), d)
+
         return _traced_traversal(
-            descriptors, octree_scale, state0, step, hit_phase, gather,
+            octree_scale, state0, step, hit_phase, fetch_descriptor,
             max_steps, B,
         )
 
@@ -429,8 +452,8 @@ def _finalize(state, hit_phase, octree_scale, steps_used, B, ro_s, rd_s):
     )
 
 
-def _traced_traversal(descriptors, octree_scale, state0, step, hit_phase,
-                      gather, max_steps, B):
+def _traced_traversal(octree_scale, state0, step, hit_phase,
+                      fetch_descriptor, max_steps, B):
     """Slow trace-recording path for step-trace tests: record
     (t, ptr, octant_idx, parent_idx, scale, is_child, is_leaf) per step."""
     i32 = jnp.int32
@@ -450,8 +473,7 @@ def _traced_traversal(descriptors, octree_scale, state0, step, hit_phase,
         pidx = (pp >> PTR_BITS).astype(i32)
 
         # descriptor fetch mirrors step() for trace fields
-        descriptor = gather(ptr + (pidx // 2).astype(u32))
-        descriptor = jnp.where(pidx % 2 != 0, descriptor >> jnp.uint32(16), descriptor)
+        descriptor = fetch_descriptor(ptr, pidx)
         # octant_idx must match step(): idx ^ octant_mask; hit_phase computes
         # it internally — recompute via leaf gather path
         octant_idx = _octant_idx_from(hit_phase, pp, idx, scale, s)

@@ -31,7 +31,13 @@ import numpy as np
 from .octree import LeafId, Octree, Position, pick_leaf_for_lod
 from .rangebuf import RangeBuffer
 
-PREAMBLE_LENGTH_IN_U32 = 5
+# The reference uses a 5-word preamble (esvo.rs:134). We pad it to a full
+# 12-word block so that EVERY block in the buffer — preamble included — is
+# 12-u32 aligned: the traversal kernel then fetches a whole octant
+# (header + body) with a single row gather. Words 5..11 are zero; the
+# logical layout (word 0 = root child_mask << 8, word 4 = absolute root
+# pointer) is unchanged.
+PREAMBLE_LENGTH_IN_U32 = 12
 RELATIVE_PTR_BIT = 1 << 31
 
 # id under which the serialized root block lives in the RangeBuffer
