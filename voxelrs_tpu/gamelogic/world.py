@@ -42,6 +42,7 @@ class World:
         gpu_size_mb: float = 64.0,
         benchmark_mode: bool = False,
         texture_dir: Optional[str] = None,
+        svo_format: str = "esvo",
     ):
         self.job_system = job_system
         self.chunk_loader = ChunkLoader(loading_radius, 0, 8)
@@ -60,8 +61,15 @@ class World:
             job_system, worldgen.Generator(1, self.world_generator_cfg), self.slot_pool
         )
 
-        graphics_svo = graphics.Svo(content.new_registry(texture_dir), gpu_size_mb)
-        self.world_svo = worldsvo.Svo(job_system, graphics_svo, loading_radius)
+        import numpy as _np
+
+        buffer_dtype = _np.uint32 if svo_format == "esvo" else _np.uint8
+        graphics_svo = graphics.Svo(
+            content.new_registry(texture_dir), gpu_size_mb, buffer_dtype
+        )
+        self.world_svo = worldsvo.Svo(
+            job_system, graphics_svo, loading_radius, svo_format
+        )
 
         self.physics = Physics()
         self.camera = Camera(fov_y_deg, 1.0, 0.01, 1024.0)

@@ -60,12 +60,14 @@ def _bucket(n: int) -> int:
 class Svo:
     """Device-side SVO renderer."""
 
-    def __init__(self, registry, capacity_mb: float = 64.0):
+    def __init__(self, registry, capacity_mb: float = 64.0, buffer_dtype=np.uint32):
         self.mips, self.mat_params, self.mat_tex = registry.build()
-        capacity_u32 = int(capacity_mb * 1_000_000) // 4
+        self.buffer_dtype = np.dtype(buffer_dtype)
+        capacity_u32 = int(capacity_mb * 1_000_000) // self.buffer_dtype.itemsize
+        capacity_u32 -= capacity_u32 % 12  # keep the 12-aligned row invariant
         self.capacity_u32 = capacity_u32
-        self.device_buf = jnp.zeros(capacity_u32, jnp.uint32)
-        self.host_buf = np.zeros(capacity_u32, np.uint32)
+        self.device_buf = jnp.zeros(capacity_u32, self.buffer_dtype)
+        self.host_buf = np.zeros(capacity_u32, self.buffer_dtype)
         self.octree_scale = np.float32(1.0)
         self.depth = 0
         self.stats = Stats(capacity_bytes=capacity_u32 * 4)
@@ -94,9 +96,18 @@ class Svo:
 
     # -- rendering --------------------------------------------------------------
 
+    def reload_resources(self, registry) -> None:
+        """Rebuild textures + materials (the reference's hot-reload path,
+        svo.rs:155-168); cached render programs keep working — arrays are
+        call arguments, not compile-time constants."""
+        self.mips, self.mat_params, self.mat_tex = registry.build()
+
     def render(self, params: RenderParams, width: int, height: int,
                max_steps: int = 1000) -> np.ndarray:
         """Render one frame; returns an (H, W, 4) float32 image (row 0 = top)."""
+        assert self.buffer_dtype == np.uint32, (
+            "render path requires the ESVO (u32) buffer format"
+        )
         from .camera import Camera
 
         cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01, 1024)

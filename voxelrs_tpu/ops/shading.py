@@ -169,6 +169,20 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
     return jnp.where(hit[:, None], shaded, sky_color(rd))
 
 
+def crosshair_overlay(image, radius_px: float = 8.0, thickness: float = 1.5):
+    """Composite a smooth circular crosshair at the image center
+    (reference: assets/shaders/crosshair.glsl:27-36 — smooth circle,
+    alpha-blended)."""
+    H, W = image.shape[0], image.shape[1]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None] - H / 2.0
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :] - W / 2.0
+    d = jnp.sqrt(yy * yy + xx * xx)
+    ring = jnp.clip(1.0 - jnp.abs(d - radius_px) / thickness, 0.0, 1.0)
+    alpha = ring[..., None] * 0.8
+    rgb = image[..., :3] * (1 - alpha) + alpha
+    return jnp.concatenate([rgb, image[..., 3:4]], axis=-1)
+
+
 def render_frame(descriptors, octree_scale, mips, mat_params, mat_tex, *,
                  width: int, height: int, render_shadows: bool,
                  cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect,

@@ -62,12 +62,27 @@ class SvoCoordSpace:
 
 
 class Svo:
-    """Streams serialized chunks into the device SVO."""
+    """Streams serialized chunks into the device SVO.
+
+    ``svo_format`` selects the serialization format — "esvo" (default) or
+    "csvo" — mirroring the reference's use-esvo/use-csvo cargo features
+    (reference: worldsvo.rs:17-36). The render path currently requires esvo.
+    """
 
     def __init__(self, job_system: JobSystem, graphics_svo: "graphics.Svo",
-                 render_distance: int):
-        self.processor: ChunkProcessor[SerializedChunk] = ChunkProcessor(job_system)
-        self.world_svo = Esvo()
+                 render_distance: int, svo_format: str = "esvo"):
+        self.processor: ChunkProcessor = ChunkProcessor(job_system)
+        self.svo_format = svo_format
+        if svo_format == "esvo":
+            self.world_svo = Esvo()
+            self._chunk_factory = SerializedChunk.from_voxels
+        elif svo_format == "csvo":
+            from ..world.csvo import Csvo, CsvoSerializedChunk
+
+            self.world_svo = Csvo()
+            self._chunk_factory = CsvoSerializedChunk.from_voxels
+        else:
+            raise ValueError(f"unknown svo format {svo_format!r}")
         self.graphics_svo = graphics_svo
         self.leaf_ids: dict[ChunkPos, LeafId] = {}
         self.has_changed = False
@@ -79,9 +94,10 @@ class Svo:
         """Serialize the borrowed chunk in the background; ownership returns
         via ``update`` (reference: worldsvo.rs:90-99)."""
         pos, lod, voxels = chunk.pos, chunk.lod, chunk.chunk.voxels
+        factory = self._chunk_factory
 
-        def produce() -> SerializedChunk:
-            return SerializedChunk.from_voxels(pos, voxels, lod, borrowed_chunk=chunk)
+        def produce():
+            return factory(pos, voxels, lod, borrowed_chunk=chunk)
 
         self.processor.enqueue(pos, True, produce)
 
