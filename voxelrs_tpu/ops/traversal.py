@@ -81,6 +81,7 @@ def intersect_octree(
     max_steps: int = MAX_STEPS,
     record_trace: bool = False,
     unroll: int = 4,
+    row_pad: int = 12,
 ) -> TraversalResult:
     """Trace a batch of rays through the serialized SVO.
 
@@ -154,11 +155,13 @@ def intersect_octree(
     nbuf = descriptors.shape[0]
     n_rows = nbuf // 12
     rows = descriptors[: n_rows * 12].reshape(n_rows, 12)
-    _word_iota = jnp.arange(12, dtype=i32)[None, :]
+    if row_pad > 12:
+        rows = jnp.pad(rows, ((0, 0), (0, row_pad - 12)))
+    _word_iota = jnp.arange(rows.shape[1], dtype=i32)[None, :]
 
     def gather_row(ptr):
         r = jnp.clip((ptr // 12).astype(i32), 0, n_rows - 1)
-        return rows[r]  # (B, 12)
+        return rows[r]  # (B, row_pad)
 
     def row_word(row, widx):
         """Select word ``widx`` (B,) from each row (B, 12)."""
