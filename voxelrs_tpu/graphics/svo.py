@@ -103,8 +103,13 @@ class Svo:
         self.mips, self.mat_params, self.mat_tex = registry.build()
 
     def render(self, params: RenderParams, width: int, height: int,
-               max_steps: int = 1000) -> np.ndarray:
-        """Render one frame; returns an (H, W, 4) float32 image (row 0 = top)."""
+               max_steps: int = 1000, mode: str = "deferred") -> np.ndarray:
+        """Render one frame; returns an (H, W, 4) float32 image (row 0 = top).
+
+        ``mode="deferred"`` (default) runs the host-orchestrated pipeline —
+        traversal at one gather/step with between-round alpha judgement;
+        ``mode="fused"`` traces the whole frame as a single XLA program
+        (in-loop alpha, used by the sharded/multi-chip path)."""
         assert self.buffer_dtype == np.uint32, (
             "render path requires the ESVO (u32) buffer format"
         )
@@ -115,6 +120,29 @@ class Svo:
         cam.forward = np.asarray(params.cam_fwd, np.float32)
         cam.up = np.asarray(params.cam_up, np.float32)
         s, u, f = cam.camera_basis()
+
+        highlight = (
+            np.asarray(params.selected_voxel, np.float32)
+            if params.selected_voxel is not None
+            else np.full(3, np.nan, np.float32)
+        )
+
+        if mode == "deferred":
+            from ..ops.shading import render_frame_deferred
+
+            return render_frame_deferred(
+                self.device_buf, jnp.float32(self.octree_scale), self.mips,
+                self.mat_params, self.mat_tex, width=width, height=height,
+                render_shadows=bool(params.render_shadows),
+                cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(s),
+                cam_up=jnp.asarray(u), cam_fwd=jnp.asarray(f),
+                fov_y_rad=jnp.float32(params.fov_y_rad),
+                aspect=jnp.float32(params.aspect_ratio),
+                ambient=jnp.float32(params.ambient_intensity),
+                light_dir=jnp.asarray(params.light_dir, jnp.float32),
+                shadow_distance=jnp.float32(params.shadow_distance),
+                highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
+            )
 
         key = (width, height, bool(params.render_shadows), max_steps)
         if key not in self._render_cache:

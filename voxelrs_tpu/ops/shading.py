@@ -8,6 +8,7 @@ Lambert diffuse + specular → shadow ray → composite, one XLA program.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .texture import sample_texture_lod
@@ -167,6 +168,208 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
     shaded = jnp.concatenate([rgb, color[:, 3:4]], axis=-1)
 
     return jnp.where(hit[:, None], shaded, sky_color(rd))
+
+
+# ---------------------------------------------------------------------------
+# Host-orchestrated deferred render pipeline: the traversal loop runs at
+# picker cost (one gather/step) and texel alpha is judged between resume
+# rounds (ops.traversal.intersect_octree_deferred). One compiled round
+# serves both the primary and the shadow pass.
+# ---------------------------------------------------------------------------
+
+_pipeline_cache: dict = {}
+
+
+def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
+                       max_steps: int, rounds: int):
+    """Build (raygen, trace, shade, combine) jitted stages for a pixel count."""
+    key = (B, width, height, render_shadows, max_steps, rounds)
+    if key in _pipeline_cache:
+        return _pipeline_cache[key]
+
+    from .traversal import (
+        _NO_VALUE,
+        _make_rows,
+        finalize,
+        init_state,
+        make_ray_consts,
+        run_loop,
+    )
+
+    raygen = jax.jit(
+        lambda cam_pos, cam_right, cam_up, cam_fwd, fov, aspect: generate_rays(
+            width, height, cam_pos, cam_right, cam_up, cam_fwd, fov, aspect
+        )
+    )
+
+    start = jax.jit(
+        lambda scale, ro, rd, max_dst: (
+            lambda c: (c, init_state(c))
+        )(make_ray_consts(scale, ro, rd, max_dst))
+    )
+
+    def round_body(descriptors, consts, state, steps_total, acc, done,
+                   mips, mat_tex):
+        """One deferred round: run the loop to the next leaf hits, judge
+        texel alpha + adjacency, record accepted hits, resume the rest."""
+        rows = _make_rows(descriptors)
+        steps, state = run_loop(rows, consts, state, max_steps, 4, False, None)
+        steps_total = steps_total + steps
+
+        res = finalize(rows, consts, state, steps_total)
+        adj_count = (state.adj_last >> 24).astype(jnp.int32)
+        last_value = state.adj_last & _NO_VALUE
+        adj_count = jnp.where(state.missed, 0, adj_count)
+        last_value = jnp.where(state.missed, _NO_VALUE, last_value)
+
+        alpha_fn = make_alpha_fn(mips, mat_tex)
+        judge = state.hit & ~done
+        alpha = alpha_fn(res.value, res.face_id, res.uv, res.lod)
+        first = (adj_count == 0) | ((res.value & _NO_VALUE) != last_value)
+        accept = judge & (alpha > 0) & first
+        resume = judge & ~accept
+
+        acc_t, acc_value, acc_face, acc_pos, acc_uv, acc_lod = acc
+        acc = (
+            jnp.where(accept, res.t, acc_t),
+            jnp.where(accept, res.value, acc_value),
+            jnp.where(accept, res.face_id, acc_face),
+            jnp.where(accept[:, None], res.pos, acc_pos),
+            jnp.where(accept[:, None], res.uv, acc_uv),
+            jnp.where(accept, res.lod, acc_lod),
+        )
+        done = done | accept
+
+        adj_count = jnp.where(resume, jnp.minimum(adj_count + 1, 255), adj_count)
+        last_value = jnp.where(resume, res.value & _NO_VALUE, last_value)
+        state = state._replace(
+            active=state.active | resume,
+            hit=state.hit & ~resume,
+            adj_last=(adj_count.astype(jnp.uint32) << 24) | last_value,
+            missed=jnp.zeros_like(state.missed),
+            suppress=resume,
+        )
+        return state, steps_total, acc, done
+
+    round_jit = jax.jit(round_body, donate_argnums=(2, 4, 5))
+
+    def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
+        consts, state = start(scale, ro, rd, max_dst)
+        n = ro.shape[0]
+        acc = (
+            jnp.full(n, -1.0, jnp.float32),
+            jnp.zeros(n, jnp.uint32),
+            jnp.zeros(n, jnp.int32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n, 2), jnp.float32),
+            jnp.zeros(n, jnp.float32),
+        )
+        done = jnp.zeros(n, bool)
+        steps_total = jnp.int32(0)
+        for _ in range(rounds):
+            state, steps_total, acc, done = round_jit(
+                descriptors, consts, state, steps_total, acc, done, mips, mat_tex
+            )
+        from .traversal import TraversalResult
+
+        return TraversalResult(
+            t=acc[0], value=acc[1], face_id=acc[2], pos=acc[3], uv=acc[4],
+            lod=acc[5], inside_voxel=state.inside,
+            steps=jnp.broadcast_to(steps_total, (n,)), trace=None,
+        )
+
+    def shade(res_tuple, ro, rd, mips, mat_params, mat_tex, cam_pos, ambient,
+              light_dir, shadow_distance, highlight_pos):
+        from .traversal import TraversalResult
+
+        res = TraversalResult(*res_tuple, steps=None, trace=None)
+        hit = res.t != -1.0
+
+        value = jnp.clip(res.value.astype(jnp.int32), 0, mat_params.shape[0] - 1)
+        layer = face_texture_layer(mat_tex, res.value, res.face_id, normal=False)
+        color = sample_texture_lod(mips, layer, res.uv, res.lod)
+
+        same_block = jnp.all(
+            jnp.floor(res.pos) == jnp.floor(highlight_pos)[None, :], axis=-1
+        )
+        local = jnp.abs(res.uv - 0.5) * 2.0
+        lmax = jnp.maximum(local[:, 0], local[:, 1])
+        outline = same_block & (lmax > 1.0 - 1.0 / 16.0)
+        color = jnp.where(outline[:, None], jnp.ones((1, 4), jnp.float32), color)
+
+        normal = FACE_NORMALS[res.face_id]
+        tangent = FACE_TANGENTS[res.face_id]
+        bitangent = FACE_BITANGENTS[res.face_id]
+        nlayer = face_texture_layer(mat_tex, res.value, res.face_id, normal=True)
+        ntex = sample_texture_lod(mips, jnp.maximum(nlayer, 0), res.uv, res.lod)
+        swz = jnp.stack([ntex[:, 0], ntex[:, 2], ntex[:, 1]], axis=-1) * 2.0 - 1.0
+        swz = swz / jnp.linalg.norm(swz, axis=-1, keepdims=True)
+        mapped = swz[:, 0:1] * tangent + swz[:, 1:2] * normal + swz[:, 2:3] * bitangent
+        normal = jnp.where((nlayer != -1)[:, None], mapped, normal)
+
+        diffuse = jnp.maximum(jnp.sum(normal * -light_dir[None, :], axis=-1), 0.0)
+        view_dir = res.pos - cam_pos[None, :]
+        view_dir = view_dir / jnp.maximum(
+            jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12
+        )
+        incident = -light_dir[None, :]
+        reflect_dir = incident - 2.0 * jnp.sum(normal * incident, -1, keepdims=True) * normal
+        spec_dot = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
+        spec_pow = jnp.maximum(mat_params[value, 0], 1e-6)
+        specular = jnp.power(spec_dot, spec_pow) * mat_params[value, 1]
+
+        need_shadow = hit & (res.t < shadow_distance)
+        shadow_ro = res.pos + normal * 0.001
+        shadow_rd = jnp.broadcast_to(-light_dir, res.pos.shape)
+        shadow_max = jnp.where(need_shadow, -1.0, 1e-35)
+        return (color, diffuse, specular, hit, need_shadow, shadow_ro,
+                shadow_rd, shadow_max)
+
+    shade = jax.jit(shade)
+
+    def combine(color, diffuse, specular, hit, need_shadow, shadow_t, rd,
+                ambient):
+        shadow = jnp.where(need_shadow, jnp.where(shadow_t < 0, 1.0, 0.0), 1.0)
+        light = jnp.clip(ambient + (diffuse + specular) * shadow, 0.0, 1.0)
+        rgb = color[:, :3] * light[:, None]
+        shaded = jnp.concatenate([rgb, color[:, 3:4]], axis=-1)
+        img = jnp.where(hit[:, None], shaded, sky_color(rd))
+        return img.reshape(height, width, 4)
+
+    combine = jax.jit(combine)
+    _pipeline_cache[key] = (raygen, trace, shade, combine)
+    return _pipeline_cache[key]
+
+
+def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
+                          mat_tex, *, width: int, height: int,
+                          render_shadows: bool, cam_pos, cam_right, cam_up,
+                          cam_fwd, fov_y_rad, aspect, ambient, light_dir,
+                          shadow_distance, highlight_pos,
+                          max_steps: int = 1000, rounds: int = 6):
+    """Host-orchestrated frame: raygen → deferred primary trace → shading →
+    deferred shadow trace → composite. Same output as ``render_frame`` (up
+    to the deferred-rounds bound on translucent pass-throughs)."""
+    B = width * height
+    raygen, trace, shade, combine = _deferred_pipeline(
+        B, width, height, render_shadows, max_steps, rounds
+    )
+    ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    res = trace(descriptors, octree_scale, ro, rd, jnp.float32(-1.0), mips, mat_tex)
+    (color, diffuse, specular, hit, need_shadow, shadow_ro, shadow_rd,
+     shadow_max) = shade(
+        (res.t, res.value, res.face_id, res.pos, res.uv, res.lod,
+         res.inside_voxel), ro, rd, mips, mat_params, mat_tex, cam_pos,
+        ambient, light_dir, shadow_distance, highlight_pos,
+    )
+    if render_shadows:
+        sres = trace(descriptors, octree_scale, shadow_ro, shadow_rd,
+                     shadow_max, mips, mat_tex)
+        shadow_t = sres.t
+    else:
+        shadow_t = jnp.full(B, -1.0, jnp.float32)
+    return combine(color, diffuse, specular, hit, need_shadow, shadow_t, rd,
+                   ambient)
 
 
 def crosshair_overlay(image, radius_px: float = 8.0, thickness: float = 1.5):
