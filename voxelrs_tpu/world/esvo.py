@@ -209,6 +209,15 @@ class SerializedChunk:
 
     @staticmethod
     def from_voxels(pos, voxels: np.ndarray, lod: int, borrowed_chunk=None) -> "SerializedChunk":
+        from ..native import serialize_chunk_native
+
+        native = serialize_chunk_native(voxels, lod)
+        if native is not None:
+            buf, (cm, lm, depth) = native
+            return SerializedChunk(
+                pos, buf, SerializationResult(cm, lm, depth), lod, borrowed_chunk
+            )
+
         from .esvo_dense import serialize_dense_chunk
 
         buf, result = serialize_dense_chunk(voxels, lod)
