@@ -209,11 +209,11 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     )
 
     def round_body(descriptors, consts, state, steps_total, acc, done,
-                   mips, mat_tex):
+                   mips, mat_tex, seg_steps):
         """One deferred round: run the loop to the next leaf hits, judge
         texel alpha + adjacency, record accepted hits, resume the rest."""
         rows = _make_rows(descriptors)
-        steps, state = run_loop(rows, consts, state, max_steps, 4, False, None)
+        steps, state = run_loop(rows, consts, state, seg_steps, 4, False, None)
         steps_total = steps_total + steps
 
         res = finalize(rows, consts, state, steps_total)
@@ -251,7 +251,36 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         )
         return state, steps_total, acc, done
 
-    round_jit = jax.jit(round_body, donate_argnums=(2, 4, 5))
+    round_jit = jax.jit(round_body, donate_argnums=(2, 4, 5),
+                        static_argnums=(8,))
+
+    # -- wavefront compaction: shrink to the unfinished-ray bucket ----------
+    def _compact_fn(consts, state, acc, done, idx):
+        take1 = lambda a: a[idx] if a.ndim >= 1 else a  # scalars replicate
+        sub_consts = jax.tree_util.tree_map(take1, consts)
+        sub_state = jax.tree_util.tree_map(
+            lambda a: a[:, idx] if a.ndim == 2 else a[idx], state
+        )
+        sub_acc = tuple(a[idx] for a in acc)
+        return sub_consts, sub_state, sub_acc, done[idx]
+
+    compact_jit = jax.jit(_compact_fn)
+
+    def _scatter_fn(acc, done, inside, idx, sub_acc, sub_done, sub_inside):
+        acc = tuple(
+            a.at[idx].set(s) if s.ndim == a.ndim else a
+            for a, s in zip(acc, sub_acc)
+        )
+        return acc, done.at[idx].set(sub_done), inside.at[idx].set(sub_inside)
+
+    scatter_jit = jax.jit(_scatter_fn, donate_argnums=(0, 1, 2))
+
+    unfinished_count = jax.jit(
+        lambda state, done: jnp.sum(state.active | (state.hit & ~done))
+    )
+    order_unfinished = jax.jit(
+        lambda state, done: jnp.argsort(~(state.active | (state.hit & ~done)))
+    )
 
     def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
         consts, state = start(scale, ro, rd, max_dst)
@@ -265,16 +294,47 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             jnp.zeros(n, jnp.float32),
         )
         done = jnp.zeros(n, bool)
+        inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
-        for _ in range(rounds):
-            state, steps_total, acc, done = round_jit(
-                descriptors, consts, state, steps_total, acc, done, mips, mat_tex
-            )
+
+        # segment 1: bounded burst at full width (most rays finish here)
+        seg1 = min(64, max_steps)
+        state, steps_total, acc, done = round_jit(
+            descriptors, consts, state, steps_total, acc, done, mips, mat_tex,
+            seg1,
+        )
+        inside_full = state.inside
+
+        count = int(unfinished_count(state, done))
+        if count > 0:
+            bucket = max(256, 1 << (count - 1).bit_length())
+            if bucket < n:
+                idx = order_unfinished(state, done)[:bucket]
+                sub_consts, sub_state, sub_acc, sub_done = compact_jit(
+                    consts, state, acc, done, idx
+                )
+                for _ in range(rounds - 1):
+                    sub_state, steps_total, sub_acc, sub_done = round_jit(
+                        descriptors, sub_consts, sub_state, steps_total,
+                        sub_acc, sub_done, mips, mat_tex, max_steps,
+                    )
+                acc, done, inside_full = scatter_jit(
+                    acc, done, inside_full, idx, sub_acc, sub_done,
+                    sub_state.inside,
+                )
+            else:
+                for _ in range(rounds - 1):
+                    state, steps_total, acc, done = round_jit(
+                        descriptors, consts, state, steps_total, acc, done,
+                        mips, mat_tex, max_steps,
+                    )
+                inside_full = state.inside
+
         from .traversal import TraversalResult
 
         return TraversalResult(
             t=acc[0], value=acc[1], face_id=acc[2], pos=acc[3], uv=acc[4],
-            lod=acc[5], inside_voxel=state.inside,
+            lod=acc[5], inside_voxel=inside_full,
             steps=jnp.broadcast_to(steps_total, (n,)), trace=None,
         )
 
