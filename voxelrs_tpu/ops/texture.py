@@ -5,6 +5,9 @@ src/graphics/texture_array.rs:200-206): CLAMP_TO_EDGE wrap, NEAREST
 magnification (lod <= 0), LINEAR_MIPMAP_LINEAR minification (lod > 0).
 
 The mip stack is a tuple of ``(T, h_l, w_l, C)`` arrays, level 0 largest.
+Internally the levels flatten into one atlas so a trilinear sample costs 8
+texel gathers (4 per adjacent mip) + 1 nearest gather, instead of sampling
+every level — gathers are the dominant cost on TPU.
 """
 
 from __future__ import annotations
@@ -12,35 +15,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _nearest(level, layer, uv):
-    """NEAREST filtering at one level. uv (B,2) in [0,1], layer (B,)."""
+def _nearest_level0(level, layer, uv):
     T, h, w = level.shape[0], level.shape[1], level.shape[2]
     x = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
     return level[jnp.clip(layer, 0, T - 1), y, x]
-
-
-def _bilinear(level, layer, uv):
-    """LINEAR filtering with CLAMP_TO_EDGE at one level."""
-    T, h, w = level.shape[0], level.shape[1], level.shape[2]
-    lyr = jnp.clip(layer, 0, T - 1)
-    cx = uv[:, 0] * w - 0.5
-    cy = uv[:, 1] * h - 0.5
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    fx = (cx - x0)[:, None]
-    fy = (cy - y0)[:, None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    c00 = level[lyr, y0i, x0i]
-    c10 = level[lyr, y0i, x1i]
-    c01 = level[lyr, y1i, x0i]
-    c11 = level[lyr, y1i, x1i]
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
 
 
 def sample_texture_lod(mips: tuple, layer, uv, lod):
@@ -59,20 +38,52 @@ def sample_texture_lod(mips: tuple, layer, uv, lod):
         mips = tuple(m[..., None] for m in mips)
 
     n_levels = len(mips)
+    T = mips[0].shape[0]
+    C = mips[0].shape[-1]
+    layer = jnp.clip(layer, 0, T - 1)
     lod = jnp.clip(lod, 0.0, float(n_levels - 1))
 
-    # minification: trilinear between floor/ceil mips, computed per level and
-    # selected (levels have distinct shapes, so no single gather applies)
+    # flatten all levels into one atlas; static per-level metadata
+    flats = []
+    offsets = []
+    off = 0
+    for m in mips:
+        flats.append(m.reshape(-1, C))
+        offsets.append(off)
+        off += m.shape[0] * m.shape[1] * m.shape[2]
+    atlas = jnp.concatenate(flats, axis=0)
+    offs = jnp.array(offsets, jnp.int32)
+    hs = jnp.array([m.shape[1] for m in mips], jnp.int32)
+    ws = jnp.array([m.shape[2] for m in mips], jnp.int32)
+
     d0 = jnp.floor(lod).astype(jnp.int32)
     frac = (lod - d0.astype(lod.dtype))[:, None]
-    per_level = jnp.stack([_bilinear(m, layer, uv) for m in mips])  # (L,B,C)
-    lanes = jnp.arange(layer.shape[0])
-    c0 = per_level[jnp.clip(d0, 0, n_levels - 1), lanes]
-    c1 = per_level[jnp.clip(d0 + 1, 0, n_levels - 1), lanes]
-    tri = c0 * (1 - frac) + c1 * frac
 
-    # magnification (lod <= 0): NEAREST on level 0
-    near = _nearest(mips[0], layer, uv)
+    def bilinear_at(dl):
+        dl = jnp.clip(dl, 0, n_levels - 1)
+        h = hs[dl]
+        w = ws[dl]
+        base = offs[dl] + layer * h * w
+        cx = uv[:, 0] * w.astype(lod.dtype) - 0.5
+        cy = uv[:, 1] * h.astype(lod.dtype) - 0.5
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0)[:, None]
+        fy = (cy - y0)[:, None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+        c00 = atlas[base + y0i * w + x0i]
+        c10 = atlas[base + y0i * w + x1i]
+        c01 = atlas[base + y1i * w + x0i]
+        c11 = atlas[base + y1i * w + x1i]
+        top = c00 * (1 - fx) + c10 * fx
+        bot = c01 * (1 - fx) + c11 * fx
+        return top * (1 - fy) + bot * fy
+
+    tri = bilinear_at(d0) * (1 - frac) + bilinear_at(d0 + 1) * frac
+    near = _nearest_level0(mips[0], layer, uv)
     out = jnp.where((lod <= 0.0)[:, None], near, tri)
     return out[..., 0] if squeeze else out
 
