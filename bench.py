@@ -33,18 +33,23 @@ def build_world(radius: int = 4) -> tuple[Esvo, int]:
     from voxelrs_tpu.gamelogic.worldgen import Generator, default_config
     from voxelrs_tpu.world.chunk import Chunk
 
+    from voxelrs_tpu.systems.chunkloader import ChunkLoader
+
     gen = Generator(1, default_config())
     svo = Esvo()
+    center = ChunkPos(radius, 2, radius)
     count = 0
     for cx in range(radius * 2):
         for cz in range(radius * 2):
             col = gen.get_column(cx, cz)
+            # distance-banded LOD exactly like the streaming engine
+            lod = ChunkLoader.calculate_lod(center, ChunkPos(cx, 0, cz))
             for cy in range(0, 8):
                 if not col.contains_chunk(cy):
                     continue
                 chunk = Chunk(ChunkPos(cx, cy, cz))
                 gen.generate_chunk(chunk)
-                sc = SerializedChunk.from_voxels(chunk.pos, chunk.voxels, 5)
+                sc = SerializedChunk.from_voxels(chunk.pos, chunk.voxels, lod)
                 if not sc.has_data():
                     continue
                 svo.set_leaf(Position(cx, cy, cz), sc, True)

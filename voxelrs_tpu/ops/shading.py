@@ -406,30 +406,50 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
                           render_shadows: bool, cam_pos, cam_right, cam_up,
                           cam_fwd, fov_y_rad, aspect, ambient, light_dir,
                           shadow_distance, highlight_pos,
-                          max_steps: int = 1000, rounds: int = 6):
+                          max_steps: int = 1000, rounds: int = 4):
     """Host-orchestrated frame: raygen → deferred primary trace → shading →
     deferred shadow trace → composite. Same output as ``render_frame`` (up
     to the deferred-rounds bound on translucent pass-throughs)."""
+    import os
+    import time
+
+    timing = os.environ.get("VOXELRS_TIMING") == "1"
+
+    def mark(name, ref):
+        if timing:
+            jax.tree_util.tree_leaves(ref)[0].block_until_ready()
+            now = time.perf_counter()
+            print(f"  [{name}] {(now - mark.t0)*1e3:.0f} ms", flush=True)
+            mark.t0 = now
+
+    mark.t0 = time.perf_counter()
+
     B = width * height
     raygen, trace, shade, combine = _deferred_pipeline(
         B, width, height, render_shadows, max_steps, rounds
     )
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    mark("raygen", rd)
     res = trace(descriptors, octree_scale, ro, rd, jnp.float32(-1.0), mips, mat_tex)
+    mark("primary", res.t)
     (color, diffuse, specular, hit, need_shadow, shadow_ro, shadow_rd,
      shadow_max) = shade(
         (res.t, res.value, res.face_id, res.pos, res.uv, res.lod,
          res.inside_voxel), ro, rd, mips, mat_params, mat_tex, cam_pos,
         ambient, light_dir, shadow_distance, highlight_pos,
     )
+    mark("shade", color)
     if render_shadows:
         sres = trace(descriptors, octree_scale, shadow_ro, shadow_rd,
                      shadow_max, mips, mat_tex)
         shadow_t = sres.t
+        mark("shadow", shadow_t)
     else:
         shadow_t = jnp.full(B, -1.0, jnp.float32)
-    return combine(color, diffuse, specular, hit, need_shadow, shadow_t, rd,
-                   ambient)
+    out = combine(color, diffuse, specular, hit, need_shadow, shadow_t, rd,
+                  ambient)
+    mark("combine", out)
+    return out
 
 
 def crosshair_overlay(image, radius_px: float = 8.0, thickness: float = 1.5):
