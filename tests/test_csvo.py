@@ -258,3 +258,47 @@ def test_world_move_and_remove():
     world.remove_leaf(new_id)
     world.serialize()
     assert sc.pos_hash not in world.leaf_info
+
+
+def test_csvo_render_matches_esvo():
+    """End-to-end: the CSVO render path produces the same image as ESVO."""
+    import jax.numpy as jnp
+    from voxelrs_tpu.gamelogic.content import new_registry
+    from voxelrs_tpu.graphics.svo import RenderParams, Svo
+    from voxelrs_tpu.world.esvo import Esvo, SerializedChunk
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = 3
+    vox[:, 8, :] = 1
+    vox[10:14, 9:12, 10:14] = 12
+
+    params = RenderParams(
+        cam_pos=np.array([2.0, 20.0, -4.0], np.float32),
+        cam_fwd=np.array([0.5, -0.5, 0.7], np.float32) / np.linalg.norm([0.5, -0.5, 0.7]),
+        aspect_ratio=4 / 3,
+        render_shadows=True,
+        shadow_distance=100.0,
+    )
+
+    esvo_world = Esvo()
+    esvo_world.set_leaf(
+        Position(0, 0, 0), SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    esvo_world.serialize()
+    svo_e = Svo(new_registry(), capacity_mb=4)
+    svo_e.update(esvo_world)
+    img_e = np.asarray(svo_e.render(params, 96, 72, max_steps=300))
+
+    csvo_world = Csvo()
+    csvo_world.set_leaf(
+        Position(0, 0, 0),
+        CsvoSerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True,
+    )
+    csvo_world.serialize()
+    svo_c = Svo(new_registry(), capacity_mb=4, buffer_dtype=np.uint8)
+    svo_c.update(csvo_world)
+    img_c = np.asarray(svo_c.render(params, 96, 72, max_steps=300))
+
+    assert not np.isnan(img_c).any()
+    diff = np.abs(img_e.astype(np.float64) - img_c.astype(np.float64)).mean()
+    assert diff < 0.015, diff

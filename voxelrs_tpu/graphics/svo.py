@@ -63,14 +63,28 @@ class Svo:
     def __init__(self, registry, capacity_mb: float = 64.0, buffer_dtype=np.uint32):
         self.mips, self.mat_params, self.mat_tex = registry.build()
         self.buffer_dtype = np.dtype(buffer_dtype)
-        capacity_u32 = int(capacity_mb * 1_000_000) // self.buffer_dtype.itemsize
-        capacity_u32 -= capacity_u32 % 12  # keep the 12-aligned row invariant
-        self.capacity_u32 = capacity_u32
-        self.device_buf = jnp.zeros(capacity_u32, self.buffer_dtype)
-        self.host_buf = np.zeros(capacity_u32, self.buffer_dtype)
+        if self.buffer_dtype == np.uint32:
+            # ESVO: u32 host mirror + identical device array (12-aligned rows)
+            capacity = int(capacity_mb * 1_000_000) // 4
+            capacity -= capacity % 12
+            self.capacity_u32 = capacity
+            self.device_buf = jnp.zeros(capacity, jnp.uint32)
+            self.host_buf = np.zeros(capacity, np.uint32)
+        else:
+            # CSVO: byte host mirror ([root_ptr u32][node bytes...]); the
+            # device holds the node bytes as u32 words (byte pointers are
+            # relative to the stream start, after the 4-byte prefix)
+            capacity = int(capacity_mb * 1_000_000)
+            capacity -= capacity % 4
+            self.capacity_u32 = capacity  # capacity in host elements (bytes)
+            self.device_buf = jnp.zeros((capacity - 4) // 4, jnp.uint32)
+            self.host_buf = np.zeros(capacity, np.uint8)
+        self.root_ptr = 0
         self.octree_scale = np.float32(1.0)
         self.depth = 0
-        self.stats = Stats(capacity_bytes=capacity_u32 * 4)
+        cap_bytes = capacity * (4 if self.buffer_dtype == np.uint32 else 1)
+        self.capacity_bytes = cap_bytes
+        self.stats = Stats(capacity_bytes=cap_bytes)
         self._render_cache: dict = {}
         self._raycast_cache: dict = {}
 
@@ -83,14 +97,29 @@ class Svo:
         self.octree_scale = np.float32(2.0 ** -self.depth) if self.depth else np.float32(1.0)
 
         ranges = world_svo.write_changes_to(self.host_buf, reset=True)
-        for start, length in ranges:
-            b = min(_bucket(length), self.capacity_u32 - start)
-            chunk = jnp.asarray(self.host_buf[start : start + b])
-            self.device_buf = _apply_range(self.device_buf, chunk, start, b)
+        if self.buffer_dtype == np.uint32:
+            for start, length in ranges:
+                b = min(_bucket(length), self.capacity_u32 - start)
+                chunk = jnp.asarray(self.host_buf[start : start + b])
+                self.device_buf = _apply_range(self.device_buf, chunk, start, b)
+        else:
+            # byte ranges -> word ranges of the post-prefix stream
+            self.root_ptr = int.from_bytes(bytes(self.host_buf[:4]), "little")
+            n_words = self.device_buf.shape[0]
+            for start, length in ranges:
+                ws = max(0, (start - 4) // 4)
+                we = min(n_words, ((start - 4 + length) + 3) // 4 + 1)
+                if we <= ws:
+                    continue
+                b = min(_bucket(we - ws), n_words - ws)
+                chunk = jnp.asarray(
+                    self.host_buf[4 + ws * 4 : 4 + (ws + b) * 4].view(np.uint32)
+                )
+                self.device_buf = _apply_range(self.device_buf, chunk, ws, b)
 
         self.stats = Stats(
             used_bytes=world_svo.size_in_bytes(),
-            capacity_bytes=self.capacity_u32 * 4,
+            capacity_bytes=self.capacity_bytes,
             depth=self.depth,
         )
 
@@ -109,10 +138,10 @@ class Svo:
         ``mode="deferred"`` (default) runs the host-orchestrated pipeline —
         traversal at one gather/step with between-round alpha judgement;
         ``mode="fused"`` traces the whole frame as a single XLA program
-        (in-loop alpha, used by the sharded/multi-chip path)."""
-        assert self.buffer_dtype == np.uint32, (
-            "render path requires the ESVO (u32) buffer format"
-        )
+        (in-loop alpha, used by the sharded/multi-chip path). The CSVO
+        buffer format always renders fused with its own kernel."""
+        if self.buffer_dtype != np.uint32:
+            mode = "csvo"
         from .camera import Camera
 
         cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01, 1024)
@@ -142,6 +171,47 @@ class Svo:
                 light_dir=jnp.asarray(params.light_dir, jnp.float32),
                 shadow_distance=jnp.float32(params.shadow_distance),
                 highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
+            )
+
+        if mode == "csvo":
+            from ..ops.traversal_csvo import intersect_octree_csvo
+
+            key = (width, height, bool(params.render_shadows), max_steps,
+                   "csvo", self.depth)
+            if key not in self._render_cache:
+                depth = self.depth
+
+                def fn_csvo(buf, scale, root_ptr, mips, mat_params, mat_tex,
+                            cam_pos, cam_right, cam_up, cam_fwd, fov, aspect,
+                            ambient, light_dir, shadow_distance, hl):
+                    def traverse(ro, rd, max_dst, cast_translucent, alpha_fn):
+                        return intersect_octree_csvo(
+                            buf, scale, root_ptr, depth, ro, rd, max_dst,
+                            cast_translucent, alpha_fn=alpha_fn,
+                            max_steps=key[3],
+                        )
+
+                    return render_frame(
+                        buf, scale, mips, mat_params, mat_tex,
+                        width=key[0], height=key[1], render_shadows=key[2],
+                        cam_pos=cam_pos, cam_right=cam_right, cam_up=cam_up,
+                        cam_fwd=cam_fwd, fov_y_rad=fov, aspect=aspect,
+                        ambient=ambient, light_dir=light_dir,
+                        shadow_distance=shadow_distance, highlight_pos=hl,
+                        max_steps=key[3], traverse=traverse,
+                    )
+
+                self._render_cache[key] = jax.jit(fn_csvo)
+
+            return self._render_cache[key](
+                self.device_buf, jnp.float32(self.octree_scale),
+                jnp.uint32(self.root_ptr), self.mips, self.mat_params,
+                self.mat_tex, jnp.asarray(cam.position), jnp.asarray(s),
+                jnp.asarray(u), jnp.asarray(f), jnp.float32(params.fov_y_rad),
+                jnp.float32(params.aspect_ratio),
+                jnp.float32(params.ambient_intensity),
+                jnp.asarray(params.light_dir, jnp.float32),
+                jnp.float32(params.shadow_distance), jnp.asarray(highlight),
             )
 
         key = (width, height, bool(params.render_shadows), max_steps)
@@ -181,13 +251,23 @@ class Svo:
     # -- picking -------------------------------------------------------------
 
     def _raycast_fn(self, n_pad: int):
-        if n_pad not in self._raycast_cache:
-            alpha = None  # picker casts are opaque (cast_translucent=False)
+        csvo_depth = self.depth if self.buffer_dtype != np.uint32 else None
+        cache_key = (n_pad, csvo_depth)
+        if cache_key not in self._raycast_cache:
+            # picker casts are opaque (cast_translucent=False)
 
-            def fn(buf, scale, tasks):
+            def fn(buf, scale, root_ptr, tasks):
                 ro = tasks[:, 1:4]
                 rd = tasks[:, 4:7]
-                res = intersect_octree(buf, scale, ro, rd, tasks[:, 0], False)
+                if csvo_depth is not None:
+                    from ..ops.traversal_csvo import intersect_octree_csvo
+
+                    res = intersect_octree_csvo(
+                        buf, scale, root_ptr, csvo_depth, ro, rd,
+                        tasks[:, 0], False,
+                    )
+                else:
+                    res = intersect_octree(buf, scale, ro, rd, tasks[:, 0], False)
                 hit = res.t > 0
                 dst = jnp.where(hit, res.t, -1.0)
                 pos = jnp.where(hit[:, None], res.pos, 0.0)
@@ -198,8 +278,8 @@ class Svo:
                 )
                 return dst, res.inside_voxel & hit, pos, normal
 
-            self._raycast_cache[n_pad] = jax.jit(fn)
-        return self._raycast_cache[n_pad]
+            self._raycast_cache[cache_key] = jax.jit(fn)
+        return self._raycast_cache[cache_key]
 
     def raycast(self, batch: PickerBatch, result: PickerBatchResult) -> None:
         """Run the picker traversal over the batch
@@ -213,7 +293,8 @@ class Svo:
         padded[:n] = tasks
         padded[n:, 4] = 1.0  # valid dir for padding lanes
         dst, inside, pos, normal = self._raycast_fn(n_pad)(
-            self.device_buf, jnp.float32(self.octree_scale), jnp.asarray(padded)
+            self.device_buf, jnp.float32(self.octree_scale),
+            jnp.uint32(self.root_ptr), jnp.asarray(padded)
         )
         batch.deserialize_results(
             np.asarray(dst)[:n], np.asarray(inside)[:n], np.asarray(pos)[:n],

@@ -108,7 +108,7 @@ def sky_color(rd):
 
 def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
                light_dir, render_shadows, shadow_distance, highlight_pos,
-               descriptors, octree_scale, alpha_fn):
+               descriptors, octree_scale, alpha_fn, traverse=None):
     """Shading of traversal results (reference: world.glsl:27-90)."""
     hit = res.t != -1.0
     B = res.t.shape[0]
@@ -156,9 +156,12 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
         sro = res.pos + normal * 0.001
         srd = jnp.broadcast_to(-light_dir, (B, 3))
         smax = jnp.where(need, -1.0, 1e-35)  # retire unneeded lanes instantly
-        sres = intersect_octree(
-            descriptors, octree_scale, sro, srd, smax, True, alpha_fn=alpha_fn
-        )
+        if traverse is not None:
+            sres = traverse(sro, srd, smax, True, alpha_fn)
+        else:
+            sres = intersect_octree(
+                descriptors, octree_scale, sro, srd, smax, True, alpha_fn=alpha_fn
+            )
         shadow = jnp.where(need, jnp.where(sres.t < 0, 1.0, 0.0), 1.0)
     else:
         shadow = jnp.ones(B, jnp.float32)
@@ -397,7 +400,35 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         return img.reshape(height, width, 4)
 
     combine = jax.jit(combine)
-    _pipeline_cache[key] = (raygen, trace, shade, combine)
+
+    # hit-lane compaction for the shade + shadow stages
+    hit_count = jax.jit(lambda t: jnp.sum(t != -1.0))
+    hit_order = jax.jit(lambda t: jnp.argsort(t == -1.0))
+    gather_lanes = jax.jit(
+        lambda idx, *arrays: tuple(
+            a[idx] if a.ndim == 1 else a[idx, :] for a in arrays
+        )
+    )
+
+    def combine_scatter(idx, rgb_k, alpha_k, hit, rd):
+        img = sky_color(rd)
+        shaded = jnp.concatenate([rgb_k, alpha_k[:, None]], axis=-1)
+        img = img.at[idx].set(jnp.where(hit[idx][:, None], shaded, img[idx]))
+        return img.reshape(height, width, 4)
+
+    combine_scatter = jax.jit(combine_scatter)
+
+    def finish_light(color_k, diffuse_k, specular_k, need_shadow_k, shadow_t_k,
+                     ambient):
+        shadow = jnp.where(need_shadow_k, jnp.where(shadow_t_k < 0, 1.0, 0.0), 1.0)
+        light = jnp.clip(ambient + (diffuse_k + specular_k) * shadow, 0.0, 1.0)
+        return color_k[:, :3] * light[:, None], color_k[:, 3]
+
+    finish_light = jax.jit(finish_light)
+
+    _pipeline_cache[key] = (raygen, trace, shade, combine, hit_count,
+                            hit_order, gather_lanes, combine_scatter,
+                            finish_light)
     return _pipeline_cache[key]
 
 
@@ -425,29 +456,42 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     mark.t0 = time.perf_counter()
 
     B = width * height
-    raygen, trace, shade, combine = _deferred_pipeline(
+    (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
+     combine_scatter, finish_light) = _deferred_pipeline(
         B, width, height, render_shadows, max_steps, rounds
     )
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
     res = trace(descriptors, octree_scale, ro, rd, jnp.float32(-1.0), mips, mat_tex)
     mark("primary", res.t)
-    (color, diffuse, specular, hit, need_shadow, shadow_ro, shadow_rd,
-     shadow_max) = shade(
-        (res.t, res.value, res.face_id, res.pos, res.uv, res.lod,
-         res.inside_voxel), ro, rd, mips, mat_params, mat_tex, cam_pos,
-        ambient, light_dir, shadow_distance, highlight_pos,
+
+    # compact shading + shadows to the hit lanes
+    n_hit = int(hit_count(res.t))
+    k = min(B, max(256, 1 << max(0, n_hit - 1).bit_length()))
+    idx = hit_order(res.t)[:k]
+    (t_k, value_k, face_k, pos_k, uv_k, lod_k, ro_k, rd_k) = gather_lanes(
+        idx, res.t, res.value, res.face_id, res.pos, res.uv, res.lod, ro, rd
     )
-    mark("shade", color)
+    mark("compact-hits", t_k)
+
+    (color_k, diffuse_k, specular_k, hit_k, need_shadow_k, shadow_ro_k,
+     shadow_rd_k, shadow_max_k) = shade(
+        (t_k, value_k, face_k, pos_k, uv_k, lod_k, None), ro_k, rd_k, mips,
+        mat_params, mat_tex, cam_pos, ambient, light_dir, shadow_distance,
+        highlight_pos,
+    )
+    mark("shade", color_k)
     if render_shadows:
-        sres = trace(descriptors, octree_scale, shadow_ro, shadow_rd,
-                     shadow_max, mips, mat_tex)
-        shadow_t = sres.t
-        mark("shadow", shadow_t)
+        sres = trace(descriptors, octree_scale, shadow_ro_k, shadow_rd_k,
+                     shadow_max_k, mips, mat_tex)
+        shadow_t_k = sres.t
+        mark("shadow", shadow_t_k)
     else:
-        shadow_t = jnp.full(B, -1.0, jnp.float32)
-    out = combine(color, diffuse, specular, hit, need_shadow, shadow_t, rd,
-                  ambient)
+        shadow_t_k = jnp.full(k, -1.0, jnp.float32)
+    rgb_k, alpha_k = finish_light(
+        color_k, diffuse_k, specular_k, need_shadow_k, shadow_t_k, ambient
+    )
+    out = combine_scatter(idx, rgb_k, alpha_k, res.t != -1.0, rd)
     mark("combine", out)
     return out
 
@@ -470,21 +514,27 @@ def render_frame(descriptors, octree_scale, mips, mat_params, mat_tex, *,
                  width: int, height: int, render_shadows: bool,
                  cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
                  ambient, light_dir, shadow_distance, highlight_pos,
-                 max_steps: int = 1000):
-    """One full frame as a single traced computation. Returns (H, W, 4)."""
+                 max_steps: int = 1000, traverse=None):
+    """One full frame as a single traced computation. Returns (H, W, 4).
+
+    ``traverse(ro, rd, max_dst, cast_translucent, alpha_fn)`` overrides the
+    traversal kernel (the CSVO format path passes its own)."""
     ro, rd = generate_rays(
         width, height, cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect
     )
     alpha_fn = make_alpha_fn(mips, mat_tex)
-    res = intersect_octree(
-        descriptors, octree_scale, ro, rd, -1.0, True, alpha_fn=alpha_fn,
-        max_steps=max_steps,
-    )
+    if traverse is not None:
+        res = traverse(ro, rd, -1.0, True, alpha_fn)
+    else:
+        res = intersect_octree(
+            descriptors, octree_scale, ro, rd, -1.0, True, alpha_fn=alpha_fn,
+            max_steps=max_steps,
+        )
     img = shade_hits(
         res, ro, rd, mips, mat_params, mat_tex,
         cam_pos=cam_pos, ambient=ambient, light_dir=light_dir,
         render_shadows=render_shadows, shadow_distance=shadow_distance,
         highlight_pos=highlight_pos, descriptors=descriptors,
-        octree_scale=octree_scale, alpha_fn=alpha_fn,
+        octree_scale=octree_scale, alpha_fn=alpha_fn, traverse=traverse,
     )
     return img.reshape(height, width, 4)
