@@ -300,38 +300,53 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
-        # segment 1: bounded burst at full width (most rays finish here)
-        seg1 = min(64, max_steps)
-        state, steps_total, acc, done = round_jit(
-            descriptors, consts, state, steps_total, acc, done, mips, mat_tex,
-            seg1,
-        )
-        inside_full = state.inside
-
-        count = int(unfinished_count(state, done))
-        if count > 0:
+        # progressive wavefront: 32-step segments; compact whenever the
+        # unfinished set at least halves. Results of compacted lanes scatter
+        # back through the (idx-chain composed) full-width arrays.
+        seg = 32
+        idx = None  # current lanes' indices into the full arrays
+        cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
+        width_now = n
+        budget = max_steps
+        segments = rounds + 3
+        for s_i in range(segments):
+            steps = seg if s_i < segments - 1 else budget
+            cur_state, steps_total, cur_acc, cur_done = round_jit(
+                descriptors, cur_consts, cur_state, steps_total, cur_acc,
+                cur_done, mips, mat_tex, min(steps, budget),
+            )
+            budget -= steps
+            count = int(unfinished_count(cur_state, cur_done))
+            if count == 0 or budget <= 0:
+                break
             bucket = max(256, 1 << (count - 1).bit_length())
-            if bucket < n:
-                idx = order_unfinished(state, done)[:bucket]
-                sub_consts, sub_state, sub_acc, sub_done = compact_jit(
-                    consts, state, acc, done, idx
+            if bucket <= width_now // 2:
+                sub_idx = order_unfinished(cur_state, cur_done)[:bucket]
+                new_consts, new_state, new_acc, new_done = compact_jit(
+                    cur_consts, cur_state, cur_acc, cur_done, sub_idx
                 )
-                for _ in range(rounds - 1):
-                    sub_state, steps_total, sub_acc, sub_done = round_jit(
-                        descriptors, sub_consts, sub_state, steps_total,
-                        sub_acc, sub_done, mips, mat_tex, max_steps,
+                # scatter current results into the parent before narrowing
+                if idx is None:
+                    acc, done, inside_full = (cur_acc, cur_done, cur_state.inside)
+                    idx = sub_idx
+                else:
+                    acc, done, inside_full = scatter_jit(
+                        acc, done, inside_full, idx, cur_acc, cur_done,
+                        cur_state.inside,
                     )
-                acc, done, inside_full = scatter_jit(
-                    acc, done, inside_full, idx, sub_acc, sub_done,
-                    sub_state.inside,
+                    idx = idx[sub_idx]
+                cur_consts, cur_state, cur_acc, cur_done = (
+                    new_consts, new_state, new_acc, new_done
                 )
-            else:
-                for _ in range(rounds - 1):
-                    state, steps_total, acc, done = round_jit(
-                        descriptors, consts, state, steps_total, acc, done,
-                        mips, mat_tex, max_steps,
-                    )
-                inside_full = state.inside
+                width_now = bucket
+
+        if idx is None:
+            acc, done, inside_full = cur_acc, cur_done, cur_state.inside
+        else:
+            acc, done, inside_full = scatter_jit(
+                acc, done, inside_full, idx, cur_acc, cur_done,
+                cur_state.inside,
+            )
 
         from .traversal import TraversalResult
 
