@@ -281,8 +281,13 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     unfinished_count = jax.jit(
         lambda state, done: jnp.sum(state.active | (state.hit & ~done))
     )
+    # cumsum-based compaction indices (argsort is far more expensive);
+    # fill_value 0 repeats a finished lane — harmless pad work
     order_unfinished = jax.jit(
-        lambda state, done: jnp.argsort(~(state.active | (state.hit & ~done)))
+        lambda state, done, size: jnp.nonzero(
+            state.active | (state.hit & ~done), size=size, fill_value=0
+        )[0],
+        static_argnums=(2,),
     )
 
     def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
@@ -302,13 +307,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
         # progressive wavefront: 32-step segments; compact whenever the
         # unfinished set at least halves. Results of compacted lanes scatter
-        # back through the (idx-chain composed) full-width arrays.
+        # back through the (idx-chain composed) full-width arrays. Count
+        # syncs are pipelined one segment behind (a stale count only ever
+        # overestimates — the unfinished set shrinks monotonically), so the
+        # 4-byte readback latency overlaps the next segment's compute.
         seg = 32
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
         budget = max_steps
         segments = rounds + 3
+        pending_count = None
         for s_i in range(segments):
             steps = seg if s_i < segments - 1 else budget
             cur_state, steps_total, cur_acc, cur_done = round_jit(
@@ -316,12 +325,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 cur_done, mips, mat_tex, min(steps, budget),
             )
             budget -= steps
-            count = int(unfinished_count(cur_state, cur_done))
+            new_count = unfinished_count(cur_state, cur_done)
+            if pending_count is None:
+                pending_count = new_count
+                continue  # decide next iteration with overlapped transfer
+            count = int(pending_count)
+            pending_count = new_count
             if count == 0 or budget <= 0:
                 break
             bucket = max(256, 1 << (count - 1).bit_length())
             if bucket <= width_now // 2:
-                sub_idx = order_unfinished(cur_state, cur_done)[:bucket]
+                sub_idx = order_unfinished(cur_state, cur_done, bucket)
                 new_consts, new_state, new_acc, new_done = compact_jit(
                     cur_consts, cur_state, cur_acc, cur_done, sub_idx
                 )
@@ -418,7 +432,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     # hit-lane compaction for the shade + shadow stages
     hit_count = jax.jit(lambda t: jnp.sum(t != -1.0))
-    hit_order = jax.jit(lambda t: jnp.argsort(t == -1.0))
+    hit_order = jax.jit(
+        lambda t, size: jnp.nonzero(t != -1.0, size=size, fill_value=0)[0],
+        static_argnums=(1,),
+    )
     gather_lanes = jax.jit(
         lambda idx, *arrays: tuple(
             a[idx] if a.ndim == 1 else a[idx, :] for a in arrays
@@ -483,7 +500,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     # compact shading + shadows to the hit lanes
     n_hit = int(hit_count(res.t))
     k = min(B, max(256, 1 << max(0, n_hit - 1).bit_length()))
-    idx = hit_order(res.t)[:k]
+    idx = hit_order(res.t, k)
     (t_k, value_k, face_k, pos_k, uv_k, lod_k, ro_k, rd_k) = gather_lanes(
         idx, res.t, res.value, res.face_id, res.pos, res.uv, res.lod, ro, rd
     )
