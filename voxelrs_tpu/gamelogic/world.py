@@ -211,6 +211,22 @@ class World:
         self.chunk_loader.add_loaded_chunk(chunk.pos, chunk.lod)
         self.world.set_chunk(chunk)
 
+    def reset_worldgen(self, cfg=None, seed: int = 1) -> None:
+        """Live worldgen reconfiguration: drop every chunk and regenerate with
+        the new config (the reference's world-gen debug window 'Generate'
+        button, reference: gamelogic/world.rs:285-374)."""
+        self.job_system.clear()
+        if cfg is not None:
+            self.world_generator_cfg = cfg
+        self.world_generator = GeneratorDriver(
+            self.job_system, worldgen.Generator(seed, self.world_generator_cfg),
+            self.slot_pool,
+        )
+        for pos in list(self.world.chunks.keys()):
+            self.world.remove_chunk(pos)
+        self.chunk_loader.loaded_chunks.clear()
+        self.chunk_loader.last_pos = None  # force reload next update
+
     # -- voxel edits (used by gameplay) ----------------------------------------
 
     def set_block(self, x: int, y: int, z: int, block: int) -> bool:
