@@ -307,17 +307,13 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
         # progressive wavefront: 32-step segments; compact whenever the
         # unfinished set at least halves. Results of compacted lanes scatter
-        # back through the (idx-chain composed) full-width arrays. Count
-        # syncs are pipelined one segment behind (a stale count only ever
-        # overestimates — the unfinished set shrinks monotonically), so the
-        # 4-byte readback latency overlaps the next segment's compute.
+        # back through the (idx-chain composed) full-width arrays.
         seg = 32
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
         budget = max_steps
         segments = rounds + 3
-        pending_count = None
         for s_i in range(segments):
             steps = seg if s_i < segments - 1 else budget
             cur_state, steps_total, cur_acc, cur_done = round_jit(
@@ -325,12 +321,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 cur_done, mips, mat_tex, min(steps, budget),
             )
             budget -= steps
-            new_count = unfinished_count(cur_state, cur_done)
-            if pending_count is None:
-                pending_count = new_count
-                continue  # decide next iteration with overlapped transfer
-            count = int(pending_count)
-            pending_count = new_count
+            count = int(unfinished_count(cur_state, cur_done))
             if count == 0 or budget <= 0:
                 break
             bucket = max(256, 1 << (count - 1).bit_length())
