@@ -308,7 +308,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         # progressive wavefront: 32-step segments; compact whenever the
         # unfinished set at least halves. Results of compacted lanes scatter
         # back through the (idx-chain composed) full-width arrays.
-        seg = 32
+        import os
+
+        seg = int(os.environ.get("VOXELRS_SEG", "32"))
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
