@@ -403,7 +403,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         spec_pow = jnp.maximum(mat_params[value, 0], 1e-6)
         specular = jnp.power(spec_dot, spec_pow) * mat_params[value, 1]
 
-        need_shadow = hit & (res.t < shadow_distance)
+        # a shadow only matters when it can darken something:
+        # light = ambient + (diffuse+specular)*shadow, so lanes with zero
+        # diffuse+specular are exact skips
+        need_shadow = hit & (res.t < shadow_distance) & (diffuse + specular > 0)
         shadow_ro = res.pos + normal * 0.001
         shadow_rd = jnp.broadcast_to(-light_dir, res.pos.shape)
         shadow_max = jnp.where(need_shadow, -1.0, 1e-35)
