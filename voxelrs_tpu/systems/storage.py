@@ -65,10 +65,12 @@ class MinecraftStorage:
     def load(self, pos: ChunkPos, lod: int) -> None:
         def produce() -> LoadResult:
             voxels = self.world.read_chunk_voxels(pos.x, pos.y, pos.z)
-            if voxels is None:
-                return LoadResult(pos, lod, None)
+            # Always a chunk (possibly empty) — the generator never runs for
+            # MC worlds (reference: storage.rs:157-158 returns Some(chunk)
+            # even when the area holds no blocks).
             chunk = Chunk(pos, lod, self.slot_pool.allocate())
-            chunk.voxels[:] = voxels
+            if voxels is not None:
+                chunk.voxels[:] = voxels
             return LoadResult(pos, lod, chunk)
 
         self.processor.enqueue(pos, False, produce)
