@@ -29,8 +29,8 @@ from voxelrs_tpu.gamelogic.game import Game, GameArgs  # noqa: E402
 
 # camera inside the MC world's dense terrain strip (engine chunks
 # x ~ [-36,-6], z ~ [48,65])
-CAM_POS = (-26 * 32 + 16.0, 40.0, 63 * 32 + 16.0)
-CAM_ROT = (-10.0, 160.0, 0.0)
+CAM_POS = (-26 * 32 + 16.0, 102.0, 62 * 32 + 24.0)
+CAM_ROT = (-18.0, 90.0, 0.0)
 
 
 def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
