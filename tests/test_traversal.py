@@ -338,3 +338,39 @@ def test_high_coordinate_epsilon():
     r = trace(buf, scale, [base - 30, base + 16.5, base + 16.5], [1, 0, 0])
     assert int(r.value[0]) == 9
     assert float(r.t[0]) == pytest.approx(46.0, abs=1e-2)
+
+
+def test_step_trace_exact_sequence():
+    """Exact frame-by-frame traversal record for a known ray (the reference
+    asserts whole step stacks the same way, svo_shader_tests.rs:293-334).
+
+    World: single chunk (depth-6 SVO), one voxel at (5,5,5); ray from
+    (-10, 5.5, 5.5) along +x enters the cube at t=10 and hits at t=15.
+    """
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[5, 5, 5] = 1
+    buf, scale, _ = build_svo({(0, 0, 0): vox})
+    r = trace(buf, scale, [-10, 5.5, 5.5], [1, 0, 0],
+              record_trace=True, max_steps=64)
+    n = int(r.trace["n"][0])
+    got = {
+        k: [int(v) for v in np.asarray(r.trace[k][0][:n])]
+        for k in ("ptr", "idx", "parent_idx", "scale", "is_child", "is_leaf")
+    }
+    ts = [round(float(v), 4) for v in np.asarray(r.trace["t"][0][:n])]
+
+    # PUSH x3 from the preamble through root + upper levels (t stays 10),
+    # one ADVANCE at scale 19 (idx 6 empty -> idx 7), PUSH, ADVANCE at 17,
+    # then the leaf hit at t=15.
+    assert ts == [10.0, 10.0, 10.0, 10.0, 14.0, 14.0, 14.0, 15.0]
+    assert got["scale"] == [22, 21, 20, 19, 19, 18, 17, 17]
+    assert got["idx"] == [0, 0, 0, 6, 7, 0, 6, 7]
+    assert got["is_child"] == [1, 1, 1, 0, 1, 1, 0, 1]
+    assert got["is_leaf"] == [0, 0, 0, 0, 0, 0, 0, 1]
+    # ptr chain: preamble block 0 -> root block after the 60-word chunk blob
+    # (12 + 60 = 72) -> chunk blocks 12, 24, 24, 36, 48, 48
+    assert got["ptr"] == [0, 72, 12, 24, 24, 36, 48, 48]
+    assert got["parent_idx"] == [0, 0, 0, 0, 0, 7, 0, 0]
+    # final result consistent with the trace
+    assert float(r.t[0]) == pytest.approx(15.0, abs=1e-4)
+    assert int(r.value[0]) == 1
