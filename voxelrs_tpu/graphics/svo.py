@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.shading import FACE_NORMALS, make_alpha_fn, render_frame
+from ..ops.shading import FACE_NORMALS, render_frame
 from ..ops.traversal import intersect_octree
 from .picker import PickerBatch, PickerBatchResult
 

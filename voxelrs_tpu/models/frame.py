@@ -10,18 +10,16 @@ program with no host round-trips.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..gamelogic.content import new_registry
-from ..ops.shading import FACE_NORMALS, make_alpha_fn, render_frame
+from ..ops.shading import FACE_NORMALS, render_frame
 from ..ops.traversal import intersect_octree
 from ..world import ChunkPos, Position
-from ..world.esvo import PREAMBLE_LENGTH_IN_U32, Esvo, SerializedChunk
+from ..world.esvo import Esvo, SerializedChunk
 
 
 class FrameOutput(NamedTuple):

@@ -15,7 +15,7 @@ the same tradeoff reversed on GPUs, where bandwidth beats latency).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,11 +12,10 @@ chip's HBM.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.shading import make_alpha_fn, render_frame
+from ..ops.shading import render_frame
 
 
 def make_ray_mesh(devices=None) -> Mesh:
