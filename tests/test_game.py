@@ -73,3 +73,11 @@ def test_block_place_roundtrip(game):
     assert game.world.world.get_block(100, 50, 100) == content.STONE
     # placing AIR outside loaded chunks is a no-op
     assert not game.world.set_block(5000, 50, 5000, content.AIR)
+
+
+def test_debug_stats(game):
+    stats = game.debug_stats()
+    assert stats["chunks_loaded"] > 0
+    assert stats["svo"]["used_bytes"] > 0
+    assert stats["chunk_slot_pool"]["allocated"] > 0
+    assert isinstance(stats["player"]["position"], list)

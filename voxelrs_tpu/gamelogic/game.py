@@ -136,6 +136,35 @@ class Game:
             frame += 1
         return False
 
+    def debug_stats(self) -> dict:
+        """Live engine stats (the reference's imgui debug windows —
+        fps/jobs/memory plots, chunk + SVO byte counts — as a dict;
+        reference: game.rs:196-326)."""
+        m = benchmark.collect()
+        svo_stats = self.world.world_svo.get_stats()
+        return {
+            "fps": m["fps"],
+            "frame_time_ms": m["frame_time_ms"],
+            "jobs_pending": self.job_system.len(),
+            "chunks_loaded": len(self.world.world.chunks),
+            "chunks_borrowed": len(self.world.world._borrowed),
+            "chunk_slot_pool": {
+                "used": self.world.slot_pool.used_count(),
+                "allocated": self.world.slot_pool.allocated_count(),
+                "bytes": self.world.slot_pool.allocated_bytes(),
+            },
+            "svo": {
+                "used_bytes": svo_stats.used_bytes,
+                "capacity_bytes": svo_stats.capacity_bytes,
+                "depth": svo_stats.depth,
+            },
+            "player": {
+                "position": [float(v) for v in self.player.position],
+                "grounded": self.player.state.is_grounded,
+                "flying": self.player.caps.flying,
+            },
+        }
+
     def shutdown(self) -> None:
         self.job_system.clear()
         self.job_system.wait_until_processed(10)
