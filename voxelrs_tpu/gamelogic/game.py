@@ -40,6 +40,12 @@ class GameArgs:
     benchmark_mode: bool = False
     texture_dir: Optional[str] = None
     workers: int = max(1, (os.cpu_count() or 2) - 1)
+    # Catch-up bound for the fixed-step accumulator. The reference clamps the
+    # accumulator to 1 s (= 250 steps, game.rs:130) — fine when a physics
+    # step costs microseconds, pathological when every picker raycast rides
+    # a ~50 ms device tunnel. 8 steps keeps physics exact per-step while
+    # bounding per-frame catch-up work.
+    max_physics_steps_per_frame: int = 8
 
 
 class Game:
@@ -98,8 +104,9 @@ class Game:
         self.input.clear_frame()
 
         # fixed-timestep physics at 250 Hz (reference: game.rs:91,106-139)
-        self._accumulator = min(self._accumulator + dt, 1.0)
         fixed_dt = 1.0 / PHYSICS_HZ
+        cap = self.args.max_physics_steps_per_frame * fixed_dt
+        self._accumulator = min(self._accumulator + dt, cap)
         while self._accumulator >= fixed_dt:
             self.world.update_fixed(self.player, fixed_dt)
             self._accumulator -= fixed_dt
