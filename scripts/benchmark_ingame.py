@@ -54,6 +54,11 @@ def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
             )
         )
         loaded = game.wait_for_world(timeout=600)
+        for _ in range(2):  # absorb compiles/one-time upload costs
+            img = game.step_frame(render=True, width=width, height=height)
+            img.block_until_ready()
+            _ = float(np.asarray(img[0, 0, 0]))
+        benchmark.reset_fps()
         t_end = time.time() + sample_s
         frames = 0
         while time.time() < t_end:
@@ -62,6 +67,7 @@ def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
             img.block_until_ready()
             _ = float(np.asarray(img[0, 0, 0]))
             dt = time.time() - t0
+            print(f"  frame {frames}: {dt*1e3:.0f} ms", flush=True)
             benchmark.push_frame(1.0 / dt, dt * 1e3)
             frames += 1
         m = benchmark.collect()
