@@ -305,19 +305,23 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
-        # progressive wavefront: 32-step segments; compact whenever the
-        # unfinished set at least halves. Results of compacted lanes scatter
-        # back through the (idx-chain composed) full-width arrays.
+        # progressive wavefront: geometric segment schedule (32, 32, 64, 128,
+        # 256, ... until max_steps is covered) with a compaction opportunity
+        # after EVERY segment — straggler rays (horizon grazers in deep
+        # worlds take many hundreds of steps) keep shrinking the working set
+        # instead of riding a single long final segment at full width.
         import os
 
-        seg = int(os.environ.get("VOXELRS_SEG", "32"))
+        seg0 = int(os.environ.get("VOXELRS_SEG", "32"))
+        schedule = [seg0, seg0]
+        while sum(schedule) < max_steps:
+            schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
+
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
         budget = max_steps
-        segments = rounds + 3
-        for s_i in range(segments):
-            steps = seg if s_i < segments - 1 else budget
+        for steps in schedule:
             cur_state, steps_total, cur_acc, cur_done = round_jit(
                 descriptors, cur_consts, cur_state, steps_total, cur_acc,
                 cur_done, mips, mat_tex, min(steps, budget),
