@@ -63,13 +63,17 @@ class Svo:
     def __init__(self, registry, capacity_mb: float = 64.0, buffer_dtype=np.uint32):
         self.mips, self.mat_params, self.mat_tex = registry.build()
         self.buffer_dtype = np.dtype(buffer_dtype)
+        # The host mirror is allocated at full capacity; the DEVICE buffer is
+        # sized to the live world and grows on demand — gather cost on TPU
+        # scales with the gather table size, so a right-sized buffer traces
+        # several times faster than a mostly-empty full-capacity one.
         if self.buffer_dtype == np.uint32:
-            # ESVO: u32 host mirror + identical device array (12-aligned rows)
+            # ESVO: u32 host mirror + device array of 12-aligned rows
             capacity = int(capacity_mb * 1_000_000) // 4
             capacity -= capacity % 12
             self.capacity_u32 = capacity
-            self.device_buf = jnp.zeros(capacity, jnp.uint32)
             self.host_buf = np.zeros(capacity, np.uint32)
+            self.device_buf = jnp.zeros(12, jnp.uint32)
         else:
             # CSVO: byte host mirror ([root_ptr u32][node bytes...]); the
             # device holds the node bytes as u32 words (byte pointers are
@@ -77,8 +81,8 @@ class Svo:
             capacity = int(capacity_mb * 1_000_000)
             capacity -= capacity % 4
             self.capacity_u32 = capacity  # capacity in host elements (bytes)
-            self.device_buf = jnp.zeros((capacity - 4) // 4, jnp.uint32)
             self.host_buf = np.zeros(capacity, np.uint8)
+            self.device_buf = jnp.zeros(12, jnp.uint32)
         self.root_ptr = 0
         self.octree_scale = np.float32(1.0)
         self.depth = 0
@@ -90,6 +94,19 @@ class Svo:
 
     # -- world upload ---------------------------------------------------------
 
+    def _grow_device(self, needed_words: int, elems_per_word: int = 1) -> bool:
+        """Ensure the device buffer holds ``needed_words`` u32 words; sized
+        to the next power of two with 1.5x headroom (12-aligned), grow-only.
+        Returns True when a fresh buffer was allocated (full re-upload
+        required)."""
+        cur = self.device_buf.shape[0]
+        if needed_words <= cur:
+            return False
+        target = 1 << int(np.ceil(np.log2(max(needed_words * 3 // 2, 1 << 16))))
+        target -= target % 12
+        self.device_buf = jnp.zeros(target, jnp.uint32)
+        return True
+
     def update(self, world_svo) -> None:
         """Apply the serializer's changed ranges to the device buffer
         (reference: svo.rs:171-189)."""
@@ -98,13 +115,24 @@ class Svo:
 
         ranges = world_svo.write_changes_to(self.host_buf, reset=True)
         if self.buffer_dtype == np.uint32:
+            from ..world.esvo import PREAMBLE_LENGTH_IN_U32
+
+            needed = world_svo.size_in_u32() + PREAMBLE_LENGTH_IN_U32
+            if self._grow_device(needed, elems_per_word=1):
+                ranges = [(0, needed)]  # fresh buffer: full upload
             for start, length in ranges:
-                b = min(_bucket(length), self.capacity_u32 - start)
+                b = min(_bucket(length), self.device_buf.shape[0] - start,
+                        len(self.host_buf) - start)
+                if b <= 0:
+                    continue
                 chunk = jnp.asarray(self.host_buf[start : start + b])
                 self.device_buf = _apply_range(self.device_buf, chunk, start, b)
         else:
             # byte ranges -> word ranges of the post-prefix stream
             self.root_ptr = int.from_bytes(bytes(self.host_buf[:4]), "little")
+            needed_words = (world_svo.size_in_bytes() + 3) // 4 + 1
+            if self._grow_device(needed_words, elems_per_word=1):
+                ranges = [(4, needed_words * 4)]
             n_words = self.device_buf.shape[0]
             for start, length in ranges:
                 ws = max(0, (start - 4) // 4)

@@ -317,6 +317,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         while sum(schedule) < max_steps:
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
 
+        timing = os.environ.get("VOXELRS_TIMING") == "1"
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
@@ -328,6 +329,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             )
             budget -= steps
             count = int(unfinished_count(cur_state, cur_done))
+            if timing:
+                print(f"    seg len={steps} width={width_now} unfinished={count}",
+                      flush=True)
             if count == 0 or budget <= 0:
                 break
             bucket = max(256, 1 << (count - 1).bit_length())
