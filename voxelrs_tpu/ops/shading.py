@@ -183,6 +183,18 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
 _pipeline_cache: dict = {}
 
 
+def _bucket_size(count: int) -> int:
+    """Smallest size from the {2^k, 1.5*2^k} ladder covering ``count`` —
+    finer than pure powers of two so compaction triggers more often, while
+    keeping the set of compiled shapes small."""
+    if count <= 256:
+        return 256
+    p = 1 << (count - 1).bit_length()  # next pow2
+    if count <= (p * 3) // 4:
+        return (p * 3) // 4
+    return p
+
+
 def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                        max_steps: int, rounds: int):
     """Build (raygen, trace, shade, combine) jitted stages for a pixel count."""
@@ -334,8 +346,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                       flush=True)
             if count == 0 or budget <= 0:
                 break
-            bucket = max(256, 1 << (count - 1).bit_length())
-            if bucket <= width_now // 2:
+            bucket = _bucket_size(count)
+            if bucket <= width_now * 3 // 4:
                 sub_idx = order_unfinished(cur_state, cur_done, bucket)
                 new_consts, new_state, new_acc, new_done = compact_jit(
                     cur_consts, cur_state, cur_acc, cur_done, sub_idx
@@ -503,7 +515,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
 
     # compact shading + shadows to the hit lanes
     n_hit = int(hit_count(res.t))
-    k = min(B, max(256, 1 << max(0, n_hit - 1).bit_length()))
+    k = min(B, _bucket_size(n_hit))
     idx = hit_order(res.t, k)
     (t_k, value_k, face_k, pos_k, uv_k, lod_k, ro_k, rd_k) = gather_lanes(
         idx, res.t, res.value, res.face_id, res.pos, res.uv, res.lod, ro, rd
