@@ -256,7 +256,13 @@ class World:
             selected_voxel=self.selected_voxel,
         )
 
-    def render(self, width: int, height: int, max_steps: int = 1000):
-        return self.world_svo.render(
+    def render(self, width: int, height: int, max_steps: int = 1000,
+               crosshair: bool = False):
+        img = self.world_svo.render(
             self.render_params(width / height), width, height, max_steps
         )
+        if crosshair:
+            from ..ops.shading import crosshair_overlay
+
+            img = crosshair_overlay(img)
+        return img

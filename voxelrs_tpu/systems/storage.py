@@ -56,8 +56,15 @@ class MinecraftStorage:
 
     def __init__(self, job_system: JobSystem, path: str,
                  slot_pool: ChunkSlotPool | None = None):
+        import os
+
         from ..utils.mcanvil import AnvilWorld
 
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"--mc-world path {path!r} is not a directory; expected a "
+                "Minecraft Anvil world folder containing r.X.Z.mca files"
+            )
         self.world = AnvilWorld(path)
         self.processor: ChunkProcessor[LoadResult] = ChunkProcessor(job_system)
         self.slot_pool = slot_pool or ChunkSlotPool()
