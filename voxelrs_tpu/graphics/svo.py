@@ -95,16 +95,22 @@ class Svo:
     # -- world upload ---------------------------------------------------------
 
     def _grow_device(self, needed_words: int, elems_per_word: int = 1) -> bool:
-        """Ensure the device buffer holds ``needed_words`` u32 words; sized
-        to the next power of two with 1.5x headroom (12-aligned), grow-only.
-        Returns True when a fresh buffer was allocated (full re-upload
-        required)."""
+        """Ensure the device buffer holds ``needed_words`` u32 words, sized
+        on a {2^k, 1.5*2^k} ladder of 108-word fat rows (grow-only).
+
+        Gather cost on this TPU is tiered by table ROW count (fast below
+        ~32K rows, scripts/gather_probe.py), so the traversal's fat-row view
+        (buffer/108) must stay as small as the world allows — tight ~5%
+        headroom beats the old 1.5x-pow2 sizing, which pushed mid-size
+        worlds over the cliff. Returns True when a fresh buffer was
+        allocated (full re-upload required)."""
         cur = self.device_buf.shape[0]
         if needed_words <= cur:
             return False
-        target = 1 << int(np.ceil(np.log2(max(needed_words * 3 // 2, 1 << 16))))
-        target -= target % 12
-        self.device_buf = jnp.zeros(target, jnp.uint32)
+        rows = max((needed_words * 21 // 20) // 108 + 1, 1024)
+        p = 1 << (rows - 1).bit_length()
+        bucket = p if rows > (p * 3) // 4 else (p * 3) // 4
+        self.device_buf = jnp.zeros(bucket * 108, jnp.uint32)
         return True
 
     def update(self, world_svo) -> None:

@@ -204,11 +204,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     from .traversal import (
         _NO_VALUE,
+        _make_fat_rows,
         _make_rows,
         finalize,
-        init_state,
+        init_state_push,
         make_ray_consts,
-        run_loop,
+        run_loop_push,
     )
 
     raygen = jax.jit(
@@ -219,16 +220,22 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     start = jax.jit(
         lambda scale, ro, rd, max_dst: (
-            lambda c: (c, init_state(c))
+            lambda c: (c, init_state_push(c))
         )(make_ray_consts(scale, ro, rd, max_dst))
     )
+
+    import os as _os
+
+    _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
 
     def round_body(descriptors, consts, state, steps_total, acc, done,
                    mips, mat_tex, seg_steps):
         """One deferred round: run the loop to the next leaf hits, judge
         texel alpha + adjacency, record accepted hits, resume the rest."""
         rows = _make_rows(descriptors)
-        steps, state = run_loop(rows, consts, state, seg_steps, 4, False, None)
+        fat_rows = _make_fat_rows(descriptors)
+        steps, state = run_loop_push(fat_rows, consts, state, seg_steps,
+                                     _substeps)
         steps_total = steps_total + steps
 
         res = finalize(rows, consts, state, steps_total)
@@ -324,7 +331,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         # instead of riding a single long final segment at full width.
         import os
 
-        seg0 = int(os.environ.get("VOXELRS_SEG", "32"))
+        # segments are push-engine ITERATIONS (one fetch + 3 substeps each,
+        # i.e. up to ~2-3 reference steps of progress per iteration)
+        seg0 = int(os.environ.get("VOXELRS_SEG", "12"))
         schedule = [seg0, seg0]
         while sum(schedule) < max_steps:
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))

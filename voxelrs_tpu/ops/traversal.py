@@ -427,6 +427,276 @@ def traversal_step(rows, c: RayConsts, s: State, cast_translucent: bool,
     )
 
 
+# ---------------------------------------------------------------------------
+# Push-driven traversal engine (the fast path for opaque/deferred casts).
+#
+# Measured on v5e (scripts/gather_probe.py): XLA's in-loop gather cost is per
+# ROW, nearly independent of row width up to 108 u32 (4.0 ms/M fetches for
+# tables <= 32K rows, 12.1 ms/M above). The classic loop pays one row gather
+# per traversal step; but only PUSH steps actually need memory:
+#   - ADVANCE stays inside the same node -> descriptor already known;
+#   - POP returns to an ancestor -> its (descriptor, child pointer) pair can
+#     be restored from a one-hot stack (sound because the Laine-Karras `h`
+#     stack-write elision only skips writes whose values would be identical,
+#     and (desc, child_ptr) are a function of the node identity in pp);
+#   - PUSH descends into an unvisited block -> must fetch.
+# So the loop carries two extra per-ray registers (desc, child_ptr), fetches
+# only to serve pending pushes, and runs SUBSTEPS fetch-free vector steps per
+# fetch. The SVO buffer is additionally viewed as (N/108, 108) "fat rows"
+# (9 blocks per row) so the per-iteration gather rides the cheap wide-row
+# path and the table row count stays under the 32K fast-tier cliff.
+# ---------------------------------------------------------------------------
+
+FAT_BLOCKS = 9  # blocks per fat row; 9*12 = 108 words (widest free fetch)
+FAT_WIDTH = FAT_BLOCKS * 12
+
+
+class PushState(NamedTuple):
+    """State plus cached node registers for the push-driven engine."""
+
+    active: jnp.ndarray
+    hit: jnp.ndarray
+    inside: jnp.ndarray
+    pp: jnp.ndarray
+    idx: jnp.ndarray
+    scale: jnp.ndarray
+    posx: jnp.ndarray
+    posy: jnp.ndarray
+    posz: jnp.ndarray
+    t_min: jnp.ndarray
+    t_max: jnp.ndarray
+    h: jnp.ndarray
+    adj_last: jnp.ndarray
+    missed: jnp.ndarray
+    suppress: jnp.ndarray
+    stack_pp: jnp.ndarray
+    stack_tmax: jnp.ndarray
+    desc: jnp.ndarray  # (B,) u32: current node's u16 descriptor
+    child_ptr: jnp.ndarray  # (B,) u32: resolved pointer to current node's block
+    need_fetch: jnp.ndarray  # (B,) bool: desc/child_ptr stale (pending push)
+    stack_desc: jnp.ndarray
+    stack_cptr: jnp.ndarray
+
+
+def _make_fat_rows(descriptors):
+    n = descriptors.shape[0]
+    n_rows = -(-n // FAT_WIDTH)
+    pad = n_rows * FAT_WIDTH - n
+    if pad:
+        descriptors = jnp.pad(descriptors, (0, pad))
+    return descriptors.reshape(n_rows, FAT_WIDTH)
+
+
+def _gather_block(fat_rows, ptr):
+    """Fetch the 12-word block at word-address ``ptr`` from the fat-row view:
+    one wide row gather + a 9-way select on the block's position in the row."""
+    blk = (ptr // 12).astype(i32)
+    r = jnp.clip(blk // FAT_BLOCKS, 0, fat_rows.shape[0] - 1)
+    m = blk % FAT_BLOCKS
+    fat = fat_rows[r]  # (B, 108)
+    out = fat[:, 0:12]
+    for k in range(1, FAT_BLOCKS):
+        out = jnp.where((m == k)[:, None], fat[:, 12 * k : 12 * k + 12], out)
+    return out
+
+
+def init_state_push(c: RayConsts) -> PushState:
+    s = init_state(c)
+    B = c.rox.shape[0]
+    return PushState(
+        *s,
+        desc=jnp.zeros(B, u32),
+        child_ptr=jnp.zeros(B, u32),
+        need_fetch=jnp.ones(B, bool),  # first fetch loads the root registers
+        stack_desc=jnp.zeros((STACK_HEIGHT, B), u32),
+        stack_cptr=jnp.zeros((STACK_HEIGHT, B), u32),
+    )
+
+
+def fetch_phase(fat_rows, s: PushState) -> PushState:
+    """Serve pending pushes: load the pushed-into node's descriptor and its
+    resolved child pointer (one wide gather; non-fetching lanes keep theirs)."""
+    ptr = s.pp & PTR_MASK
+    pidx = (s.pp >> PTR_BITS).astype(i32)
+    blk = _gather_block(fat_rows, ptr)
+    raw_desc = _row_word(blk, pidx // 2)
+    desc_new = jnp.where(pidx % 2 != 0, raw_desc >> jnp.uint32(16), raw_desc)
+    desc_new = desc_new & jnp.uint32(0xFFFF)
+    cptr_new = _resolve_ptr(_row_word(blk, 4 + pidx), ptr, pidx.astype(u32))
+    take = s.need_fetch
+    return s._replace(
+        desc=jnp.where(take, desc_new, s.desc),
+        child_ptr=jnp.where(take, cptr_new, s.child_ptr),
+        need_fetch=jnp.zeros_like(s.need_fetch),
+    )
+
+
+def substep(c: RayConsts, s: PushState) -> PushState:
+    """One fetch-free traversal step (opaque/deferred semantics: the loop
+    stops at every leaf). Lanes awaiting a fetch stall; POP restores the node
+    registers from the stacks. Mirrors ``traversal_step`` exactly otherwise."""
+    B = s.active.shape[0]
+    stack_base = MAX_SCALE - STACK_HEIGHT
+
+    scale_exp2 = _exp2_scale(s.scale)
+    adj_count = (s.adj_last >> 24).astype(i32)
+    last_value = s.adj_last & _NO_VALUE
+
+    # distance-limit early out (state-only; applies to stalled lanes too)
+    active = s.active & ~((c.max_dst >= 0) & (s.t_min > c.max_dst))
+    runnable = active & ~s.need_fetch
+
+    tcox = s.posx * c.tcx - c.tbx
+    tcoy = s.posy * c.tcy - c.tby
+    tcoz = s.posz * c.tcz - c.tbz
+    tc_max = jnp.minimum(jnp.minimum(tcox, tcoy), tcoz)
+
+    octant_idx = (s.idx ^ c.octant_mask).astype(u32)
+    bit = (jnp.uint32(1) << octant_idx).astype(u32)
+    is_child = (s.desc & (bit << jnp.uint32(8))) != 0
+    is_leaf = (s.desc & bit) != 0
+
+    hit_branch = is_child & (s.t_min <= s.t_max)
+    inside = s.inside | (runnable & hit_branch & is_leaf & (s.t_min == 0))
+
+    # HIT: deferred semantics — stop at every leaf except a freshly resumed
+    # lane, which passes its already-judged leaf once
+    leaf_hit = runnable & hit_branch & is_leaf & (s.t_min > 0)
+    accept = leaf_hit & ~s.suppress
+    suppress = s.suppress & ~leaf_hit
+
+    miss = runnable & ~hit_branch
+    adj_count = jnp.where(miss, 0, adj_count)
+    last_value = jnp.where(miss, _NO_VALUE, last_value)
+    adj_last = (adj_count.astype(u32) << 24) | last_value
+    missed = s.missed | miss
+
+    hit = s.hit | accept
+    active = active & ~accept
+    runnable = runnable & ~accept
+
+    # ---- PUSH ------------------------------------------------------------
+    half_scale = scale_exp2 * 0.5
+    t_center_x = half_scale * c.tcx + tcox
+    t_center_y = half_scale * c.tcy + tcoy
+    t_center_z = half_scale * c.tcz + tcoz
+    tv_max = jnp.minimum(s.t_max, tc_max)
+
+    want_push = (
+        runnable & hit_branch & ~(is_leaf & (s.t_min > 0)) & (s.t_min <= tv_max)
+    )
+
+    slot = s.scale - stack_base
+    lv = jnp.arange(STACK_HEIGHT, dtype=i32)[:, None] == slot[None, :]
+    do_store = (want_push & (tc_max < s.h))[None, :] & lv
+    stack_pp = jnp.where(do_store, s.pp[None, :], s.stack_pp)
+    stack_tmax = jnp.where(do_store, s.t_max[None, :], s.stack_tmax)
+    stack_desc = jnp.where(do_store, s.desc[None, :], s.stack_desc)
+    stack_cptr = jnp.where(do_store, s.child_ptr[None, :], s.stack_cptr)
+    h_new = jnp.where(want_push, tc_max, s.h)
+
+    push_pp = (s.child_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
+    push_scale = s.scale - 1
+
+    pin_x = s.t_min < t_center_x
+    pin_y = s.t_min < t_center_y
+    pin_z = s.t_min < t_center_z
+    push_idx = pin_x.astype(i32) | (pin_y.astype(i32) << 1) | (pin_z.astype(i32) << 2)
+    push_posx = s.posx + jnp.where(pin_x, half_scale, 0.0)
+    push_posy = s.posy + jnp.where(pin_y, half_scale, 0.0)
+    push_posz = s.posz + jnp.where(pin_z, half_scale, 0.0)
+
+    # ---- ADVANCE -----------------------------------------------------------
+    advance = runnable & ~want_push
+
+    step_x = tc_max >= tcox
+    step_y = tc_max >= tcoy
+    step_z = tc_max >= tcoz
+    step_mask = step_x.astype(i32) | (step_y.astype(i32) << 1) | (step_z.astype(i32) << 2)
+    adv_posx = s.posx - jnp.where(step_x, scale_exp2, 0.0)
+    adv_posy = s.posy - jnp.where(step_y, scale_exp2, 0.0)
+    adv_posz = s.posz - jnp.where(step_z, scale_exp2, 0.0)
+    adv_idx = s.idx ^ step_mask
+
+    # ---- POP (fetch-free: node registers restored from the stacks) --------
+    need_pop = advance & ((adv_idx & step_mask) != 0)
+
+    db = jnp.zeros(B, u32)
+    db = jnp.where(step_x, db | (f32_bits(adv_posx) ^ f32_bits(adv_posx + scale_exp2)), db)
+    db = jnp.where(step_y, db | (f32_bits(adv_posy) ^ f32_bits(adv_posy + scale_exp2)), db)
+    db = jnp.where(step_z, db | (f32_bits(adv_posz) ^ f32_bits(adv_posz + scale_exp2)), db)
+    pop_scale = find_msb(db)
+
+    exited = need_pop & (pop_scale >= MAX_SCALE)
+    active = active & ~exited
+    do_pop = need_pop & ~exited
+
+    pop_slot = jnp.clip(pop_scale - stack_base, 0, STACK_HEIGHT - 1)
+    pop_lv = jnp.arange(STACK_HEIGHT, dtype=i32)[:, None] == pop_slot[None, :]
+    pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
+    pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
+    pop_desc = jnp.where(pop_lv, stack_desc, 0).sum(axis=0).astype(u32)
+    pop_cptr = jnp.where(pop_lv, stack_cptr, 0).sum(axis=0).astype(u32)
+
+    sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
+    shx = f32_bits(adv_posx) >> sc
+    shy = f32_bits(adv_posy) >> sc
+    shz = f32_bits(adv_posz) >> sc
+    pop_posx = jax.lax.bitcast_convert_type(shx << sc, f32)
+    pop_posy = jax.lax.bitcast_convert_type(shy << sc, f32)
+    pop_posz = jax.lax.bitcast_convert_type(shz << sc, f32)
+    pop_idx = ((shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)).astype(i32)
+
+    def sel(push_v, pop_v, adv_v, old_v):
+        v = jnp.where(want_push, push_v, old_v)
+        v = jnp.where(advance, adv_v, v)
+        v = jnp.where(do_pop, pop_v, v)
+        return v
+
+    return PushState(
+        active=active,
+        hit=hit,
+        inside=inside,
+        pp=sel(push_pp, pop_pp, s.pp, s.pp),
+        idx=sel(push_idx, pop_idx, adv_idx, s.idx),
+        scale=sel(push_scale, pop_scale, s.scale, s.scale),
+        posx=sel(push_posx, pop_posx, adv_posx, s.posx),
+        posy=sel(push_posy, pop_posy, adv_posy, s.posy),
+        posz=sel(push_posz, pop_posz, adv_posz, s.posz),
+        t_min=jnp.where(advance, tc_max, s.t_min),
+        t_max=sel(tv_max, pop_t_max, s.t_max, s.t_max),
+        h=jnp.where(do_pop, 0.0, h_new),
+        adj_last=adj_last,
+        missed=missed,
+        suppress=suppress,
+        stack_pp=stack_pp,
+        stack_tmax=stack_tmax,
+        desc=jnp.where(do_pop, pop_desc, s.desc),
+        child_ptr=jnp.where(do_pop, pop_cptr, s.child_ptr),
+        need_fetch=s.need_fetch | want_push,
+        stack_desc=stack_desc,
+        stack_cptr=stack_cptr,
+    )
+
+
+def run_loop_push(fat_rows, c: RayConsts, state: PushState, max_iters: int,
+                  substeps: int) -> tuple[jnp.ndarray, PushState]:
+    """Iterate (fetch, SUBSTEPS x substep) until all rays retire."""
+
+    def cond(carry):
+        it, s = carry
+        return (it < max_iters) & jnp.any(s.active)
+
+    def body(carry):
+        it, s = carry
+        s = fetch_phase(fat_rows, s)
+        for _ in range(substeps):
+            s = substep(c, s)
+        return it + 1, s
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+
+
 def run_loop(rows, c: RayConsts, state: State, max_steps: int, unroll: int,
              cast_translucent: bool, alpha_fn) -> tuple[jnp.ndarray, State]:
     def cond(carry):
@@ -501,16 +771,24 @@ def intersect_octree(
     if row_pad > 12:
         rows = jnp.pad(rows, ((0, 0), (0, row_pad - 12)))
     c = make_ray_consts(octree_scale, ro, rd, max_dst)
-    state = init_state(c)
 
     if record_trace:
-        return _traced_traversal(rows, c, state, max_steps,
+        return _traced_traversal(rows, c, init_state(c), max_steps,
                                  cast_translucent, alpha_fn)
 
-    steps_used, state = run_loop(
-        rows, c, state, max_steps, unroll, cast_translucent, alpha_fn
-    )
-    return finalize(rows, c, state, steps_used)
+    if cast_translucent and alpha_fn is not None:
+        # in-loop alpha judging needs texture reads every step: classic loop
+        state = init_state(c)
+        steps_used, state = run_loop(
+            rows, c, state, max_steps, unroll, cast_translucent, alpha_fn
+        )
+        return finalize(rows, c, state, steps_used)
+
+    # opaque: push-driven engine (fetch only on PUSH)
+    fat_rows = _make_fat_rows(descriptors)
+    pstate = init_state_push(c)
+    iters, pstate = run_loop_push(fat_rows, c, pstate, max_steps, 3)
+    return finalize(rows, c, pstate, iters)
 
 
 def intersect_octree_deferred(
@@ -534,8 +812,9 @@ def intersect_octree_deferred(
     same TraversalResult.
     """
     rows = _make_rows(descriptors)
+    fat_rows = _make_fat_rows(descriptors)
     c = make_ray_consts(octree_scale, ro, rd, max_dst)
-    state = init_state(c)
+    state = init_state_push(c)
     B = ro.shape[0]
 
     done = jnp.zeros(B, bool)
@@ -548,7 +827,7 @@ def intersect_octree_deferred(
     steps_total = jnp.int32(0)
 
     for _ in range(rounds):
-        steps, state = run_loop(rows, c, state, max_steps, unroll, False, None)
+        steps, state = run_loop_push(fat_rows, c, state, max_steps, 3)
         steps_total = steps_total + steps
 
         res = finalize(rows, c, state, steps_total)
