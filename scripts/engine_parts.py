@@ -88,15 +88,14 @@ def raw_gather(buf, addr):
     return jax.lax.fori_loop(0, ITERS, body, (addr, jnp.zeros(B, jnp.uint32)))[1]
 
 
-# 2) gather + block extract + 2 word selects (the full fetch datapath)
+# 2) gather + 2 fused word extracts (the full fetch datapath)
 def gather_extract(buf, addr):
     def body(i, carry):
         a, acc = carry
         fat = T._make_fat_rows(buf)
-        blk = T._gather_block(fat, a & jnp.uint32(0x0FFFFFFF))
         pidx = (a >> jnp.uint32(28)).astype(jnp.int32) % 8
-        d = T._row_word(blk, pidx // 2)
-        w = T._row_word(blk, 4 + pidx)
+        d, w = T._fetch_words(fat, a & jnp.uint32(0x0FFFFFFF),
+                              [pidx // 2, 4 + pidx])
         acc = acc ^ d ^ w
         a = a * jnp.uint32(1103515245) + jnp.uint32(12345)
         return a, acc

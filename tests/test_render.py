@@ -102,3 +102,58 @@ def test_golden_image(scene):
         pytest.skip("golden created on first run")
     golden = np.load(path)
     assert diff_images(img, golden) < 0.015
+
+
+def test_opaque_pipeline_matches_judged(scene):
+    """The opaque fast path (first-hit rounds, single finalize) must render
+    identically to the alpha-judged deferred pipeline on a world that
+    contains no translucent blocks."""
+    p = default_params()
+    img_opaque = np.asarray(scene.render(p, W, H))
+    assert (scene.world_value_mask & scene.translucent_block_mask) == 0
+
+    from voxelrs_tpu.ops import shading
+    from voxelrs_tpu.graphics.camera import Camera
+    import jax.numpy as jnp
+
+    cam = Camera(np.degrees(p.fov_y_rad), p.aspect_ratio, 0.01, 1024)
+    cam.position, cam.forward, cam.up = p.cam_pos, p.cam_fwd, p.cam_up
+    s_, u_, f_ = cam.camera_basis()
+    img_judged = np.asarray(shading.render_frame_deferred(
+        scene.device_buf, jnp.float32(scene.octree_scale), scene.mips,
+        scene.mat_params, scene.mat_tex, width=W, height=H,
+        render_shadows=True, cam_pos=jnp.asarray(cam.position),
+        cam_right=jnp.asarray(s_), cam_up=jnp.asarray(u_),
+        cam_fwd=jnp.asarray(f_), fov_y_rad=jnp.float32(p.fov_y_rad),
+        aspect=jnp.float32(p.aspect_ratio),
+        ambient=jnp.float32(p.ambient_intensity),
+        light_dir=jnp.asarray(p.light_dir, jnp.float32),
+        shadow_distance=jnp.float32(p.shadow_distance),
+        highlight_pos=jnp.asarray(np.full(3, np.nan, np.float32)),
+        opaque=False,
+    ))
+    assert diff_images(img_opaque, img_judged) < 1e-6
+
+
+def test_translucent_world_renders(scene):
+    """A world containing glass must take the judged pipeline and let rays
+    pass through fully transparent texels."""
+    from voxelrs_tpu.gamelogic.content import GLASS
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS  # a glass wall across the view
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0), SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+    assert (svo.world_value_mask & svo.translucent_block_mask) != 0
+
+    img = np.asarray(svo.render(default_params(), W, H))
+    assert not np.isnan(img).any()
+    # terrain must be visible behind the glass (rays pass alpha-0 texels)
+    assert img[..., :3].mean() > 0.1

@@ -62,6 +62,8 @@ class Svo:
 
     def __init__(self, registry, capacity_mb: float = 64.0, buffer_dtype=np.uint32):
         self.mips, self.mat_params, self.mat_tex = registry.build()
+        self._compute_translucent_blocks()
+        self.world_value_mask = ~0  # until update() reports the world's set
         self.buffer_dtype = np.dtype(buffer_dtype)
         # The host mirror is allocated at full capacity; the DEVICE buffer is
         # sized to the live world and grows on demand — gather cost on TPU
@@ -151,6 +153,7 @@ class Svo:
                 )
                 self.device_buf = _apply_range(self.device_buf, chunk, ws, b)
 
+        self.world_value_mask = getattr(world_svo, "value_mask", ~0)
         self.stats = Stats(
             used_bytes=world_svo.size_in_bytes(),
             capacity_bytes=self.capacity_bytes,
@@ -164,6 +167,24 @@ class Svo:
         svo.rs:155-168); cached render programs keep working — arrays are
         call arguments, not compile-time constants."""
         self.mips, self.mat_params, self.mat_tex = registry.build()
+        self._compute_translucent_blocks()
+
+    def _compute_translucent_blocks(self) -> None:
+        """Bitmask of block values whose face textures contain any texel
+        with alpha < 1. When the world provably contains none of them,
+        translucent casting degenerates to first-hit casting and the
+        renderer uses the leaner opaque pipeline (no per-round alpha
+        judging, no shadow finalize)."""
+        alpha0 = np.asarray(self.mips[0][..., 3])
+        layer_translucent = (alpha0 < 1.0).any(axis=(1, 2))
+        mat_tex = np.asarray(self.mat_tex)
+        mask = 0
+        for block in range(mat_tex.shape[0]):
+            layers = mat_tex[block, 0:3]
+            if any(l >= 0 and layer_translucent[l] for l in layers):
+                mask |= 1 << min(block, 63)
+        mask |= 1 << 63  # unknown/overflow values count as translucent
+        self.translucent_block_mask = mask
 
     def render(self, params: RenderParams, width: int, height: int,
                max_steps: int = 1000, mode: str = "deferred") -> np.ndarray:
@@ -205,6 +226,7 @@ class Svo:
                 light_dir=jnp.asarray(params.light_dir, jnp.float32),
                 shadow_distance=jnp.float32(params.shadow_distance),
                 highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
+                opaque=(self.world_value_mask & self.translucent_block_mask) == 0,
             )
 
         if mode == "csvo":

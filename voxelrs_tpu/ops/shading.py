@@ -195,6 +195,208 @@ def _bucket_size(count: int) -> int:
     return p
 
 
+def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
+    """Deferred pipeline specialization for opaque worlds (no texture with
+    alpha < 1 — then translucent casting is exactly first-leaf-hit casting):
+
+    - rounds are pure traversal segments: no per-round alpha judging and no
+      per-round finalize — lanes freeze in-loop at their first leaf;
+    - the hit record is finalized ONCE, on the compacted hit lanes only;
+    - shadow rays skip finalize entirely (only the hit flag matters).
+    """
+    key = ("opq", B, width, height, max_steps)
+    if key in _pipeline_cache:
+        return _pipeline_cache[key]
+
+    import os as _os
+
+    from .traversal import (
+        _make_fat_rows,
+        finalize,
+        init_state_push,
+        make_ray_consts,
+        restart_state_push,
+        run_loop_push,
+    )
+
+    _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
+
+    def round_body(descriptors, consts, state, steps_total, seg_steps):
+        fat_rows = _make_fat_rows(descriptors)
+        steps, state = run_loop_push(fat_rows, consts, state, seg_steps,
+                                     _substeps)
+        return state, steps_total + steps
+
+    round_jit = jax.jit(round_body, donate_argnums=(2,), static_argnums=(4,))
+
+    # frozen per-lane hit state: everything finalize needs later
+    def _freeze(state):
+        return (state.t_min, state.pp, state.idx, state.scale,
+                state.posx, state.posy, state.posz)
+
+    def _scatter_frozen(frozen, hit_full, inside_full, idx, state):
+        take = state.hit
+        out = tuple(
+            f.at[idx].set(jnp.where(take, cur, f[idx]))
+            for f, cur in zip(frozen, _freeze(state))
+        )
+        return (out, hit_full.at[idx].set(hit_full[idx] | take),
+                inside_full.at[idx].set(state.inside))
+
+    scatter_frozen = jax.jit(_scatter_frozen, donate_argnums=(0, 1, 2))
+
+    def _compact_fn(scale, ro, rd, max_dst, state, gidx, sub_idx):
+        ro_k = ro[gidx]
+        rd_k = rd[gidx]
+        md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
+        sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
+        sub_state = restart_state_push(
+            sub_consts,
+            t_floor=state.t_min[sub_idx],
+            inside=state.inside[sub_idx],
+            adj_last=state.adj_last[sub_idx],
+            missed=state.missed[sub_idx],
+            suppress=state.suppress[sub_idx],
+        )
+        # pad lanes (already-hit repeats) must stay retired
+        sub_state = sub_state._replace(
+            active=sub_state.active & state.active[sub_idx]
+        )
+        return sub_consts, sub_state
+
+    compact_jit = jax.jit(_compact_fn)
+
+    start = jax.jit(
+        lambda scale, ro, rd, max_dst: (
+            lambda c: (c, init_state_push(c))
+        )(make_ray_consts(scale, ro, rd, max_dst))
+    )
+
+    active_count = jax.jit(lambda state: jnp.sum(state.active))
+    order_active = jax.jit(
+        lambda state, size: jnp.nonzero(state.active, size=size,
+                                        fill_value=0)[0],
+        static_argnums=(1,),
+    )
+
+    def trace(descriptors, scale, ro, rd, max_dst):
+        """Opaque deferred trace. Returns (frozen, hit, inside, steps_total)
+        at full width; ``frozen`` feeds ``finalize_lanes``."""
+        consts, state = start(scale, ro, rd, max_dst)
+        n = ro.shape[0]
+        frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
+        hit_full = jnp.zeros(n, bool)
+        inside_full = jnp.zeros(n, bool)
+        steps_total = jnp.int32(0)
+
+        seg0 = int(_os.environ.get("VOXELRS_SEG", "12"))
+        schedule = [seg0, seg0]
+        while sum(schedule) < max_steps:
+            schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
+
+        timing = _os.environ.get("VOXELRS_TIMING") == "1"
+
+        def tmark(label):
+            if not timing:
+                return
+            import time as _t
+
+            now = _t.perf_counter()
+            print(f"      {label}: {(now - tmark.t0) * 1e3:.0f} ms", flush=True)
+            tmark.t0 = now
+
+        if timing:
+            import time as _t
+
+            state.t_min.block_until_ready()
+            tmark.t0 = _t.perf_counter()
+
+        idx = None
+        cur_consts, cur_state = consts, state
+        width_now = n
+        budget = max_steps
+        for steps in schedule:
+            cur_state, steps_total = round_jit(
+                descriptors, cur_consts, cur_state, steps_total,
+                min(steps, budget),
+            )
+            if timing:
+                cur_state.t_min.block_until_ready()
+                tmark(f"round w={width_now}")
+            budget -= steps
+            if budget <= 0:
+                break
+            count = int(active_count(cur_state))
+            tmark("count-sync")
+            if timing:
+                print(f"    seg len={steps} width={width_now} active={count}",
+                      flush=True)
+            if count == 0:
+                break
+            bucket = _bucket_size(count)
+            if bucket <= width_now * 3 // 4:
+                sub_idx = order_active(cur_state, bucket)
+                gidx = sub_idx if idx is None else idx[sub_idx]
+                if idx is None:
+                    frozen = _freeze(cur_state)
+                    hit_full = cur_state.hit
+                    inside_full = cur_state.inside
+                else:
+                    frozen, hit_full, inside_full = scatter_frozen(
+                        frozen, hit_full, inside_full, idx, cur_state
+                    )
+                new_consts, new_state = compact_jit(
+                    scale, ro, rd, max_dst, cur_state, gidx, sub_idx
+                )
+                idx = gidx
+                cur_consts, cur_state = new_consts, new_state
+                width_now = bucket
+                if timing:
+                    cur_state.t_min.block_until_ready()
+                    tmark(f"compact->{bucket}")
+
+        if idx is None:
+            frozen = _freeze(cur_state)
+            hit_full = cur_state.hit
+            inside_full = cur_state.inside
+        else:
+            frozen, hit_full, inside_full = scatter_frozen(
+                frozen, hit_full, inside_full, idx, cur_state
+            )
+        return frozen, hit_full, inside_full, steps_total
+
+    def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
+                        hit_k, inside_k, steps_total):
+        """Build a TraversalResult for a gathered lane subset."""
+        from .traversal import PushState, TraversalResult  # noqa: F401
+
+        fat_rows = _make_fat_rows(descriptors)
+        c = make_ray_consts(scale, ro_k, rd_k, max_dst)
+        t_min, pp, oidx, sc, px, py, pz = frozen_k
+        shell = init_state_push(c)._replace(
+            t_min=t_min, pp=pp, idx=oidx, scale=sc, posx=px, posy=py,
+            posz=pz, hit=hit_k, inside=inside_k,
+        )
+        return finalize(fat_rows, c, shell, steps_total)
+
+    finalize_lanes = jax.jit(_finalize_lanes)
+
+    hit_count = jax.jit(lambda hit: jnp.sum(hit))
+    hit_order = jax.jit(
+        lambda hit, size: jnp.nonzero(hit, size=size, fill_value=0)[0],
+        static_argnums=(1,),
+    )
+    gather_lanes = jax.jit(
+        lambda idx, *arrays: tuple(
+            a[idx] if a.ndim == 1 else a[idx, :] for a in arrays
+        )
+    )
+
+    _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
+                            gather_lanes)
+    return _pipeline_cache[key]
+
+
 def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                        max_steps: int, rounds: int):
     """Build (raygen, trace, shade, combine) jitted stages for a pixel count."""
@@ -205,10 +407,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     from .traversal import (
         _NO_VALUE,
         _make_fat_rows,
-        _make_rows,
         finalize,
         init_state_push,
         make_ray_consts,
+        restart_state_push,
         run_loop_push,
     )
 
@@ -232,13 +434,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                    mips, mat_tex, seg_steps):
         """One deferred round: run the loop to the next leaf hits, judge
         texel alpha + adjacency, record accepted hits, resume the rest."""
-        rows = _make_rows(descriptors)
         fat_rows = _make_fat_rows(descriptors)
         steps, state = run_loop_push(fat_rows, consts, state, seg_steps,
                                      _substeps)
         steps_total = steps_total + steps
 
-        res = finalize(rows, consts, state, steps_total)
+        res = finalize(fat_rows, consts, state, steps_total)
         adj_count = (state.adj_last >> 24).astype(jnp.int32)
         last_value = state.adj_last & _NO_VALUE
         adj_count = jnp.where(state.missed, 0, adj_count)
@@ -277,14 +478,27 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                         static_argnums=(8,))
 
     # -- wavefront compaction: shrink to the unfinished-ray bucket ----------
-    def _compact_fn(consts, state, acc, done, idx):
-        take1 = lambda a: a[idx] if a.ndim >= 1 else a  # scalars replicate
-        sub_consts = jax.tree_util.tree_map(take1, consts)
-        sub_state = jax.tree_util.tree_map(
-            lambda a: a[:, idx] if a.ndim == 2 else a[idx], state
+    # Restart-based: the ESVO walk is memoryless given (ray, t_min), so
+    # instead of gathering the whole traversal state (~80 lane-rows incl.
+    # four stacks — measured ~1.2 us/lane, dwarfing the rounds it saved),
+    # gather only the ray + resume bookkeeping (~12 rows) and re-descend
+    # from the root at the old t_min. The ~depth extra pushes run at the
+    # NEW narrow width and cost far less than the avoided gather.
+    def _compact_fn(scale, ro, rd, max_dst, state, acc, done, gidx, sub_idx):
+        ro_k = ro[gidx]
+        rd_k = rd[gidx]
+        md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
+        sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
+        sub_state = restart_state_push(
+            sub_consts,
+            t_floor=state.t_min[sub_idx],
+            inside=state.inside[sub_idx],
+            adj_last=state.adj_last[sub_idx],
+            missed=state.missed[sub_idx],
+            suppress=state.suppress[sub_idx],
         )
-        sub_acc = tuple(a[idx] for a in acc)
-        return sub_consts, sub_state, sub_acc, done[idx]
+        sub_acc = tuple(a[sub_idx] for a in acc)
+        return sub_consts, sub_state, sub_acc, done[sub_idx]
 
     compact_jit = jax.jit(_compact_fn)
 
@@ -339,6 +553,22 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
 
         timing = os.environ.get("VOXELRS_TIMING") == "1"
+
+        def tmark(label):
+            if not timing:
+                return
+            import time as _t
+
+            now = _t.perf_counter()
+            print(f"      {label}: {(now - tmark.t0) * 1e3:.0f} ms", flush=True)
+            tmark.t0 = now
+
+        if timing:
+            import time as _t
+
+            jax.tree_util.tree_leaves(state)[0].block_until_ready()
+            tmark.t0 = _t.perf_counter()
+
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
@@ -348,8 +578,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 descriptors, cur_consts, cur_state, steps_total, cur_acc,
                 cur_done, mips, mat_tex, min(steps, budget),
             )
+            if timing:
+                cur_state.t_min.block_until_ready()
+                tmark(f"round w={width_now}")
             budget -= steps
             count = int(unfinished_count(cur_state, cur_done))
+            tmark("count-sync")
             if timing:
                 print(f"    seg len={steps} width={width_now} unfinished={count}",
                       flush=True)
@@ -358,23 +592,27 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             bucket = _bucket_size(count)
             if bucket <= width_now * 3 // 4:
                 sub_idx = order_unfinished(cur_state, cur_done, bucket)
+                gidx = sub_idx if idx is None else idx[sub_idx]
                 new_consts, new_state, new_acc, new_done = compact_jit(
-                    cur_consts, cur_state, cur_acc, cur_done, sub_idx
+                    scale, ro, rd, max_dst, cur_state, cur_acc, cur_done,
+                    gidx, sub_idx,
                 )
                 # scatter current results into the parent before narrowing
                 if idx is None:
                     acc, done, inside_full = (cur_acc, cur_done, cur_state.inside)
-                    idx = sub_idx
                 else:
                     acc, done, inside_full = scatter_jit(
                         acc, done, inside_full, idx, cur_acc, cur_done,
                         cur_state.inside,
                     )
-                    idx = idx[sub_idx]
+                idx = gidx
                 cur_consts, cur_state, cur_acc, cur_done = (
                     new_consts, new_state, new_acc, new_done
                 )
                 width_now = bucket
+                if timing:
+                    cur_state.t_min.block_until_ready()
+                    tmark(f"compact->{bucket}")
 
         if idx is None:
             acc, done, inside_full = cur_acc, cur_done, cur_state.inside
@@ -494,10 +732,16 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
                           render_shadows: bool, cam_pos, cam_right, cam_up,
                           cam_fwd, fov_y_rad, aspect, ambient, light_dir,
                           shadow_distance, highlight_pos,
-                          max_steps: int = 1000, rounds: int = 4):
+                          max_steps: int = 1000, rounds: int = 4,
+                          opaque: bool = False):
     """Host-orchestrated frame: raygen → deferred primary trace → shading →
     deferred shadow trace → composite. Same output as ``render_frame`` (up
-    to the deferred-rounds bound on translucent pass-throughs)."""
+    to the deferred-rounds bound on translucent pass-throughs).
+
+    ``opaque=True`` (caller-verified: no texture texel with alpha < 1, so
+    translucent casting degenerates to first-hit casting) uses the leaner
+    pipeline: no per-round alpha judging, one finalize on hit lanes only,
+    no shadow finalize."""
     import os
     import time
 
@@ -513,6 +757,18 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     mark.t0 = time.perf_counter()
 
     B = width * height
+
+    if opaque:
+        return _render_frame_opaque(
+            descriptors, octree_scale, mips, mat_params, mat_tex,
+            width=width, height=height, render_shadows=render_shadows,
+            cam_pos=cam_pos, cam_right=cam_right, cam_up=cam_up,
+            cam_fwd=cam_fwd, fov_y_rad=fov_y_rad, aspect=aspect,
+            ambient=ambient, light_dir=light_dir,
+            shadow_distance=shadow_distance, highlight_pos=highlight_pos,
+            max_steps=max_steps, mark=mark,
+        )
+
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
      combine_scatter, finish_light) = _deferred_pipeline(
         B, width, height, render_shadows, max_steps, rounds
@@ -549,6 +805,72 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
         color_k, diffuse_k, specular_k, need_shadow_k, shadow_t_k, ambient
     )
     out = combine_scatter(idx, rgb_k, alpha_k, res.t != -1.0, rd)
+    mark("combine", out)
+    return out
+
+
+_shadow_sign = None
+
+
+def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
+                         mat_tex, *, width, height, render_shadows, cam_pos,
+                         cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
+                         ambient, light_dir, shadow_distance, highlight_pos,
+                         max_steps, mark):
+    """Opaque-world frame: first-hit traversal rounds, one finalize on the
+    compacted hit lanes, shadow pass returns only the hit flag."""
+    global _shadow_sign
+
+    B = width * height
+    (raygen, _t, shade, _c, _hc, _ho, _gl, combine_scatter,
+     finish_light) = _deferred_pipeline(B, width, height, render_shadows,
+                                        max_steps, 4)
+    (trace, finalize_lanes, hit_count, hit_order,
+     gather_lanes) = _opaque_pipeline(B, width, height, max_steps)
+    if _shadow_sign is None:
+        _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
+
+    ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    mark("raygen", rd)
+
+    frozen, hit, inside, steps_total = trace(
+        descriptors, octree_scale, ro, rd, jnp.float32(-1.0)
+    )
+    mark("primary", hit)
+
+    n_hit = int(hit_count(hit))
+    k = min(B, _bucket_size(n_hit))
+    idx = hit_order(hit, k)
+    gathered = gather_lanes(idx, ro, rd, hit, inside, *frozen)
+    ro_k, rd_k, hit_k, inside_k = gathered[:4]
+    frozen_k = gathered[4:]
+    mark("compact-hits", hit_k)
+
+    res = finalize_lanes(descriptors, octree_scale, ro_k, rd_k,
+                         jnp.float32(-1.0), frozen_k, hit_k, inside_k,
+                         steps_total)
+    mark("finalize", res.t)
+
+    (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
+     shadow_rd_k, shadow_max_k) = shade(
+        (res.t, res.value, res.face_id, res.pos, res.uv, res.lod, None),
+        ro_k, rd_k, mips, mat_params, mat_tex, cam_pos, ambient, light_dir,
+        shadow_distance, highlight_pos,
+    )
+    mark("shade", color_k)
+
+    if render_shadows:
+        _f, shit, _i, _s = trace(descriptors, octree_scale, shadow_ro_k,
+                                 shadow_rd_k, shadow_max_k)
+        shadow_t_k = _shadow_sign(shit)
+        mark("shadow", shadow_t_k)
+    else:
+        shadow_t_k = jnp.full(k, -1.0, jnp.float32)
+
+    rgb_k, alpha_k = finish_light(
+        color_k, diffuse_k, specular_k, need_shadow_k, shadow_t_k, ambient
+    )
+    out = combine_scatter(idx, rgb_k, alpha_k, hit, rd)
     mark("combine", out)
     return out
 

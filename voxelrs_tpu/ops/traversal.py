@@ -223,7 +223,6 @@ def hit_phase(rows, c: RayConsts, pp, idx, scale, posx, posy, posz, t_min,
     ptr = pp & PTR_MASK
     pidx = (pp >> PTR_BITS).astype(i32)
     octant_idx = (idx ^ c.octant_mask).astype(u32)
-    scale_exp2 = _exp2_scale(scale)
 
     if row is None:
         row = _gather_row(rows, ptr)
@@ -231,7 +230,29 @@ def hit_phase(rows, c: RayConsts, pp, idx, scale, posx, posy, posz, t_min,
     next_ptr = _resolve_ptr(raw, ptr, pidx.astype(u32))
     child_row = _gather_row(rows, next_ptr)
     leaf_value = _row_word(child_row, 4 + octant_idx.astype(i32))
+    return (leaf_value,) + _hit_geometry(c, octant_idx, scale, posx, posy,
+                                         posz, t_min)
 
+
+def hit_phase_fat(fat_rows, c: RayConsts, pp, idx, scale, posx, posy, posz,
+                  t_min):
+    """``hit_phase`` with the two value fetches routed through the fat-row
+    view (the 12-wide view's row count sits in the slow gather tier)."""
+    ptr = pp & PTR_MASK
+    pidx = (pp >> PTR_BITS).astype(i32)
+    octant_idx = (idx ^ c.octant_mask).astype(u32)
+
+    (raw,) = _fetch_words(fat_rows, ptr, [4 + pidx])
+    next_ptr = _resolve_ptr(raw, ptr, pidx.astype(u32))
+    (leaf_value,) = _fetch_words(fat_rows, next_ptr,
+                                 [4 + octant_idx.astype(i32)])
+    return (leaf_value,) + _hit_geometry(c, octant_idx, scale, posx, posy,
+                                         posz, t_min)
+
+
+def _hit_geometry(c: RayConsts, octant_idx, scale, posx, posy, posz, t_min):
+    """Face id, uv, distance and texture lod of a candidate hit (pure math)."""
+    scale_exp2 = _exp2_scale(scale)
     t2x = (posx + scale_exp2) * c.tcx - c.tbx
     t2y = (posy + scale_exp2) * c.tcy - c.tby
     t2z = (posz + scale_exp2) * c.tcz - c.tbz
@@ -267,7 +288,7 @@ def hit_phase(rows, c: RayConsts, pp, idx, scale, posx, posy, posz, t_min,
 
     dst = t_min / c.octree_scale
     tex_lod = smoothstep(15.0, 25.0, dst) * (dst - 15.0) * 0.05
-    return leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz)
+    return face_id, ux, uy, dst, tex_lod, (upx, upy, upz)
 
 
 def traversal_step(rows, c: RayConsts, s: State, cast_translucent: bool,
@@ -487,17 +508,21 @@ def _make_fat_rows(descriptors):
     return descriptors.reshape(n_rows, FAT_WIDTH)
 
 
-def _gather_block(fat_rows, ptr):
-    """Fetch the 12-word block at word-address ``ptr`` from the fat-row view:
-    one wide row gather + a 9-way select on the block's position in the row."""
+def _fetch_words(fat_rows, ptr, widxs):
+    """Fetch selected words of the block at word-address ``ptr``: one wide
+    row gather + one fused one-hot reduce per word (measured: extracting a
+    whole (B, 12) block via 9-way select costs ~1.7x the gather itself;
+    direct per-word reduces over the 108 columns are far cheaper)."""
     blk = (ptr // 12).astype(i32)
     r = jnp.clip(blk // FAT_BLOCKS, 0, fat_rows.shape[0] - 1)
-    m = blk % FAT_BLOCKS
-    fat = fat_rows[r]  # (B, 108)
-    out = fat[:, 0:12]
-    for k in range(1, FAT_BLOCKS):
-        out = jnp.where((m == k)[:, None], fat[:, 12 * k : 12 * k + 12], out)
-    return out
+    base = (blk % FAT_BLOCKS) * 12
+    fat = fat_rows[r]  # (B, FAT_WIDTH)
+    iota = jnp.arange(FAT_WIDTH, dtype=i32)[None, :]
+    outs = []
+    for widx in widxs:
+        sel = iota == (base + widx)[:, None]
+        outs.append(jnp.where(sel, fat, jnp.uint32(0)).sum(axis=1).astype(u32))
+    return outs
 
 
 def init_state_push(c: RayConsts) -> PushState:
@@ -513,16 +538,52 @@ def init_state_push(c: RayConsts) -> PushState:
     )
 
 
+def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
+                       suppress) -> PushState:
+    """Fresh traversal state that resumes a ray mid-flight: the ESVO walk is
+    memoryless given (ray, t_min), so a compacted lane restarts from the
+    root with its old ``t_min`` as the entry floor and re-descends (~depth
+    pushes) instead of carrying its stacks through the compaction gather.
+    The deferred-round bookkeeping (inside/adjacency/suppress) is carried."""
+    s = init_state(c)
+    t_min = jnp.maximum(s.t_min, t_floor)
+    in_x = t_min < 1.5 * c.tcx - c.tbx
+    in_y = t_min < 1.5 * c.tcy - c.tby
+    in_z = t_min < 1.5 * c.tcz - c.tbz
+    idx = in_x.astype(i32) | (in_y.astype(i32) << 1) | (in_z.astype(i32) << 2)
+    s = s._replace(
+        t_min=t_min,
+        idx=idx,
+        posx=jnp.where(in_x, 1.5, 1.0).astype(f32),
+        posy=jnp.where(in_y, 1.5, 1.0).astype(f32),
+        posz=jnp.where(in_z, 1.5, 1.0).astype(f32),
+        inside=inside,
+        adj_last=adj_last,
+        missed=missed,
+        suppress=suppress,
+        # a restarted ray past the cube exit has already left the world
+        active=s.active & (t_min <= s.t_max),
+    )
+    B = c.rox.shape[0]
+    return PushState(
+        *s,
+        desc=jnp.zeros(B, u32),
+        child_ptr=jnp.zeros(B, u32),
+        need_fetch=jnp.ones(B, bool),
+        stack_desc=jnp.zeros((STACK_HEIGHT, B), u32),
+        stack_cptr=jnp.zeros((STACK_HEIGHT, B), u32),
+    )
+
+
 def fetch_phase(fat_rows, s: PushState) -> PushState:
     """Serve pending pushes: load the pushed-into node's descriptor and its
     resolved child pointer (one wide gather; non-fetching lanes keep theirs)."""
     ptr = s.pp & PTR_MASK
     pidx = (s.pp >> PTR_BITS).astype(i32)
-    blk = _gather_block(fat_rows, ptr)
-    raw_desc = _row_word(blk, pidx // 2)
+    raw_desc, raw_ptr = _fetch_words(fat_rows, ptr, [pidx // 2, 4 + pidx])
     desc_new = jnp.where(pidx % 2 != 0, raw_desc >> jnp.uint32(16), raw_desc)
     desc_new = desc_new & jnp.uint32(0xFFFF)
-    cptr_new = _resolve_ptr(_row_word(blk, 4 + pidx), ptr, pidx.astype(u32))
+    cptr_new = _resolve_ptr(raw_ptr, ptr, pidx.astype(u32))
     take = s.need_fetch
     return s._replace(
         desc=jnp.where(take, desc_new, s.desc),
@@ -712,11 +773,12 @@ def run_loop(rows, c: RayConsts, state: State, max_steps: int, unroll: int,
     return jax.lax.while_loop(cond, body, (jnp.int32(0), state))
 
 
-def finalize(rows, c: RayConsts, state: State, steps_used) -> TraversalResult:
-    """Recompute the full hit record from frozen per-ray state (one pass)."""
+def finalize(fat_rows, c: RayConsts, state: State, steps_used) -> TraversalResult:
+    """Recompute the full hit record from frozen per-ray state (one pass).
+    ``fat_rows`` is the (N/108, 108) buffer view (``_make_fat_rows``)."""
     B = state.active.shape[0]
-    leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase(
-        rows, c, state.pp, state.idx, state.scale, state.posx, state.posy,
+    leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase_fat(
+        fat_rows, c, state.pp, state.idx, state.scale, state.posx, state.posy,
         state.posz, state.t_min,
     )
     scale_exp2 = _exp2_scale(state.scale)
@@ -772,8 +834,10 @@ def intersect_octree(
         rows = jnp.pad(rows, ((0, 0), (0, row_pad - 12)))
     c = make_ray_consts(octree_scale, ro, rd, max_dst)
 
+    fat_rows = _make_fat_rows(descriptors)
+
     if record_trace:
-        return _traced_traversal(rows, c, init_state(c), max_steps,
+        return _traced_traversal(rows, fat_rows, c, init_state(c), max_steps,
                                  cast_translucent, alpha_fn)
 
     if cast_translucent and alpha_fn is not None:
@@ -782,13 +846,12 @@ def intersect_octree(
         steps_used, state = run_loop(
             rows, c, state, max_steps, unroll, cast_translucent, alpha_fn
         )
-        return finalize(rows, c, state, steps_used)
+        return finalize(fat_rows, c, state, steps_used)
 
     # opaque: push-driven engine (fetch only on PUSH)
-    fat_rows = _make_fat_rows(descriptors)
     pstate = init_state_push(c)
     iters, pstate = run_loop_push(fat_rows, c, pstate, max_steps, 3)
-    return finalize(rows, c, pstate, iters)
+    return finalize(fat_rows, c, pstate, iters)
 
 
 def intersect_octree_deferred(
@@ -830,7 +893,7 @@ def intersect_octree_deferred(
         steps, state = run_loop_push(fat_rows, c, state, max_steps, 3)
         steps_total = steps_total + steps
 
-        res = finalize(rows, c, state, steps_total)
+        res = finalize(fat_rows, c, state, steps_total)
         adj_count = (state.adj_last >> 24).astype(i32)
         last_value = state.adj_last & _NO_VALUE
         # a miss step since the previous leaf resets adjacency (glsl:313-317)
@@ -875,7 +938,7 @@ def intersect_octree_deferred(
     )
 
 
-def _traced_traversal(rows, c: RayConsts, state0: State, max_steps,
+def _traced_traversal(rows, fat_rows, c: RayConsts, state0: State, max_steps,
                       cast_translucent, alpha_fn):
     """Slow trace-recording path for step-trace tests: record
     (t, ptr, octant_idx, parent_idx, scale, is_child, is_leaf) per step."""
@@ -920,7 +983,7 @@ def _traced_traversal(rows, c: RayConsts, state0: State, max_steps,
     it, state, trace_t, trace_i, trace_n = jax.lax.while_loop(
         cond, body, (jnp.int32(0), state0, trace_t, trace_i, trace_n)
     )
-    res = finalize(rows, c, state, it)
+    res = finalize(fat_rows, c, state, it)
     return res._replace(trace={
         "t": trace_t,
         "ptr": trace_i[..., 0],
