@@ -80,11 +80,15 @@ def main() -> None:
         shadow_distance=300.0,
     )
 
-    img = svo.render(params, W, H)
-    img.block_until_ready()
-    _ = float(np.asarray(img[0, 0, 0]))  # force real completion
-
     cam = np.array(params.cam_pos, np.float32)
+
+    # warmup: render along the fly-through path so the wavefront plans and
+    # their compiled bucket shapes settle before timing
+    for i in (0, 2, 4, 1):
+        p = RenderParams(**{**params.__dict__})
+        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
+        img = svo.render(p, W, H)
+        _ = float(np.asarray(img[0, 0, 0]))  # force real completion
 
     def frame(i):
         from voxelrs_tpu.graphics.svo import RenderParams as RP

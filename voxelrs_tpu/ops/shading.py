@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .texture import sample_texture_lod
 from .traversal import intersect_octree
@@ -202,7 +203,19 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
     - rounds are pure traversal segments: no per-round alpha judging and no
       per-round finalize — lanes freeze in-loop at their first leaf;
     - the hit record is finalized ONCE, on the compacted hit lanes only;
-    - shadow rays skip finalize entirely (only the hit flag matters).
+    - shadow rays skip finalize entirely (only the hit flag matters);
+    - compaction re-derives rays instead of gathering them: primary rays
+      are a pure function of the pixel index (+ camera), shadow directions
+      are a broadcast constant — so the restart gather touches only the
+      resume bookkeeping (~6 lane-rows);
+    - plan replay: the first frame runs "synced" (a count readback decides
+      each compaction; ~30 ms tunnel latency each); the decisions are
+      recorded and subsequent frames replay them with a 1.35x margin and
+      ZERO intra-frame syncs — per-segment counts are read back in one
+      batched transfer at the START of the next frame to refresh the plan,
+      and an overflowed bucket (more survivors than replayed capacity)
+      marks the plan stale so the next frame re-syncs. VOXELRS_PLAN=0
+      disables replay.
     """
     key = ("opq", B, width, height, max_steps)
     if key in _pipeline_cache:
@@ -220,6 +233,29 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
     )
 
     _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
+
+    # -- ray sources ---------------------------------------------------------
+    def _pix_rays(idx, ray_args):
+        """Recompute (ro, rd) for pixel lanes ``idx`` — bit-identical to
+        ``generate_rays`` so compacted lanes see the exact same ray."""
+        cam_pos, cam_right, cam_up, cam_fwd, fov, aspect = ray_args
+        x = (idx % width).astype(jnp.float32)
+        y = (idx // width).astype(jnp.float32)
+        u = (x / width * 2.0 - 1.0) * aspect * jnp.tan(fov * 0.5)
+        v = ((height - 1.0 - y) / height * 2.0 - 1.0) * jnp.tan(fov * 0.5)
+        rd = (u[:, None] * cam_right[None, :] + v[:, None] * cam_up[None, :]
+              + cam_fwd[None, :])
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        ro = jnp.broadcast_to(cam_pos, rd.shape)
+        return ro, rd
+
+    def _dir_rays(idx, ray_args):
+        """Per-lane origins, constant direction (shadow rays)."""
+        ro_full, rd_const = ray_args
+        ro_k = ro_full[idx]
+        return ro_k, jnp.broadcast_to(rd_const, ro_k.shape)
+
+    _RAY_FNS = {"pix": _pix_rays, "dir": _dir_rays}
 
     def round_body(descriptors, consts, state, steps_total, seg_steps):
         fat_rows = _make_fat_rows(descriptors)
@@ -245,26 +281,30 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
 
     scatter_frozen = jax.jit(_scatter_frozen, donate_argnums=(0, 1, 2))
 
-    def _compact_fn(scale, ro, rd, max_dst, state, gidx, sub_idx):
-        ro_k = ro[gidx]
-        rd_k = rd[gidx]
-        md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
-        sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
-        sub_state = restart_state_push(
-            sub_consts,
-            t_floor=state.t_min[sub_idx],
-            inside=state.inside[sub_idx],
-            adj_last=state.adj_last[sub_idx],
-            missed=state.missed[sub_idx],
-            suppress=state.suppress[sub_idx],
-        )
-        # pad lanes (already-hit repeats) must stay retired
-        sub_state = sub_state._replace(
-            active=sub_state.active & state.active[sub_idx]
-        )
-        return sub_consts, sub_state
+    def _make_compact(ray_fn):
+        def f(scale, ray_args, max_dst, state, gidx, sub_idx):
+            ro_k, rd_k = ray_fn(gidx, ray_args)
+            md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
+            sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
+            sub_state = restart_state_push(
+                sub_consts,
+                t_floor=state.t_min[sub_idx],
+                inside=state.inside[sub_idx],
+                adj_last=state.adj_last[sub_idx],
+                missed=state.missed[sub_idx],
+                suppress=state.suppress[sub_idx],
+            )
+            # pad lanes (fill-repeats of lane 0) must stay retired
+            sub_state = sub_state._replace(
+                active=sub_state.active & state.active[sub_idx]
+            )
+            return sub_consts, sub_state
 
-    compact_jit = jax.jit(_compact_fn)
+        return jax.jit(f)
+
+    compact_jits = {"pix": _make_compact(_pix_rays),
+                    "dir": _make_compact(_dir_rays)}
+    pix_rays_jit = jax.jit(_pix_rays)
 
     start = jax.jit(
         lambda scale, ro, rd, max_dst: (
@@ -279,9 +319,65 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
         static_argnums=(1,),
     )
 
-    def trace(descriptors, scale, ro, rd, max_dst):
+    # -- plan replay state (per pipeline) -------------------------------------
+    import threading as _threading
+
+    plans: dict = {}  # tag -> (n, [(seg_len, bucket-or-None), ...])
+    pending: list = []  # (tag, n, [seg lens], device count scalars)
+    plan_lock = _threading.Lock()
+
+    def _margin_bucket(count: int) -> int:
+        return max(_bucket_size(count + (count * 7) // 20 + 64), 8192)
+
+    def _sticky_bucket(prev, count: int) -> int:
+        """Reuse the previous bucket while it still fits — every distinct
+        bucket is a compiled shape (minutes of remote compile), so plans
+        must not wobble with per-frame count noise. Padded lanes cost
+        microseconds; shrink only when the bucket is >8x oversized."""
+        need = count + (count >> 4) + 64
+        if prev is not None and need <= prev and prev <= 8 * max(need, 2048):
+            return prev
+        return _margin_bucket(count)
+
+    def resolve_pending():
+        """One batched readback of last frame's per-segment counts; refresh
+        (or invalidate) the recorded plans."""
+        with plan_lock:
+            work, pending[:] = list(pending), []
+        if not work:
+            return
+        flat = [c for (_, _, _, cs) in work for c in cs]
+        values = [int(v) for v in np.asarray(jnp.stack(flat))] if flat else []
+        pos = 0
+        for tag, n, segs, cs in work:
+            counts = values[pos : pos + len(cs)]
+            pos += len(cs)
+            old = plans.get(tag)
+            old_plan = old[1] if old and old[0] == n else []
+            new_plan = []
+            w = n
+            stale = False
+            for i, (seg, count) in enumerate(zip(segs, counts)):
+                replayed = old_plan[i][1] if i < len(old_plan) else None
+                if replayed is not None and count > replayed:
+                    stale = True  # bucket overflowed: rays were dropped
+                bucket = _sticky_bucket(replayed, count)
+                if count > 0 and bucket <= (w * 3) // 4:
+                    new_plan.append((seg, bucket))
+                    w = bucket
+                else:
+                    new_plan.append((seg, None))
+                if count == 0:
+                    break
+            if _os.environ.get("VOXELRS_PLAN_DEBUG") and stale:
+                print(f"    [plan {tag}] STALE (bucket overflow)", flush=True)
+            with plan_lock:
+                plans[tag] = None if stale else (n, new_plan)
+
+    def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag):
         """Opaque deferred trace. Returns (frozen, hit, inside, steps_total)
         at full width; ``frozen`` feeds ``finalize_lanes``."""
+        compact_jit = compact_jits[mode]
         consts, state = start(scale, ro, rd, max_dst)
         n = ro.shape[0]
         frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
@@ -311,49 +407,105 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
             state.t_min.block_until_ready()
             tmark.t0 = _t.perf_counter()
 
+        replay_on = _os.environ.get("VOXELRS_PLAN", "1") != "0"
+        stored = plans.get(tag) if replay_on else None
+        plan = stored[1] if (stored and stored[0] == n) else None
+        if _os.environ.get("VOXELRS_PLAN_DEBUG"):
+            print(f"    [plan {tag}] {'replay ' + str(plan) if plan else 'SYNCED'}",
+                  flush=True)
+
         idx = None
         cur_consts, cur_state = consts, state
         width_now = n
-        budget = max_steps
-        for steps in schedule:
-            cur_state, steps_total = round_jit(
-                descriptors, cur_consts, cur_state, steps_total,
-                min(steps, budget),
+
+        def do_compact(bucket):
+            nonlocal idx, cur_consts, cur_state, width_now
+            nonlocal frozen, hit_full, inside_full
+            sub_idx = order_active(cur_state, bucket)
+            gidx = sub_idx if idx is None else idx[sub_idx]
+            if idx is None:
+                frozen = _freeze(cur_state)
+                hit_full = cur_state.hit
+                inside_full = cur_state.inside
+            else:
+                frozen, hit_full, inside_full = scatter_frozen(
+                    frozen, hit_full, inside_full, idx, cur_state
+                )
+            cur_consts, cur_state = compact_jit(
+                scale, ray_args, max_dst, cur_state, gidx, sub_idx
             )
+            idx = gidx
+            width_now = bucket
             if timing:
                 cur_state.t_min.block_until_ready()
-                tmark(f"round w={width_now}")
-            budget -= steps
-            if budget <= 0:
-                break
-            count = int(active_count(cur_state))
-            tmark("count-sync")
-            if timing:
-                print(f"    seg len={steps} width={width_now} active={count}",
-                      flush=True)
-            if count == 0:
-                break
-            bucket = _bucket_size(count)
-            if bucket <= width_now * 3 // 4:
-                sub_idx = order_active(cur_state, bucket)
-                gidx = sub_idx if idx is None else idx[sub_idx]
-                if idx is None:
-                    frozen = _freeze(cur_state)
-                    hit_full = cur_state.hit
-                    inside_full = cur_state.inside
-                else:
-                    frozen, hit_full, inside_full = scatter_frozen(
-                        frozen, hit_full, inside_full, idx, cur_state
-                    )
-                new_consts, new_state = compact_jit(
-                    scale, ro, rd, max_dst, cur_state, gidx, sub_idx
+                tmark(f"compact->{bucket}")
+
+        budget = max_steps
+        if plan is None:
+            # synced exploration: a count readback decides each compaction
+            plan_rec = []
+            seg_lens = []
+            counts_dev = []
+            for steps in schedule:
+                seg = min(steps, budget)
+                cur_state, steps_total = round_jit(
+                    descriptors, cur_consts, cur_state, steps_total, seg
                 )
-                idx = gidx
-                cur_consts, cur_state = new_consts, new_state
-                width_now = bucket
                 if timing:
                     cur_state.t_min.block_until_ready()
-                    tmark(f"compact->{bucket}")
+                    tmark(f"round w={width_now}")
+                budget -= seg
+                seg_lens.append(seg)
+                if budget <= 0:
+                    plan_rec.append((seg, None))
+                    break
+                cdev = active_count(cur_state)
+                counts_dev.append(cdev)
+                count = int(cdev)
+                tmark("count-sync")
+                if timing:
+                    print(f"    seg len={seg} width={width_now} active={count}",
+                          flush=True)
+                if count == 0:
+                    plan_rec.append((seg, None))
+                    break
+                bucket = _margin_bucket(count)
+                if bucket <= (width_now * 3) // 4:
+                    plan_rec.append((seg, bucket))
+                    do_compact(bucket)
+                else:
+                    plan_rec.append((seg, None))
+            if replay_on:
+                with plan_lock:
+                    plans[tag] = (n, plan_rec)
+        else:
+            # replay: no intra-frame syncs; counts resolved next frame
+            seg_lens = []
+            counts_dev = []
+            for seg, bucket in plan:
+                seg = min(seg, budget)
+                if seg <= 0:
+                    break
+                cur_state, steps_total = round_jit(
+                    descriptors, cur_consts, cur_state, steps_total, seg
+                )
+                if timing:
+                    cur_state.t_min.block_until_ready()
+                    tmark(f"round w={width_now} (replay)")
+                budget -= seg
+                seg_lens.append(seg)
+                counts_dev.append(active_count(cur_state))
+                if bucket is not None and bucket <= (width_now * 3) // 4:
+                    do_compact(bucket)
+            if budget > 0:
+                # safety tail: stragglers beyond last frame's profile
+                cur_state, steps_total = round_jit(
+                    descriptors, cur_consts, cur_state, steps_total, budget
+                )
+                seg_lens.append(budget)
+                counts_dev.append(active_count(cur_state))
+            with plan_lock:
+                pending.append((tag, n, seg_lens, counts_dev))
 
         if idx is None:
             frozen = _freeze(cur_state)
@@ -368,8 +520,6 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
     def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
                         hit_k, inside_k, steps_total):
         """Build a TraversalResult for a gathered lane subset."""
-        from .traversal import PushState, TraversalResult  # noqa: F401
-
         fat_rows = _make_fat_rows(descriptors)
         c = make_ray_consts(scale, ro_k, rd_k, max_dst)
         t_min, pp, oidx, sc, px, py, pz = frozen_k
@@ -392,8 +542,18 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
         )
     )
 
+    def sticky_hits_bucket(needed: int) -> int:
+        with plan_lock:
+            prev = plans.get("hits_k")
+            target = _bucket_size(needed)
+            k = prev if (prev is not None and prev >= needed
+                         and prev <= 4 * target) else target
+            plans["hits_k"] = k
+        return k
+
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
-                            gather_lanes)
+                            gather_lanes, pix_rays_jit, plans, pending,
+                            resolve_pending, sticky_hits_bucket)
     return _pipeline_cache[key]
 
 
@@ -818,32 +978,43 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          ambient, light_dir, shadow_distance, highlight_pos,
                          max_steps, mark):
     """Opaque-world frame: first-hit traversal rounds, one finalize on the
-    compacted hit lanes, shadow pass returns only the hit flag."""
+    compacted hit lanes, shadow pass returns only the hit flag. Steady-state
+    frames run with a single host sync (the hit-count) plus one batched
+    plan-refresh readback at frame start."""
     global _shadow_sign
 
     B = width * height
     (raygen, _t, shade, _c, _hc, _ho, _gl, combine_scatter,
      finish_light) = _deferred_pipeline(B, width, height, render_shadows,
                                         max_steps, 4)
-    (trace, finalize_lanes, hit_count, hit_order,
-     gather_lanes) = _opaque_pipeline(B, width, height, max_steps)
+    (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
+     plans, pending, resolve_pending,
+     sticky_hits_bucket) = _opaque_pipeline(B, width, height, max_steps)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
+
+    resolve_pending()  # refresh replay plans from last frame's counts
+    mark("plan-refresh", jnp.zeros(1))
 
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
 
+    cam_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     frozen, hit, inside, steps_total = trace(
-        descriptors, octree_scale, ro, rd, jnp.float32(-1.0)
+        descriptors, octree_scale, ro, rd, jnp.float32(-1.0), "pix",
+        cam_args, "primary",
     )
     mark("primary", hit)
 
-    n_hit = int(hit_count(hit))
-    k = min(B, _bucket_size(n_hit))
+    # the hit-lane bucket stays a synchronous (exact) readback: one ~30 ms
+    # sync per frame, and shading never drops a hit pixel; sticky across
+    # frames so the shadow pass's compiled width doesn't wobble
+    k = min(B, sticky_hits_bucket(int(hit_count(hit))))
     idx = hit_order(hit, k)
-    gathered = gather_lanes(idx, ro, rd, hit, inside, *frozen)
-    ro_k, rd_k, hit_k, inside_k = gathered[:4]
-    frozen_k = gathered[4:]
+    gathered = gather_lanes(idx, hit, inside, *frozen)
+    hit_k, inside_k = gathered[:2]
+    frozen_k = gathered[2:]
+    ro_k, rd_k = pix_rays_jit(idx, cam_args)
     mark("compact-hits", hit_k)
 
     res = finalize_lanes(descriptors, octree_scale, ro_k, rd_k,
@@ -860,8 +1031,11 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     mark("shade", color_k)
 
     if render_shadows:
-        _f, shit, _i, _s = trace(descriptors, octree_scale, shadow_ro_k,
-                                 shadow_rd_k, shadow_max_k)
+        neg_light = -jnp.asarray(light_dir, jnp.float32)
+        _f, shit, _i, _s = trace(
+            descriptors, octree_scale, shadow_ro_k, shadow_rd_k,
+            shadow_max_k, "dir", (shadow_ro_k, neg_light), ("shadow", k),
+        )
         shadow_t_k = _shadow_sign(shit)
         mark("shadow", shadow_t_k)
     else:
