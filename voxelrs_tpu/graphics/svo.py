@@ -227,6 +227,7 @@ class Svo:
                 shadow_distance=jnp.float32(params.shadow_distance),
                 highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
                 opaque=(self.world_value_mask & self.translucent_block_mask) == 0,
+                stack_height=min(12, max(self.depth, 1) + 1),
             )
 
         if mode == "csvo":

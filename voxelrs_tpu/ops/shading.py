@@ -196,7 +196,8 @@ def _bucket_size(count: int) -> int:
     return p
 
 
-def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
+def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
+                     stack_height: int = 12):
     """Deferred pipeline specialization for opaque worlds (no texture with
     alpha < 1 — then translucent casting is exactly first-leaf-hit casting):
 
@@ -217,7 +218,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
       marks the plan stale so the next frame re-syncs. VOXELRS_PLAN=0
       disables replay.
     """
-    key = ("opq", B, width, height, max_steps)
+    key = ("opq", B, width, height, max_steps, stack_height)
     if key in _pipeline_cache:
         return _pipeline_cache[key]
 
@@ -293,6 +294,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
                 adj_last=state.adj_last[sub_idx],
                 missed=state.missed[sub_idx],
                 suppress=state.suppress[sub_idx],
+                stack_height=stack_height,
             )
             # pad lanes (fill-repeats of lane 0) must stay retired
             sub_state = sub_state._replace(
@@ -308,7 +310,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
 
     start = jax.jit(
         lambda scale, ro, rd, max_dst: (
-            lambda c: (c, init_state_push(c))
+            lambda c: (c, init_state_push(c, stack_height))
         )(make_ray_consts(scale, ro, rd, max_dst))
     )
 
@@ -352,6 +354,20 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
         for tag, n, segs, cs in work:
             counts = values[pos : pos + len(cs)]
             pos += len(cs)
+            if isinstance(tag, tuple) and tag and tag[0] == "scalar":
+                # sticky scalar bucket (e.g. need-shadow lane count)
+                _, name, cap = tag
+                count = counts[0]
+                with plan_lock:
+                    prev = plans.get(name)
+                stale = prev is not None and count > prev
+                if _os.environ.get("VOXELRS_PLAN_DEBUG") and stale:
+                    print(f"    [plan {name}] STALE (scalar overflow)",
+                          flush=True)
+                with plan_lock:
+                    plans[name] = (None if stale
+                                   else min(cap, _sticky_bucket(prev, count)))
+                continue
             old = plans.get(tag)
             old_plan = old[1] if old and old[0] == n else []
             new_plan = []
@@ -542,6 +558,18 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
         )
     )
 
+    def sticky_async_bucket(name: str, count_dev, cap: int) -> int:
+        """Bucket for a lane subset sized by an async device count: replay
+        last frame's sticky value (no sync); first frame reads it back."""
+        with plan_lock:
+            prev = plans.get(name)
+            pending.append((("scalar", name, cap), None, [], [count_dev]))
+        if prev is not None:
+            return min(prev, cap)
+        return min(cap, _bucket_size(int(count_dev)))
+
+    scatter_bool = jax.jit(lambda base, idx, v: base.at[idx].set(v))
+
     def sticky_hits_bucket(needed: int) -> int:
         with plan_lock:
             prev = plans.get("hits_k")
@@ -553,14 +581,15 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int):
 
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
                             gather_lanes, pix_rays_jit, plans, pending,
-                            resolve_pending, sticky_hits_bucket)
+                            resolve_pending, sticky_hits_bucket,
+                            sticky_async_bucket, scatter_bool)
     return _pipeline_cache[key]
 
 
 def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
-                       max_steps: int, rounds: int):
+                       max_steps: int, rounds: int, stack_height: int = 12):
     """Build (raygen, trace, shade, combine) jitted stages for a pixel count."""
-    key = (B, width, height, render_shadows, max_steps, rounds)
+    key = (B, width, height, render_shadows, max_steps, rounds, stack_height)
     if key in _pipeline_cache:
         return _pipeline_cache[key]
 
@@ -582,7 +611,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     start = jax.jit(
         lambda scale, ro, rd, max_dst: (
-            lambda c: (c, init_state_push(c))
+            lambda c: (c, init_state_push(c, stack_height))
         )(make_ray_consts(scale, ro, rd, max_dst))
     )
 
@@ -656,6 +685,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             adj_last=state.adj_last[sub_idx],
             missed=state.missed[sub_idx],
             suppress=state.suppress[sub_idx],
+            stack_height=stack_height,
         )
         sub_acc = tuple(a[sub_idx] for a in acc)
         return sub_consts, sub_state, sub_acc, done[sub_idx]
@@ -893,7 +923,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
                           cam_fwd, fov_y_rad, aspect, ambient, light_dir,
                           shadow_distance, highlight_pos,
                           max_steps: int = 1000, rounds: int = 4,
-                          opaque: bool = False):
+                          opaque: bool = False, stack_height: int = 12):
     """Host-orchestrated frame: raygen → deferred primary trace → shading →
     deferred shadow trace → composite. Same output as ``render_frame`` (up
     to the deferred-rounds bound on translucent pass-throughs).
@@ -926,12 +956,12 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             cam_fwd=cam_fwd, fov_y_rad=fov_y_rad, aspect=aspect,
             ambient=ambient, light_dir=light_dir,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
-            max_steps=max_steps, mark=mark,
+            max_steps=max_steps, mark=mark, stack_height=stack_height,
         )
 
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
      combine_scatter, finish_light) = _deferred_pipeline(
-        B, width, height, render_shadows, max_steps, rounds
+        B, width, height, render_shadows, max_steps, rounds, stack_height
     )
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
@@ -976,7 +1006,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          mat_tex, *, width, height, render_shadows, cam_pos,
                          cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
                          ambient, light_dir, shadow_distance, highlight_pos,
-                         max_steps, mark):
+                         max_steps, mark, stack_height=12):
     """Opaque-world frame: first-hit traversal rounds, one finalize on the
     compacted hit lanes, shadow pass returns only the hit flag. Steady-state
     frames run with a single host sync (the hit-count) plus one batched
@@ -986,10 +1016,11 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     B = width * height
     (raygen, _t, shade, _c, _hc, _ho, _gl, combine_scatter,
      finish_light) = _deferred_pipeline(B, width, height, render_shadows,
-                                        max_steps, 4)
+                                        max_steps, 4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
-     plans, pending, resolve_pending,
-     sticky_hits_bucket) = _opaque_pipeline(B, width, height, max_steps)
+     plans, pending, resolve_pending, sticky_hits_bucket, sticky_async_bucket,
+     scatter_bool) = _opaque_pipeline(B, width, height, max_steps,
+                                      stack_height)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
@@ -1032,11 +1063,18 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
-        _f, shit, _i, _s = trace(
-            descriptors, octree_scale, shadow_ro_k, shadow_rd_k,
-            shadow_max_k, "dir", (shadow_ro_k, neg_light), ("shadow", k),
+        # compact to the lanes that actually need a shadow ray (~60% of
+        # hits: lit-facing, within shadow distance)
+        k2 = sticky_async_bucket("ns_k", hit_count(need_shadow_k), k)
+        sidx = hit_order(need_shadow_k, k2)
+        sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
+        srd2 = jnp.broadcast_to(neg_light, sro2.shape)
+        _f, shit2, _i, _s = trace(
+            descriptors, octree_scale, sro2, srd2, smax2, "dir",
+            (sro2, neg_light), ("shadow", k2),
         )
-        shadow_t_k = _shadow_sign(shit)
+        blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
+        shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
         shadow_t_k = jnp.full(k, -1.0, jnp.float32)

@@ -525,21 +525,24 @@ def _fetch_words(fat_rows, ptr, widxs):
     return outs
 
 
-def init_state_push(c: RayConsts) -> PushState:
+def init_state_push(c: RayConsts, stack_height: int = STACK_HEIGHT) -> PushState:
     s = init_state(c)
     B = c.rox.shape[0]
+    H = stack_height
+    s = s._replace(stack_pp=jnp.zeros((H, B), u32),
+                   stack_tmax=jnp.zeros((H, B), f32))
     return PushState(
         *s,
         desc=jnp.zeros(B, u32),
         child_ptr=jnp.zeros(B, u32),
         need_fetch=jnp.ones(B, bool),  # first fetch loads the root registers
-        stack_desc=jnp.zeros((STACK_HEIGHT, B), u32),
-        stack_cptr=jnp.zeros((STACK_HEIGHT, B), u32),
+        stack_desc=jnp.zeros((H, B), u32),
+        stack_cptr=jnp.zeros((H, B), u32),
     )
 
 
 def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
-                       suppress) -> PushState:
+                       suppress, stack_height: int = STACK_HEIGHT) -> PushState:
     """Fresh traversal state that resumes a ray mid-flight: the ESVO walk is
     memoryless given (ray, t_min), so a compacted lane restarts from the
     root with its old ``t_min`` as the entry floor and re-descends (~depth
@@ -565,13 +568,16 @@ def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
         active=s.active & (t_min <= s.t_max),
     )
     B = c.rox.shape[0]
+    H = stack_height
+    s = s._replace(stack_pp=jnp.zeros((H, B), u32),
+                   stack_tmax=jnp.zeros((H, B), f32))
     return PushState(
         *s,
         desc=jnp.zeros(B, u32),
         child_ptr=jnp.zeros(B, u32),
         need_fetch=jnp.ones(B, bool),
-        stack_desc=jnp.zeros((STACK_HEIGHT, B), u32),
-        stack_cptr=jnp.zeros((STACK_HEIGHT, B), u32),
+        stack_desc=jnp.zeros((H, B), u32),
+        stack_cptr=jnp.zeros((H, B), u32),
     )
 
 
@@ -597,7 +603,8 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     stops at every leaf). Lanes awaiting a fetch stall; POP restores the node
     registers from the stacks. Mirrors ``traversal_step`` exactly otherwise."""
     B = s.active.shape[0]
-    stack_base = MAX_SCALE - STACK_HEIGHT
+    H = s.stack_pp.shape[0]  # sized to world depth by the caller
+    stack_base = MAX_SCALE - H
 
     scale_exp2 = _exp2_scale(s.scale)
     adj_count = (s.adj_last >> 24).astype(i32)
@@ -648,7 +655,7 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     )
 
     slot = s.scale - stack_base
-    lv = jnp.arange(STACK_HEIGHT, dtype=i32)[:, None] == slot[None, :]
+    lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
     do_store = (want_push & (tc_max < s.h))[None, :] & lv
     stack_pp = jnp.where(do_store, s.pp[None, :], s.stack_pp)
     stack_tmax = jnp.where(do_store, s.t_max[None, :], s.stack_tmax)
@@ -692,8 +699,8 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     active = active & ~exited
     do_pop = need_pop & ~exited
 
-    pop_slot = jnp.clip(pop_scale - stack_base, 0, STACK_HEIGHT - 1)
-    pop_lv = jnp.arange(STACK_HEIGHT, dtype=i32)[:, None] == pop_slot[None, :]
+    pop_slot = jnp.clip(pop_scale - stack_base, 0, H - 1)
+    pop_lv = jnp.arange(H, dtype=i32)[:, None] == pop_slot[None, :]
     pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
     pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
     pop_desc = jnp.where(pop_lv, stack_desc, 0).sum(axis=0).astype(u32)
