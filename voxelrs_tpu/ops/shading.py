@@ -267,20 +267,30 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     round_jit = jax.jit(round_body, donate_argnums=(2,), static_argnums=(4,))
 
     # frozen per-lane hit state: everything finalize needs later
+    # (idx + scale packed into one word; `inside` is not recorded — no
+    # consumer of this pipeline reads inside_voxel)
     def _freeze(state):
-        return (state.t_min, state.pp, state.idx, state.scale,
+        idxscale = (state.idx.astype(jnp.uint32)
+                    | (state.scale.astype(jnp.uint32) << 8))
+        return (state.t_min, state.pp, idxscale,
                 state.posx, state.posy, state.posz)
 
-    def _scatter_frozen(frozen, hit_full, inside_full, idx, state):
+    def _scatter_frozen(frozen, hit_full, idx, state):
         take = state.hit
         out = tuple(
             f.at[idx].set(jnp.where(take, cur, f[idx]))
             for f, cur in zip(frozen, _freeze(state))
         )
-        return (out, hit_full.at[idx].set(hit_full[idx] | take),
-                inside_full.at[idx].set(state.inside))
+        return out, hit_full.at[idx].set(hit_full[idx] | take)
 
-    scatter_frozen = jax.jit(_scatter_frozen, donate_argnums=(0, 1, 2))
+    scatter_frozen = jax.jit(_scatter_frozen, donate_argnums=(0, 1))
+
+    scatter_hit = jax.jit(
+        lambda hit_full, idx, state: hit_full.at[idx].set(
+            hit_full[idx] | state.hit
+        ),
+        donate_argnums=(0,),
+    )
 
     def _make_compact(ray_fn):
         def f(scale, ray_args, max_dst, state, gidx, sub_idx):
@@ -390,15 +400,16 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             with plan_lock:
                 plans[tag] = None if stale else (n, new_plan)
 
-    def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag):
-        """Opaque deferred trace. Returns (frozen, hit, inside, steps_total)
-        at full width; ``frozen`` feeds ``finalize_lanes``."""
+    def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag,
+              record_frozen: bool = True):
+        """Opaque deferred trace. Returns (frozen, hit, steps_total) at full
+        width; ``frozen`` feeds ``finalize_lanes``. ``record_frozen=False``
+        (shadow rays) keeps only the hit mask — no frozen-state scatters."""
         compact_jit = compact_jits[mode]
         consts, state = start(scale, ro, rd, max_dst)
         n = ro.shape[0]
         frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
         hit_full = jnp.zeros(n, bool)
-        inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
         seg0 = int(_os.environ.get("VOXELRS_SEG", "12"))
@@ -436,17 +447,18 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
         def do_compact(bucket):
             nonlocal idx, cur_consts, cur_state, width_now
-            nonlocal frozen, hit_full, inside_full
+            nonlocal frozen, hit_full
             sub_idx = order_active(cur_state, bucket)
             gidx = sub_idx if idx is None else idx[sub_idx]
             if idx is None:
-                frozen = _freeze(cur_state)
                 hit_full = cur_state.hit
-                inside_full = cur_state.inside
+                if record_frozen:
+                    frozen = _freeze(cur_state)
+            elif record_frozen:
+                frozen, hit_full = scatter_frozen(frozen, hit_full, idx,
+                                                  cur_state)
             else:
-                frozen, hit_full, inside_full = scatter_frozen(
-                    frozen, hit_full, inside_full, idx, cur_state
-                )
+                hit_full = scatter_hit(hit_full, idx, cur_state)
             cur_consts, cur_state = compact_jit(
                 scale, ray_args, max_dst, cur_state, gidx, sub_idx
             )
@@ -524,24 +536,26 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 pending.append((tag, n, seg_lens, counts_dev))
 
         if idx is None:
-            frozen = _freeze(cur_state)
             hit_full = cur_state.hit
-            inside_full = cur_state.inside
+            if record_frozen:
+                frozen = _freeze(cur_state)
+        elif record_frozen:
+            frozen, hit_full = scatter_frozen(frozen, hit_full, idx, cur_state)
         else:
-            frozen, hit_full, inside_full = scatter_frozen(
-                frozen, hit_full, inside_full, idx, cur_state
-            )
-        return frozen, hit_full, inside_full, steps_total
+            hit_full = scatter_hit(hit_full, idx, cur_state)
+        return frozen, hit_full, steps_total
 
     def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
-                        hit_k, inside_k, steps_total):
+                        hit_k, steps_total):
         """Build a TraversalResult for a gathered lane subset."""
         fat_rows = _make_fat_rows(descriptors)
         c = make_ray_consts(scale, ro_k, rd_k, max_dst)
-        t_min, pp, oidx, sc, px, py, pz = frozen_k
+        t_min, pp, idxscale, px, py, pz = frozen_k
         shell = init_state_push(c)._replace(
-            t_min=t_min, pp=pp, idx=oidx, scale=sc, posx=px, posy=py,
-            posz=pz, hit=hit_k, inside=inside_k,
+            t_min=t_min, pp=pp,
+            idx=(idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
+            scale=(idxscale >> jnp.uint32(8)).astype(jnp.int32),
+            posx=px, posy=py, posz=pz, hit=hit_k,
         )
         return finalize(fat_rows, c, shell, steps_total)
 
@@ -1031,7 +1045,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     mark("raygen", rd)
 
     cam_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
-    frozen, hit, inside, steps_total = trace(
+    frozen, hit, steps_total = trace(
         descriptors, octree_scale, ro, rd, jnp.float32(-1.0), "pix",
         cam_args, "primary",
     )
@@ -1042,15 +1056,14 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     # frames so the shadow pass's compiled width doesn't wobble
     k = min(B, sticky_hits_bucket(int(hit_count(hit))))
     idx = hit_order(hit, k)
-    gathered = gather_lanes(idx, hit, inside, *frozen)
-    hit_k, inside_k = gathered[:2]
-    frozen_k = gathered[2:]
+    gathered = gather_lanes(idx, hit, *frozen)
+    hit_k = gathered[0]
+    frozen_k = gathered[1:]
     ro_k, rd_k = pix_rays_jit(idx, cam_args)
     mark("compact-hits", hit_k)
 
     res = finalize_lanes(descriptors, octree_scale, ro_k, rd_k,
-                         jnp.float32(-1.0), frozen_k, hit_k, inside_k,
-                         steps_total)
+                         jnp.float32(-1.0), frozen_k, hit_k, steps_total)
     mark("finalize", res.t)
 
     (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
@@ -1069,9 +1082,9 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         sidx = hit_order(need_shadow_k, k2)
         sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
         srd2 = jnp.broadcast_to(neg_light, sro2.shape)
-        _f, shit2, _i, _s = trace(
+        _f, shit2, _s = trace(
             descriptors, octree_scale, sro2, srd2, smax2, "dir",
-            (sro2, neg_light), ("shadow", k2),
+            (sro2, neg_light), ("shadow", k2), record_frozen=False,
         )
         blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
         shadow_t_k = _shadow_sign(blocked)
