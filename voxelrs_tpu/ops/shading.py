@@ -184,6 +184,132 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
 _pipeline_cache: dict = {}
 
 
+def _margin_bucket(count: int) -> int:
+    return max(_bucket_size(count + (count * 7) // 20 + 64), 8192)
+
+
+def _sticky_bucket(prev, count: int) -> int:
+    """Reuse the previous bucket while it still fits — every distinct
+    bucket is a compiled shape (minutes of remote compile), so plans must
+    not wobble with per-frame count noise. Padded lanes cost microseconds;
+    shrink only when the bucket is >8x oversized."""
+    need = count + (count >> 4) + 64
+    if prev is not None and need <= prev and prev <= 8 * max(need, 2048):
+        return prev
+    return _margin_bucket(count)
+
+
+class _PlanStore:
+    """Per-pipeline wavefront-plan replay state: records each pass's
+    segment/compaction decisions and replays them on later frames without
+    intra-frame count syncs (counts stream back in one batched readback at
+    the next frame's start; an overflowed bucket marks the plan stale)."""
+
+    def __init__(self):
+        import threading
+
+        self.plans: dict = {}
+        self.pending: list = []
+        self.lock = threading.Lock()
+
+    def lookup(self, tag, n):
+        import os
+
+        if os.environ.get("VOXELRS_PLAN", "1") == "0":
+            return None
+        with self.lock:
+            stored = self.plans.get(tag)
+        plan = stored[1] if (stored and stored[0] == n) else None
+        if os.environ.get("VOXELRS_PLAN_DEBUG"):
+            print(f"    [plan {tag}] "
+                  f"{'replay ' + str(plan) if plan else 'SYNCED'}", flush=True)
+        return plan
+
+    def record(self, tag, n, plan):
+        import os
+
+        if os.environ.get("VOXELRS_PLAN", "1") == "0":
+            return
+        with self.lock:
+            self.plans[tag] = (n, plan)
+
+    def push_pending(self, tag, n, seg_lens, counts_dev):
+        with self.lock:
+            self.pending.append((tag, n, seg_lens, counts_dev))
+
+    def sticky_scalar(self, name, count_dev, cap):
+        """Bucket for a lane subset sized by an async device count: replay
+        last frame's sticky value (no sync); first frame reads it back."""
+        with self.lock:
+            prev = self.plans.get(name)
+            self.pending.append((("scalar", name, cap), None, [], [count_dev]))
+        if prev is not None:
+            return min(prev, cap)
+        return min(cap, _bucket_size(int(count_dev)))
+
+    def sticky_sync(self, name, needed, cap):
+        """Synchronous sticky bucket (exact, one readback already paid)."""
+        with self.lock:
+            prev = self.plans.get(name)
+            target = _bucket_size(needed)
+            k = prev if (prev is not None and prev >= needed
+                         and prev <= 4 * target) else target
+            self.plans[name] = k
+        return min(k, cap)
+
+    def resolve(self):
+        """One batched readback of last frame's per-segment counts; refresh
+        (or invalidate) the recorded plans."""
+        import os
+
+        with self.lock:
+            work, self.pending[:] = list(self.pending), []
+        if not work:
+            return
+        flat = [c for (_, _, _, cs) in work for c in cs]
+        values = [int(v) for v in np.asarray(jnp.stack(flat))] if flat else []
+        pos = 0
+        debug = os.environ.get("VOXELRS_PLAN_DEBUG")
+        for tag, n, segs, cs in work:
+            counts = values[pos : pos + len(cs)]
+            pos += len(cs)
+            if isinstance(tag, tuple) and tag and tag[0] == "scalar":
+                _, name, cap = tag
+                count = counts[0]
+                with self.lock:
+                    prev = self.plans.get(name)
+                stale = prev is not None and count > prev
+                if debug and stale:
+                    print(f"    [plan {name}] STALE (scalar overflow)",
+                          flush=True)
+                with self.lock:
+                    self.plans[name] = (None if stale else
+                                        min(cap, _sticky_bucket(prev, count)))
+                continue
+            with self.lock:
+                old = self.plans.get(tag)
+            old_plan = old[1] if old and old[0] == n else []
+            new_plan = []
+            w = n
+            stale = False
+            for i, (seg, count) in enumerate(zip(segs, counts)):
+                replayed = old_plan[i][1] if i < len(old_plan) else None
+                if replayed is not None and count > replayed:
+                    stale = True  # bucket overflowed: rays were dropped
+                bucket = _sticky_bucket(replayed, count)
+                if count > 0 and bucket <= (w * 3) // 4:
+                    new_plan.append((seg, bucket))
+                    w = bucket
+                else:
+                    new_plan.append((seg, None))
+                if count == 0:
+                    break
+            if debug and stale:
+                print(f"    [plan {tag}] STALE (bucket overflow)", flush=True)
+            with self.lock:
+                self.plans[tag] = None if stale else (n, new_plan)
+
+
 def _bucket_size(count: int) -> int:
     """Smallest size from the {2^k, 1.5*2^k} ladder covering ``count`` —
     finer than pure powers of two so compaction triggers more often, while
@@ -331,74 +457,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         static_argnums=(1,),
     )
 
-    # -- plan replay state (per pipeline) -------------------------------------
-    import threading as _threading
-
-    plans: dict = {}  # tag -> (n, [(seg_len, bucket-or-None), ...])
-    pending: list = []  # (tag, n, [seg lens], device count scalars)
-    plan_lock = _threading.Lock()
-
-    def _margin_bucket(count: int) -> int:
-        return max(_bucket_size(count + (count * 7) // 20 + 64), 8192)
-
-    def _sticky_bucket(prev, count: int) -> int:
-        """Reuse the previous bucket while it still fits — every distinct
-        bucket is a compiled shape (minutes of remote compile), so plans
-        must not wobble with per-frame count noise. Padded lanes cost
-        microseconds; shrink only when the bucket is >8x oversized."""
-        need = count + (count >> 4) + 64
-        if prev is not None and need <= prev and prev <= 8 * max(need, 2048):
-            return prev
-        return _margin_bucket(count)
-
-    def resolve_pending():
-        """One batched readback of last frame's per-segment counts; refresh
-        (or invalidate) the recorded plans."""
-        with plan_lock:
-            work, pending[:] = list(pending), []
-        if not work:
-            return
-        flat = [c for (_, _, _, cs) in work for c in cs]
-        values = [int(v) for v in np.asarray(jnp.stack(flat))] if flat else []
-        pos = 0
-        for tag, n, segs, cs in work:
-            counts = values[pos : pos + len(cs)]
-            pos += len(cs)
-            if isinstance(tag, tuple) and tag and tag[0] == "scalar":
-                # sticky scalar bucket (e.g. need-shadow lane count)
-                _, name, cap = tag
-                count = counts[0]
-                with plan_lock:
-                    prev = plans.get(name)
-                stale = prev is not None and count > prev
-                if _os.environ.get("VOXELRS_PLAN_DEBUG") and stale:
-                    print(f"    [plan {name}] STALE (scalar overflow)",
-                          flush=True)
-                with plan_lock:
-                    plans[name] = (None if stale
-                                   else min(cap, _sticky_bucket(prev, count)))
-                continue
-            old = plans.get(tag)
-            old_plan = old[1] if old and old[0] == n else []
-            new_plan = []
-            w = n
-            stale = False
-            for i, (seg, count) in enumerate(zip(segs, counts)):
-                replayed = old_plan[i][1] if i < len(old_plan) else None
-                if replayed is not None and count > replayed:
-                    stale = True  # bucket overflowed: rays were dropped
-                bucket = _sticky_bucket(replayed, count)
-                if count > 0 and bucket <= (w * 3) // 4:
-                    new_plan.append((seg, bucket))
-                    w = bucket
-                else:
-                    new_plan.append((seg, None))
-                if count == 0:
-                    break
-            if _os.environ.get("VOXELRS_PLAN_DEBUG") and stale:
-                print(f"    [plan {tag}] STALE (bucket overflow)", flush=True)
-            with plan_lock:
-                plans[tag] = None if stale else (n, new_plan)
+    store = _PlanStore()
 
     def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag,
               record_frozen: bool = True):
@@ -434,12 +493,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             state.t_min.block_until_ready()
             tmark.t0 = _t.perf_counter()
 
-        replay_on = _os.environ.get("VOXELRS_PLAN", "1") != "0"
-        stored = plans.get(tag) if replay_on else None
-        plan = stored[1] if (stored and stored[0] == n) else None
-        if _os.environ.get("VOXELRS_PLAN_DEBUG"):
-            print(f"    [plan {tag}] {'replay ' + str(plan) if plan else 'SYNCED'}",
-                  flush=True)
+        plan = store.lookup(tag, n)
 
         idx = None
         cur_consts, cur_state = consts, state
@@ -503,9 +557,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
-            if replay_on:
-                with plan_lock:
-                    plans[tag] = (n, plan_rec)
+            store.record(tag, n, plan_rec)
         else:
             # replay: no intra-frame syncs; counts resolved next frame
             seg_lens = []
@@ -532,8 +584,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 )
                 seg_lens.append(budget)
                 counts_dev.append(active_count(cur_state))
-            with plan_lock:
-                pending.append((tag, n, seg_lens, counts_dev))
+            store.push_pending(tag, n, seg_lens, counts_dev)
 
         if idx is None:
             hit_full = cur_state.hit
@@ -572,31 +623,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         )
     )
 
-    def sticky_async_bucket(name: str, count_dev, cap: int) -> int:
-        """Bucket for a lane subset sized by an async device count: replay
-        last frame's sticky value (no sync); first frame reads it back."""
-        with plan_lock:
-            prev = plans.get(name)
-            pending.append((("scalar", name, cap), None, [], [count_dev]))
-        if prev is not None:
-            return min(prev, cap)
-        return min(cap, _bucket_size(int(count_dev)))
-
     scatter_bool = jax.jit(lambda base, idx, v: base.at[idx].set(v))
 
-    def sticky_hits_bucket(needed: int) -> int:
-        with plan_lock:
-            prev = plans.get("hits_k")
-            target = _bucket_size(needed)
-            k = prev if (prev is not None and prev >= needed
-                         and prev <= 4 * target) else target
-            plans["hits_k"] = k
-        return k
-
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
-                            gather_lanes, pix_rays_jit, plans, pending,
-                            resolve_pending, sticky_hits_bucket,
-                            sticky_async_bucket, scatter_bool)
+                            gather_lanes, pix_rays_jit, store, scatter_bool)
     return _pipeline_cache[key]
 
 
@@ -727,7 +757,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         static_argnums=(2,),
     )
 
-    def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
+    store = _PlanStore()
+
+    def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
+              tag="primary"):
         consts, state = start(scale, ro, rd, max_dst)
         n = ro.shape[0]
         acc = (
@@ -742,11 +775,6 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
-        # progressive wavefront: geometric segment schedule (32, 32, 64, 128,
-        # 256, ... until max_steps is covered) with a compaction opportunity
-        # after EVERY segment — straggler rays (horizon grazers in deep
-        # worlds take many hundreds of steps) keep shrinking the working set
-        # instead of riding a single long final segment at full width.
         import os
 
         # segments are push-engine ITERATIONS (one fetch + 3 substeps each,
@@ -773,50 +801,98 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             jax.tree_util.tree_leaves(state)[0].block_until_ready()
             tmark.t0 = _t.perf_counter()
 
+        plan = store.lookup(tag, n)
+
         idx = None  # current lanes' indices into the full arrays
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
-        budget = max_steps
-        for steps in schedule:
-            cur_state, steps_total, cur_acc, cur_done = round_jit(
-                descriptors, cur_consts, cur_state, steps_total, cur_acc,
-                cur_done, mips, mat_tex, min(steps, budget),
+
+        def do_compact(bucket):
+            nonlocal idx, cur_consts, cur_state, cur_acc, cur_done, width_now
+            nonlocal acc, done, inside_full
+            sub_idx = order_unfinished(cur_state, cur_done, bucket)
+            gidx = sub_idx if idx is None else idx[sub_idx]
+            new_consts, new_state, new_acc, new_done = compact_jit(
+                scale, ro, rd, max_dst, cur_state, cur_acc, cur_done,
+                gidx, sub_idx,
             )
+            # scatter current results into the parent before narrowing
+            if idx is None:
+                acc, done, inside_full = (cur_acc, cur_done, cur_state.inside)
+            else:
+                acc, done, inside_full = scatter_jit(
+                    acc, done, inside_full, idx, cur_acc, cur_done,
+                    cur_state.inside,
+                )
+            idx = gidx
+            cur_consts, cur_state, cur_acc, cur_done = (
+                new_consts, new_state, new_acc, new_done
+            )
+            width_now = bucket
             if timing:
                 cur_state.t_min.block_until_ready()
-                tmark(f"round w={width_now}")
-            budget -= steps
-            count = int(unfinished_count(cur_state, cur_done))
-            tmark("count-sync")
-            if timing:
-                print(f"    seg len={steps} width={width_now} unfinished={count}",
-                      flush=True)
-            if count == 0 or budget <= 0:
-                break
-            bucket = _bucket_size(count)
-            if bucket <= width_now * 3 // 4:
-                sub_idx = order_unfinished(cur_state, cur_done, bucket)
-                gidx = sub_idx if idx is None else idx[sub_idx]
-                new_consts, new_state, new_acc, new_done = compact_jit(
-                    scale, ro, rd, max_dst, cur_state, cur_acc, cur_done,
-                    gidx, sub_idx,
+                tmark(f"compact->{bucket}")
+
+        budget = max_steps
+        if plan is None:
+            plan_rec = []
+            for steps in schedule:
+                seg = min(steps, budget)
+                cur_state, steps_total, cur_acc, cur_done = round_jit(
+                    descriptors, cur_consts, cur_state, steps_total, cur_acc,
+                    cur_done, mips, mat_tex, seg,
                 )
-                # scatter current results into the parent before narrowing
-                if idx is None:
-                    acc, done, inside_full = (cur_acc, cur_done, cur_state.inside)
-                else:
-                    acc, done, inside_full = scatter_jit(
-                        acc, done, inside_full, idx, cur_acc, cur_done,
-                        cur_state.inside,
-                    )
-                idx = gidx
-                cur_consts, cur_state, cur_acc, cur_done = (
-                    new_consts, new_state, new_acc, new_done
-                )
-                width_now = bucket
                 if timing:
                     cur_state.t_min.block_until_ready()
-                    tmark(f"compact->{bucket}")
+                    tmark(f"round w={width_now}")
+                budget -= seg
+                if budget <= 0:
+                    plan_rec.append((seg, None))
+                    break
+                count = int(unfinished_count(cur_state, cur_done))
+                tmark("count-sync")
+                if timing:
+                    print(f"    seg len={seg} width={width_now} "
+                          f"unfinished={count}", flush=True)
+                if count == 0:
+                    plan_rec.append((seg, None))
+                    break
+                bucket = _margin_bucket(count)
+                if bucket <= (width_now * 3) // 4:
+                    plan_rec.append((seg, bucket))
+                    do_compact(bucket)
+                else:
+                    plan_rec.append((seg, None))
+            store.record(tag, n, plan_rec)
+        else:
+            seg_lens = []
+            counts_dev = []
+            for seg, bucket in plan:
+                seg = min(seg, budget)
+                if seg <= 0:
+                    break
+                cur_state, steps_total, cur_acc, cur_done = round_jit(
+                    descriptors, cur_consts, cur_state, steps_total, cur_acc,
+                    cur_done, mips, mat_tex, seg,
+                )
+                if timing:
+                    cur_state.t_min.block_until_ready()
+                    tmark(f"round w={width_now} (replay)")
+                budget -= seg
+                seg_lens.append(seg)
+                counts_dev.append(unfinished_count(cur_state, cur_done))
+                if bucket is not None and bucket <= (width_now * 3) // 4:
+                    do_compact(bucket)
+            if budget > 0:
+                # safety tail: stragglers beyond last frame's profile get
+                # the remaining budget (and one more alpha judgement)
+                cur_state, steps_total, cur_acc, cur_done = round_jit(
+                    descriptors, cur_consts, cur_state, steps_total, cur_acc,
+                    cur_done, mips, mat_tex, budget,
+                )
+                seg_lens.append(budget)
+                counts_dev.append(unfinished_count(cur_state, cur_done))
+            store.push_pending(tag, n, seg_lens, counts_dev)
 
         if idx is None:
             acc, done, inside_full = cur_acc, cur_done, cur_state.inside
@@ -927,7 +1003,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     _pipeline_cache[key] = (raygen, trace, shade, combine, hit_count,
                             hit_order, gather_lanes, combine_scatter,
-                            finish_light)
+                            finish_light, store)
     return _pipeline_cache[key]
 
 
@@ -974,17 +1050,18 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
         )
 
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
-     combine_scatter, finish_light) = _deferred_pipeline(
+     combine_scatter, finish_light, store) = _deferred_pipeline(
         B, width, height, render_shadows, max_steps, rounds, stack_height
     )
+    store.resolve()  # refresh replay plans from last frame's counts
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
-    res = trace(descriptors, octree_scale, ro, rd, jnp.float32(-1.0), mips, mat_tex)
+    res = trace(descriptors, octree_scale, ro, rd, jnp.float32(-1.0), mips,
+                mat_tex, tag="primary")
     mark("primary", res.t)
 
     # compact shading + shadows to the hit lanes
-    n_hit = int(hit_count(res.t))
-    k = min(B, _bucket_size(n_hit))
+    k = store.sticky_sync("hits_k", int(hit_count(res.t)), B)
     idx = hit_order(res.t, k)
     (t_k, value_k, face_k, pos_k, uv_k, lod_k, ro_k, rd_k) = gather_lanes(
         idx, res.t, res.value, res.face_id, res.pos, res.uv, res.lod, ro, rd
@@ -1000,7 +1077,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     mark("shade", color_k)
     if render_shadows:
         sres = trace(descriptors, octree_scale, shadow_ro_k, shadow_rd_k,
-                     shadow_max_k, mips, mat_tex)
+                     shadow_max_k, mips, mat_tex, tag=("shadow", k))
         shadow_t_k = sres.t
         mark("shadow", shadow_t_k)
     else:
@@ -1029,16 +1106,16 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     B = width * height
     (raygen, _t, shade, _c, _hc, _ho, _gl, combine_scatter,
-     finish_light) = _deferred_pipeline(B, width, height, render_shadows,
-                                        max_steps, 4, stack_height)
+     finish_light, _store_t) = _deferred_pipeline(B, width, height,
+                                                  render_shadows, max_steps,
+                                                  4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
-     plans, pending, resolve_pending, sticky_hits_bucket, sticky_async_bucket,
-     scatter_bool) = _opaque_pipeline(B, width, height, max_steps,
-                                      stack_height)
+     store, scatter_bool) = _opaque_pipeline(B, width, height, max_steps,
+                                             stack_height)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
-    resolve_pending()  # refresh replay plans from last frame's counts
+    store.resolve()  # refresh replay plans from last frame's counts
     mark("plan-refresh", jnp.zeros(1))
 
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
@@ -1054,7 +1131,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     # the hit-lane bucket stays a synchronous (exact) readback: one ~30 ms
     # sync per frame, and shading never drops a hit pixel; sticky across
     # frames so the shadow pass's compiled width doesn't wobble
-    k = min(B, sticky_hits_bucket(int(hit_count(hit))))
+    k = store.sticky_sync("hits_k", int(hit_count(hit)), B)
     idx = hit_order(hit, k)
     gathered = gather_lanes(idx, hit, *frozen)
     hit_k = gathered[0]
@@ -1078,7 +1155,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         neg_light = -jnp.asarray(light_dir, jnp.float32)
         # compact to the lanes that actually need a shadow ray (~60% of
         # hits: lit-facing, within shadow distance)
-        k2 = sticky_async_bucket("ns_k", hit_count(need_shadow_k), k)
+        k2 = store.sticky_scalar("ns_k", hit_count(need_shadow_k), k)
         sidx = hit_order(need_shadow_k, k2)
         sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
         srd2 = jnp.broadcast_to(neg_light, sro2.shape)
