@@ -205,12 +205,17 @@ class _PlanStore:
     intra-frame count syncs (counts stream back in one batched readback at
     the next frame's start; an overflowed bucket marks the plan stale)."""
 
-    def __init__(self):
+    def __init__(self, merge_none_below: int = 0):
         import threading
 
         self.plans: dict = {}
         self.pending: list = []
         self.lock = threading.Lock()
+        # widths below this merge consecutive compaction-free segments into
+        # one round (dispatches over the tunnel cost ~25-30 ms each); the
+        # opaque pipeline merges at ANY width (its rounds carry no alpha
+        # judgement), the translucent one only in the straggler tail
+        self.merge_none_below = merge_none_below
 
     def lookup(self, tag, n):
         import os
@@ -266,6 +271,15 @@ class _PlanStore:
             work, self.pending[:] = list(self.pending), []
         if not work:
             return
+        # merged plans can only coarsen; re-sync the segment plans once in a
+        # while so a changed scene can rediscover finer compaction points
+        self._epoch = getattr(self, "_epoch", 0) + 1
+        if self._epoch % 64 == 0:
+            with self.lock:
+                for t in [t for t, v in self.plans.items()
+                          if isinstance(v, tuple)]:
+                    del self.plans[t]
+            return
         flat = [c for (_, _, _, cs) in work for c in cs]
         values = [int(v) for v in np.asarray(jnp.stack(flat))] if flat else []
         pos = 0
@@ -304,6 +318,18 @@ class _PlanStore:
                     new_plan.append((seg, None))
                 if count == 0:
                     break
+            if not stale and self.merge_none_below:
+                merged = []
+                w = n
+                for seg, bucket in new_plan:
+                    if (bucket is None and merged and merged[-1][1] is None
+                            and w <= self.merge_none_below):
+                        merged[-1] = (merged[-1][0] + seg, None)
+                    else:
+                        merged.append((seg, bucket))
+                    if bucket is not None:
+                        w = bucket
+                new_plan = merged
             if debug and stale:
                 print(f"    [plan {tag}] STALE (bucket overflow)", flush=True)
             with self.lock:
@@ -457,7 +483,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         static_argnums=(1,),
     )
 
-    store = _PlanStore()
+    store = _PlanStore(merge_none_below=1 << 62)  # no judge in rounds
 
     def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag,
               record_frozen: bool = True):
@@ -472,8 +498,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         steps_total = jnp.int32(0)
 
         seg0 = int(_os.environ.get("VOXELRS_SEG", "12"))
-        schedule = [seg0, seg0]
-        while sum(schedule) < max_steps:
+        schedule = [seg0] * 5  # fine early grid: deep worlds need ~40+
+        while sum(schedule) < max_steps:  # iterations at interesting widths
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
 
         timing = _os.environ.get("VOXELRS_TIMING") == "1"
@@ -757,7 +783,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         static_argnums=(2,),
     )
 
-    store = _PlanStore()
+    store = _PlanStore(merge_none_below=32768)  # keep judges at width
 
     def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
               tag="primary"):
@@ -780,8 +806,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         # segments are push-engine ITERATIONS (one fetch + 3 substeps each,
         # i.e. up to ~2-3 reference steps of progress per iteration)
         seg0 = int(os.environ.get("VOXELRS_SEG", "12"))
-        schedule = [seg0, seg0]
-        while sum(schedule) < max_steps:
+        schedule = [seg0] * 5  # fine early grid: deep worlds need ~40+
+        while sum(schedule) < max_steps:  # iterations at interesting widths
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
 
         timing = os.environ.get("VOXELRS_TIMING") == "1"
