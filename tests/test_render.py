@@ -157,3 +157,25 @@ def test_translucent_world_renders(scene):
     assert not np.isnan(img).any()
     # terrain must be visible behind the glass (rays pass alpha-0 texels)
     assert img[..., :3].mean() > 0.1
+
+
+def test_adaptive_matches_exact(scene, monkeypatch):
+    """The adaptive (thick-ray) pass must agree with the exact per-pixel
+    render: coarse-sample pixels bit-exactly, interpolated pixels exactly
+    where the four corners hit the same leaf, and only disagreement pixels
+    (re-traced at full res anyway) plus thin sub-2px features may differ."""
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(scene.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    adaptive = np.asarray(scene.render(p, W, H, max_steps=300))
+
+    # coarse sample pixels (even coords + last row/col) are bit-exact
+    ys = np.r_[np.arange(0, H, 2), H - 1]
+    xs = np.r_[np.arange(0, W, 2), W - 1]
+    np.testing.assert_array_equal(adaptive[np.ix_(ys, xs)], exact[np.ix_(ys, xs)])
+
+    # whole image within a tight budget; very few differing pixels
+    assert diff_images(adaptive, exact) < 0.002
+    per_pixel = np.abs(adaptive - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.02

@@ -107,16 +107,43 @@ def sky_color(rd):
     return jnp.concatenate([rgb, jnp.ones((rd.shape[0], 1), jnp.float32)], axis=-1)
 
 
-def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
-               light_dir, render_shadows, shadow_distance, highlight_pos,
-               descriptors, octree_scale, alpha_fn, traverse=None):
-    """Shading of traversal results (reference: world.glsl:27-90)."""
-    hit = res.t != -1.0
-    B = res.t.shape[0]
+def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
+                    highlight_pos):
+    """Surface color + normal-mapped lighting terms for traversal hits
+    (reference: world.glsl:47-75). Returns (color, normal, diffuse,
+    specular).
 
-    value = jnp.clip(res.value.astype(jnp.int32), 0, mat_params.shape[0] - 1)
-    layer = face_texture_layer(mat_tex, res.value, res.face_id, normal=False)
-    color = sample_texture_lod(mips, layer, res.uv, res.lod)
+    Gather-lean formulation (measured on v5e — gather count dominates):
+    - ONE material row gather: [spec_pow, spec_strength, tex0..tex5].
+    - Color + normal-map texels ride the SAME gathers via a paired atlas
+      built in-graph — each (block, face-slot) pairs its color and normal
+      layers into 8-channel texels, so one trilinear sample serves both
+      maps (9 row gathers instead of 18)."""
+    V = mat_params.shape[0]
+    T = mips[0].shape[0]
+    value = jnp.clip(res.value.astype(jnp.int32), 0, V - 1)
+    # face -> texture slot: top (face 3) = 0, bottom (face 2) = 2, side = 1
+    slot = jnp.where(res.face_id == 3, 0, jnp.where(res.face_id == 2, 2, 1))
+
+    mat_all = jnp.concatenate(
+        [mat_params[:, :2].astype(jnp.float32), mat_tex.astype(jnp.float32)],
+        axis=1,
+    )
+    mrow = mat_all[value]  # (B, 8): one row gather
+    spec_pow = jnp.maximum(mrow[:, 0], 1e-6)
+    spec_strength = mrow[:, 1]
+    slot_onehot = slot[:, None] == jnp.arange(3)[None, :]
+    nlayer = jnp.sum(jnp.where(slot_onehot, mrow[:, 5:8], 0.0), axis=1)
+
+    # paired 8-channel atlas: (value, slot) -> [color RGBA | normal RGBA]
+    cl = jnp.clip(mat_tex[:, 0:3], 0, T - 1).reshape(-1)
+    nl = jnp.clip(mat_tex[:, 3:6], 0, T - 1).reshape(-1)
+    pair_mips = tuple(
+        jnp.concatenate([m[cl], m[nl]], axis=-1) for m in mips
+    )
+    pid = value * 3 + slot
+    tex8 = sample_texture_lod(pair_mips, pid, res.uv, res.lod)
+    color, ntex = tex8[:, 0:4], tex8[:, 4:8]
 
     # block highlight outline
     same_block = jnp.all(
@@ -131,14 +158,12 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
     normal = FACE_NORMALS[res.face_id]
     tangent = FACE_TANGENTS[res.face_id]
     bitangent = FACE_BITANGENTS[res.face_id]
-    nlayer = face_texture_layer(mat_tex, res.value, res.face_id, normal=True)
-    ntex = sample_texture_lod(mips, jnp.maximum(nlayer, 0), res.uv, res.lod)
     swz = jnp.stack([ntex[:, 0], ntex[:, 2], ntex[:, 1]], axis=-1) * 2.0 - 1.0
     swz = swz / jnp.linalg.norm(swz, axis=-1, keepdims=True)
     mapped = (
         swz[:, 0:1] * tangent + swz[:, 1:2] * normal + swz[:, 2:3] * bitangent
     )
-    normal = jnp.where((nlayer != -1)[:, None], mapped, normal)
+    normal = jnp.where((nlayer != -1.0)[:, None], mapped, normal)
 
     diffuse = jnp.maximum(jnp.sum(normal * -light_dir[None, :], axis=-1), 0.0)
 
@@ -149,8 +174,20 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
     incident = -light_dir[None, :]
     reflect_dir = incident - 2.0 * jnp.sum(normal * incident, -1, keepdims=True) * normal
     spec_dot = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
-    spec_pow = jnp.maximum(mat_params[value, 0], 1e-6)
-    specular = jnp.power(spec_dot, spec_pow) * mat_params[value, 1]
+    specular = jnp.power(spec_dot, spec_pow) * spec_strength
+    return color, normal, diffuse, specular
+
+
+def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
+               light_dir, render_shadows, shadow_distance, highlight_pos,
+               descriptors, octree_scale, alpha_fn, traverse=None):
+    """Shading of traversal results (reference: world.glsl:27-90)."""
+    hit = res.t != -1.0
+    B = res.t.shape[0]
+
+    color, normal, diffuse, specular = surface_shading(
+        res, mips, mat_params, mat_tex, cam_pos, light_dir, highlight_pos
+    )
 
     if render_shadows:
         need = hit & (res.t < shadow_distance)
@@ -408,7 +445,13 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         ro_k = ro_full[idx]
         return ro_k, jnp.broadcast_to(rd_const, ro_k.shape)
 
-    _RAY_FNS = {"pix": _pix_rays, "dir": _dir_rays}
+    def _pixsub_rays(idx, ray_args):
+        """Pixel rays for a lane subset: lane -> global pixel id via the
+        base-index table (adaptive coarse/refine passes)."""
+        base_idx = ray_args[0]
+        return _pix_rays(base_idx[idx], ray_args[1:])
+
+    _RAY_FNS = {"pix": _pix_rays, "dir": _dir_rays, "pixsub": _pixsub_rays}
 
     def round_body(descriptors, consts, state, steps_total, seg_steps):
         fat_rows = _make_fat_rows(descriptors)
@@ -467,7 +510,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         return jax.jit(f)
 
     compact_jits = {"pix": _make_compact(_pix_rays),
-                    "dir": _make_compact(_dir_rays)}
+                    "dir": _make_compact(_dir_rays),
+                    "pixsub": _make_compact(_pixsub_rays)}
     pix_rays_jit = jax.jit(_pix_rays)
 
     start = jax.jit(
@@ -651,8 +695,147 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
     scatter_bool = jax.jit(lambda base, idx, v: base.at[idx].set(v))
 
+    def _combine_dense(rgb, alpha, hit, rd):
+        shaded = jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+        img = jnp.where(hit[:, None], shaded, sky_color(rd))
+        return img.reshape(height, width, 4)
+
+    combine_dense = jax.jit(_combine_dense)
+
+    # ---------------------------------------------------------------------
+    # Adaptive ("thick rays", reference README.md:243-254) machinery:
+    # trace a quarter-resolution grid, then fill interior pixels whose four
+    # surrounding coarse samples hit the IDENTICAL leaf (same pp/idx/scale/
+    # pos, i.e. leaf identity — no tunable epsilon) by intersecting each
+    # pixel's own ray with that leaf analytically (exact), and re-trace only
+    # the disagreement pixels at full resolution.
+    # ---------------------------------------------------------------------
+    Hc = height // 2 + 1 if height > 1 else 1
+    Wc = width // 2 + 1 if width > 1 else 1
+    Bc = Hc * Wc
+
+    def _coarse_pidx():
+        """Global pixel ids of the coarse grid: every 2nd pixel plus the
+        last row/column (cell corners cover the whole image)."""
+        cy = jnp.minimum(2 * jnp.arange(Hc, dtype=jnp.int32), height - 1)
+        cx = jnp.minimum(2 * jnp.arange(Wc, dtype=jnp.int32), width - 1)
+        return (cy[:, None] * width + cx[None, :]).reshape(-1)
+
+    coarse_rays = jax.jit(
+        lambda ray_args: (lambda p: (p, *_pix_rays(p, ray_args)))(
+            _coarse_pidx()
+        )
+    )
+
+    def _adaptive_merge(frozen_c, hit_c, scale, ray_args):
+        """Expand the coarse pass over the full frame. Returns
+        (frozen_full, hit_full, refine_mask, refine_count)."""
+        from .traversal import _exp2_scale, make_ray_consts
+
+        def up4(a):
+            """The 4 cell-corner values of every pixel, by 2x nearest
+            upsampling of the coarse grid and its +1 shifts (no gathers)."""
+            g = a.reshape(Hc, Wc)
+            right = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+            down = jnp.concatenate([g[1:, :], g[-1:, :]], axis=0)
+            downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+
+            def up(x):
+                x = jnp.repeat(x, 2, axis=0)[:height]
+                return jnp.repeat(x, 2, axis=1)[:, :width].reshape(-1)
+
+            return up(g), up(right), up(down), up(downright)
+
+        B = width * height
+        lane = jnp.arange(B, dtype=jnp.int32)
+        y = lane // width
+        x = lane % width
+        ylast = y == height - 1
+        xlast = x == width - 1
+        is_sample = ((y % 2 == 0) | ylast) & ((x % 2 == 0) | xlast)
+
+        def pick_sample(a00, a01, a10, a11):
+            return jnp.where(
+                ylast & xlast, a11,
+                jnp.where(ylast, a10, jnp.where(xlast, a01, a00)),
+            )
+
+        # corner views of every frozen channel + hit
+        t00, t01, t10, t11 = up4(frozen_c[0])
+        corners = [up4(a) for a in frozen_c[1:]]  # pp, idxscale, posx/y/z
+        h00, h01, h10, h11 = up4(hit_c)
+
+        eq = jnp.ones(B, bool)
+        for a00, a01, a10, a11 in corners:
+            eq = eq & (a00 == a01) & (a00 == a10) & (a00 == a11)
+        hit4 = h00 & h01 & h10 & h11
+        miss4 = ~(h00 | h01 | h10 | h11)
+
+        # own-ray constants (bit-identical ray derivation to the traversal)
+        ro, rd = _pix_rays(lane, ray_args)
+        c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
+
+        # corner octant masks (coarse rays recomputed; pure elementwise)
+        cp = _coarse_pidx()
+        ro_c2, rd_c2 = _pix_rays(cp, ray_args)
+        om_c = make_ray_consts(scale, ro_c2, rd_c2,
+                               jnp.float32(-1.0)).octant_mask
+        om00, om01, om10, om11 = up4(om_c)
+        om_ok = (c.octant_mask == om00) & (om00 == om01) & (om00 == om10) \
+            & (om00 == om11)
+
+        pp00 = corners[0][0]
+        idxscale00 = corners[1][0]
+        px00, py00, pz00 = corners[2][0], corners[3][0], corners[4][0]
+        scale00 = (idxscale00 >> jnp.uint32(8)).astype(jnp.int32)
+        sexp2 = _exp2_scale(scale00)
+        # entry distance of the pixel's own ray into the corner leaf box
+        # (mirrored space: entry = max of the far-plane coefficients)
+        t_int = jnp.maximum(
+            jnp.maximum((px00 + sexp2) * c.tcx - c.tbx,
+                        (py00 + sexp2) * c.tcy - c.tby),
+            (pz00 + sexp2) * c.tcz - c.tbz,
+        )
+        t_cube_exit = jnp.minimum(
+            jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
+        )
+        smooth = hit4 & eq & om_ok & (t_int > 0) & (t_int <= t_cube_exit)
+
+        hit_full = jnp.where(is_sample, pick_sample(h00, h01, h10, h11),
+                             smooth)
+        refine = ~is_sample & ~smooth & ~miss4
+
+        outs = []
+        smooth_vals = [t_int, pp00, idxscale00, px00, py00, pz00]
+        all_corners = [(t00, t01, t10, t11)] + corners
+        for (a00, a01, a10, a11), sv in zip(all_corners, smooth_vals):
+            samp = pick_sample(a00, a01, a10, a11)
+            zero = jnp.zeros((), a00.dtype)
+            outs.append(
+                jnp.where(is_sample, samp, jnp.where(smooth, sv, zero))
+            )
+        return (tuple(outs), hit_full, refine,
+                jnp.sum(refine).astype(jnp.int32))
+
+    adaptive_merge = jax.jit(_adaptive_merge)
+
+    refine_order = jax.jit(
+        lambda mask, size: jnp.nonzero(mask, size=size, fill_value=0)[0],
+        static_argnums=(1,),
+    )
+
+    def _merge_refined(frozen_full, hit_full, idx_r, frozen_r, hit_r):
+        frozen_full = tuple(
+            f.at[idx_r].set(r) for f, r in zip(frozen_full, frozen_r)
+        )
+        return frozen_full, hit_full.at[idx_r].set(hit_r)
+
+    merge_refined = jax.jit(_merge_refined, donate_argnums=(0, 1))
+
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
-                            gather_lanes, pix_rays_jit, store, scatter_bool)
+                            gather_lanes, pix_rays_jit, store, scatter_bool,
+                            combine_dense, coarse_rays, adaptive_merge,
+                            refine_order, merge_refined)
     return _pipeline_cache[key]
 
 
@@ -943,38 +1126,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         res = TraversalResult(*res_tuple, steps=None, trace=None)
         hit = res.t != -1.0
 
-        value = jnp.clip(res.value.astype(jnp.int32), 0, mat_params.shape[0] - 1)
-        layer = face_texture_layer(mat_tex, res.value, res.face_id, normal=False)
-        color = sample_texture_lod(mips, layer, res.uv, res.lod)
-
-        same_block = jnp.all(
-            jnp.floor(res.pos) == jnp.floor(highlight_pos)[None, :], axis=-1
+        color, normal, diffuse, specular = surface_shading(
+            res, mips, mat_params, mat_tex, cam_pos, light_dir, highlight_pos
         )
-        local = jnp.abs(res.uv - 0.5) * 2.0
-        lmax = jnp.maximum(local[:, 0], local[:, 1])
-        outline = same_block & (lmax > 1.0 - 1.0 / 16.0)
-        color = jnp.where(outline[:, None], jnp.ones((1, 4), jnp.float32), color)
-
-        normal = FACE_NORMALS[res.face_id]
-        tangent = FACE_TANGENTS[res.face_id]
-        bitangent = FACE_BITANGENTS[res.face_id]
-        nlayer = face_texture_layer(mat_tex, res.value, res.face_id, normal=True)
-        ntex = sample_texture_lod(mips, jnp.maximum(nlayer, 0), res.uv, res.lod)
-        swz = jnp.stack([ntex[:, 0], ntex[:, 2], ntex[:, 1]], axis=-1) * 2.0 - 1.0
-        swz = swz / jnp.linalg.norm(swz, axis=-1, keepdims=True)
-        mapped = swz[:, 0:1] * tangent + swz[:, 1:2] * normal + swz[:, 2:3] * bitangent
-        normal = jnp.where((nlayer != -1)[:, None], mapped, normal)
-
-        diffuse = jnp.maximum(jnp.sum(normal * -light_dir[None, :], axis=-1), 0.0)
-        view_dir = res.pos - cam_pos[None, :]
-        view_dir = view_dir / jnp.maximum(
-            jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12
-        )
-        incident = -light_dir[None, :]
-        reflect_dir = incident - 2.0 * jnp.sum(normal * incident, -1, keepdims=True) * normal
-        spec_dot = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
-        spec_pow = jnp.maximum(mat_params[value, 0], 1e-6)
-        specular = jnp.power(spec_dot, spec_pow) * mat_params[value, 1]
 
         # a shadow only matters when it can darken something:
         # light = ambient + (diffuse+specular)*shadow, so lanes with zero
@@ -1136,8 +1290,9 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                                                   render_shadows, max_steps,
                                                   4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
-     store, scatter_bool) = _opaque_pipeline(B, width, height, max_steps,
-                                             stack_height)
+     store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
+     refine_order, merge_refined) = _opaque_pipeline(
+        B, width, height, max_steps, stack_height)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
@@ -1148,21 +1303,63 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     mark("raygen", rd)
 
     cam_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
-    frozen, hit, steps_total = trace(
-        descriptors, octree_scale, ro, rd, jnp.float32(-1.0), "pix",
-        cam_args, "primary",
+
+    # adaptive ("thick ray") primary pass: quarter-res trace, exact fill of
+    # same-leaf interior pixels, full-res re-trace of disagreement pixels
+    # (reference README.md:243-254 future-work idea, made exact via leaf
+    # identity). Default on for large frames; VOXELRS_ADAPTIVE overrides.
+    import os as _os
+
+    _adaptive_env = _os.environ.get("VOXELRS_ADAPTIVE")
+    adaptive = (
+        bool(int(_adaptive_env)) if _adaptive_env is not None
+        else (B >= (1 << 18) and width > 4 and height > 4)
     )
-    mark("primary", hit)
+
+    if adaptive:
+        cpidx, ro_c, rd_c = coarse_rays(cam_args)
+        frozen_c, hit_c, steps1 = trace(
+            descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
+            "pixsub", (cpidx,) + cam_args, "coarse",
+        )
+        mark("coarse", hit_c)
+        frozen, hit, refine_mask, refine_count = adaptive_merge(
+            frozen_c, hit_c, octree_scale, cam_args
+        )
+        mark("adaptive-merge", hit)
+        k_r = store.sticky_scalar("refine_k", refine_count, B)
+        idx_r = refine_order(refine_mask, k_r)
+        ro_r, rd_r = pix_rays_jit(idx_r, cam_args)
+        frozen_r, hit_r, steps2 = trace(
+            descriptors, octree_scale, ro_r, rd_r, jnp.float32(-1.0),
+            "pixsub", (idx_r,) + cam_args, ("refine", k_r),
+        )
+        frozen, hit = merge_refined(frozen, hit, idx_r, frozen_r, hit_r)
+        steps_total = steps1 + steps2
+        mark("refine", hit)
+    else:
+        frozen, hit, steps_total = trace(
+            descriptors, octree_scale, ro, rd, jnp.float32(-1.0), "pix",
+            cam_args, "primary",
+        )
+        mark("primary", hit)
 
     # the hit-lane bucket stays a synchronous (exact) readback: one ~30 ms
     # sync per frame, and shading never drops a hit pixel; sticky across
     # frames so the shadow pass's compiled width doesn't wobble
     k = store.sticky_sync("hits_k", int(hit_count(hit)), B)
-    idx = hit_order(hit, k)
-    gathered = gather_lanes(idx, hit, *frozen)
-    hit_k = gathered[0]
-    frozen_k = gathered[1:]
-    ro_k, rd_k = pix_rays_jit(idx, cam_args)
+    if k >= (B * 3) // 4:
+        # hit-dense frame: compaction's nonzero + 8 wide gathers cost more
+        # than the sky lanes they remove — shade the full frame in place
+        k = B
+        idx = None
+        hit_k, frozen_k, ro_k, rd_k = hit, frozen, ro, rd
+    else:
+        idx = hit_order(hit, k)
+        gathered = gather_lanes(idx, hit, *frozen)
+        hit_k = gathered[0]
+        frozen_k = gathered[1:]
+        ro_k, rd_k = pix_rays_jit(idx, cam_args)
     mark("compact-hits", hit_k)
 
     res = finalize_lanes(descriptors, octree_scale, ro_k, rd_k,
@@ -1198,7 +1395,10 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     rgb_k, alpha_k = finish_light(
         color_k, diffuse_k, specular_k, need_shadow_k, shadow_t_k, ambient
     )
-    out = combine_scatter(idx, rgb_k, alpha_k, hit, rd)
+    if idx is None:
+        out = combine_dense(rgb_k, alpha_k, hit, rd)
+    else:
+        out = combine_scatter(idx, rgb_k, alpha_k, hit, rd)
     mark("combine", out)
     return out
 
