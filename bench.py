@@ -105,15 +105,20 @@ def main() -> None:
         frame(i)
     seq = (time.time() - t0) / FRAMES
 
-    # two frames in flight: sustained throughput (device work interleaves
-    # while the other frame waits on its host syncs)
+    # frames in flight: sustained throughput (device work interleaves while
+    # other frames wait on their host syncs); depth swept — the dispatch
+    # probe shows enqueue is ~free and only syncs (~26 ms) serialize
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as pool:
-        list(pool.map(frame, range(2)))  # warm any second-thread caches
-        t0 = time.time()
-        list(pool.map(frame, range(2 * FRAMES)))
-        piped = (time.time() - t0) / (2 * FRAMES)
+    piped = seq
+    for depth in (2, 3):
+        with ThreadPoolExecutor(depth) as pool:
+            list(pool.map(frame, range(depth)))  # warm per-thread caches
+            t0 = time.time()
+            list(pool.map(frame, range(depth * FRAMES)))
+            piped_d = (time.time() - t0) / (depth * FRAMES)
+        print(f"# pipelined depth {depth}: {piped_d*1e3:.0f} ms", file=sys.stderr)
+        piped = min(piped, piped_d)
 
     print(f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f} ms",
           file=sys.stderr)

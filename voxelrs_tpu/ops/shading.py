@@ -667,8 +667,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         return frozen, hit_full, steps_total
 
     def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
-                        hit_k, steps_total):
-        """Build a TraversalResult for a gathered lane subset."""
+                        hit_k, steps_total, known_k=None, known_value_k=None):
+        """Build a TraversalResult for a gathered lane subset. Lanes with a
+        carried leaf value (adaptive fill: ``known_k``) substitute it for
+        the fetched one (their synthesized state has no valid pointer)."""
         fat_rows = _make_fat_rows(descriptors)
         c = make_ray_consts(scale, ro_k, rd_k, max_dst)
         t_min, pp, idxscale, px, py, pz = frozen_k
@@ -678,7 +680,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             scale=(idxscale >> jnp.uint32(8)).astype(jnp.int32),
             posx=px, posy=py, posz=pz, hit=hit_k,
         )
-        return finalize(fat_rows, c, shell, steps_total)
+        res = finalize(fat_rows, c, shell, steps_total)
+        if known_k is not None:
+            res = res._replace(
+                value=jnp.where(known_k & hit_k, known_value_k, res.value)
+            )
+        return res
 
     finalize_lanes = jax.jit(_finalize_lanes)
 
@@ -727,10 +734,32 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         )
     )
 
-    def _adaptive_merge(frozen_c, hit_c, scale, ray_args):
-        """Expand the coarse pass over the full frame. Returns
-        (frozen_full, hit_full, refine_mask, refine_count)."""
-        from .traversal import _exp2_scale, make_ray_consts
+    def _adaptive_merge(descriptors, frozen_c, hit_c, scale, ray_args,
+                        need_c, blocked_c):
+        """Expand the coarse pass over the full frame.
+
+        A pixel is filled without tracing when its 4 cell corners hit the
+        SAME RENDERED SURFACE: equal block value, face, leaf scale and face
+        plane (coplanar leaves — voxel boundaries within a flat surface stay
+        smooth). The fill is exact: the pixel's own ray intersects the
+        shared plane, its leaf base is recovered by mantissa quantization
+        (the traversal's own POP rounding), and the leaf value is carried
+        from the corners so finalize needs no extra fetch. Returns
+        (frozen_full, hit_full, known_value, refine_mask, refine_count)
+        plus (s_known, s_need, s_blocked): per-pixel shadow reuse — the
+        coarse pass's shadow-ray verdicts (need_c, blocked_c) carry over to
+        samples and to smooth pixels whose 4 corners agree on both flags
+        (shadow edges stay traced).
+        """
+        from .traversal import (
+            PTR_MASK,
+            _exp2_scale,
+            _make_fat_rows,
+            f32_bits,
+            hit_phase_fat,
+            make_ray_consts,
+        )
+        from .bits import bits_f32
 
         def up4(a):
             """The 4 cell-corner values of every pixel, by 2x nearest
@@ -746,6 +775,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
             return up(g), up(right), up(down), up(downright)
 
+        def same4(q):
+            a00, a01, a10, a11 = up4(q)
+            return a00, (a00 == a01) & (a00 == a10) & (a00 == a11)
+
         B = width * height
         lane = jnp.arange(B, dtype=jnp.int32)
         y = lane // width
@@ -760,61 +793,131 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 jnp.where(ylast, a10, jnp.where(xlast, a01, a00)),
             )
 
-        # corner views of every frozen channel + hit
-        t00, t01, t10, t11 = up4(frozen_c[0])
-        corners = [up4(a) for a in frozen_c[1:]]  # pp, idxscale, posx/y/z
-        h00, h01, h10, h11 = up4(hit_c)
+        # -- per-coarse-lane surface identity (value fetch + hit geometry) --
+        cp = _coarse_pidx()
+        ro_c2, rd_c2 = _pix_rays(cp, ray_args)
+        cc = make_ray_consts(scale, ro_c2, rd_c2, jnp.float32(-1.0))
+        t_c, pp_c, idxscale_c, px_c, py_c, pz_c = frozen_c
+        scale_c = (idxscale_c >> jnp.uint32(8)).astype(jnp.int32)
+        idx_c = (idxscale_c & jnp.uint32(0xFF)).astype(jnp.int32)
+        value_c, _f, _ux, _uy, _d, _l, _up = hit_phase_fat(
+            _make_fat_rows(descriptors), cc, pp_c, idx_c, scale_c,
+            px_c, py_c, pz_c, t_c,
+        )
+        sexp2_c = _exp2_scale(scale_c)
+        t2x_c = (px_c + sexp2_c) * cc.tcx - cc.tbx
+        t2y_c = (py_c + sexp2_c) * cc.tcy - cc.tby
+        t2z_c = (pz_c + sexp2_c) * cc.tcz - cc.tbz
+        tcmin_c = jnp.maximum(jnp.maximum(t2x_c, t2y_c), t2z_c)
+        # face AXIS (0/1/2) + the shared entry-plane coordinate on it
+        on_x_c = tcmin_c == t2x_c
+        on_y_c = (~on_x_c) & (tcmin_c == t2y_c)
+        axis_c = jnp.where(on_x_c, 0, jnp.where(on_y_c, 1, 2))
+        plane_c = jnp.where(
+            on_x_c, px_c + sexp2_c,
+            jnp.where(on_y_c, py_c + sexp2_c, pz_c + sexp2_c),
+        )
 
-        eq = jnp.ones(B, bool)
-        for a00, a01, a10, a11 in corners:
-            eq = eq & (a00 == a01) & (a00 == a10) & (a00 == a11)
+        h00, h01, h10, h11 = up4(hit_c)
         hit4 = h00 & h01 & h10 & h11
         miss4 = ~(h00 | h01 | h10 | h11)
+
+        value00, value_eq = same4(value_c)
+        axis00, axis_eq = same4(axis_c)
+        plane00, plane_eq = same4(plane_c)
+        scale00, scale_eq = same4(scale_c)
+        om00, om_eq = same4(cc.octant_mask)
 
         # own-ray constants (bit-identical ray derivation to the traversal)
         ro, rd = _pix_rays(lane, ray_args)
         c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
+        om_ok = om_eq & (c.octant_mask == om00)
 
-        # corner octant masks (coarse rays recomputed; pure elementwise)
-        cp = _coarse_pidx()
-        ro_c2, rd_c2 = _pix_rays(cp, ray_args)
-        om_c = make_ray_consts(scale, ro_c2, rd_c2,
-                               jnp.float32(-1.0)).octant_mask
-        om00, om01, om10, om11 = up4(om_c)
-        om_ok = (c.octant_mask == om00) & (om00 == om01) & (om00 == om10) \
-            & (om00 == om11)
-
-        pp00 = corners[0][0]
-        idxscale00 = corners[1][0]
-        px00, py00, pz00 = corners[2][0], corners[3][0], corners[4][0]
-        scale00 = (idxscale00 >> jnp.uint32(8)).astype(jnp.int32)
+        # the pixel's own ray meets the shared plane at t_int
         sexp2 = _exp2_scale(scale00)
-        # entry distance of the pixel's own ray into the corner leaf box
-        # (mirrored space: entry = max of the far-plane coefficients)
-        t_int = jnp.maximum(
-            jnp.maximum((px00 + sexp2) * c.tcx - c.tbx,
-                        (py00 + sexp2) * c.tcy - c.tby),
-            (pz00 + sexp2) * c.tcz - c.tbz,
-        )
+        tc_ax = jnp.where(axis00 == 0, c.tcx,
+                          jnp.where(axis00 == 1, c.tcy, c.tcz))
+        tb_ax = jnp.where(axis00 == 0, c.tbx,
+                          jnp.where(axis00 == 1, c.tby, c.tbz))
+        t_int = plane00 * tc_ax - tb_ax
+
+        # hit point in mirrored [1,2) space -> leaf base by mantissa
+        # quantization (face axis comes from the plane itself)
+        def mcoord(roa, rda, mirror):
+            h = roa + t_int * rda
+            return jnp.where(mirror, 3.0 - h, h)
+
+        mx = mcoord(c.rox, c.rdx, c.mirror_x)
+        my = mcoord(c.roy, c.rdy, c.mirror_y)
+        mz = mcoord(c.roz, c.rdz, c.mirror_z)
+        sc = jnp.clip(scale00, 0, 31).astype(jnp.uint32)
+
+        def quant(m):
+            return bits_f32((f32_bits(m) >> sc) << sc)
+
+        base_ax = plane00 - sexp2
+        posx = jnp.where(axis00 == 0, base_ax, quant(mx))
+        posy = jnp.where(axis00 == 1, base_ax, quant(my))
+        posz = jnp.where(axis00 == 2, base_ax, quant(mz))
+
+        # consistency: the plane must be the pixel's own entry face of the
+        # synthesized leaf box (finalize recomputes the same argmax)
+        t2x = (posx + sexp2) * c.tcx - c.tbx
+        t2y = (posy + sexp2) * c.tcy - c.tby
+        t2z = (posz + sexp2) * c.tcz - c.tbz
+        tcmin = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
+        on_x = tcmin == t2x
+        on_y = (~on_x) & (tcmin == t2y)
+        axis_own = jnp.where(on_x, 0, jnp.where(on_y, 1, 2))
         t_cube_exit = jnp.minimum(
             jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
         )
-        smooth = hit4 & eq & om_ok & (t_int > 0) & (t_int <= t_cube_exit)
+        smooth = (
+            hit4 & value_eq & axis_eq & plane_eq & scale_eq & om_ok
+            & (axis_own == axis00) & (t_int == tcmin)
+            & (t_int > 0) & (t_int <= t_cube_exit)
+        )
 
         hit_full = jnp.where(is_sample, pick_sample(h00, h01, h10, h11),
                              smooth)
         refine = ~is_sample & ~smooth & ~miss4
 
+        # frozen channels: samples keep their coarse state; smooth lanes get
+        # the synthesized state (pp unused - value is carried)
         outs = []
-        smooth_vals = [t_int, pp00, idxscale00, px00, py00, pz00]
-        all_corners = [(t00, t01, t10, t11)] + corners
-        for (a00, a01, a10, a11), sv in zip(all_corners, smooth_vals):
+        zero_u = jnp.zeros((), jnp.uint32)
+        smooth_vals = [
+            t_int, zero_u,
+            scale00.astype(jnp.uint32) << jnp.uint32(8),
+            posx, posy, posz,
+        ]
+        for a, sv in zip(frozen_c, smooth_vals):
+            a00, a01, a10, a11 = up4(a)
             samp = pick_sample(a00, a01, a10, a11)
-            zero = jnp.zeros((), a00.dtype)
+            zero = jnp.zeros((), samp.dtype)
             outs.append(
                 jnp.where(is_sample, samp, jnp.where(smooth, sv, zero))
             )
-        return (tuple(outs), hit_full, refine,
+
+        # carried leaf values: samples + smooth lanes skip finalize's fetch
+        v00, v01, v10, v11 = up4(value_c)
+        known_value = jnp.where(
+            is_sample, pick_sample(v00, v01, v10, v11),
+            jnp.where(smooth, value00, 0),
+        )
+        known = hit_full & ~refine
+
+        # shadow verdict carry-over
+        nd = up4(need_c)
+        bl = up4(blocked_c)
+        n00, n_eq = nd[0], (nd[0] == nd[1]) & (nd[0] == nd[2]) & (nd[0] == nd[3])
+        b00, b_eq = bl[0], (bl[0] == bl[1]) & (bl[0] == bl[2]) & (bl[0] == bl[3])
+        s_known = jnp.where(is_sample, True, smooth & n_eq & b_eq)
+        s_need = jnp.where(is_sample, pick_sample(*nd), n00)
+        s_blocked = jnp.where(is_sample, pick_sample(*bl), b00)
+
+        return (tuple(outs), hit_full, known, known_value,
+                s_known, s_need, s_blocked, refine,
                 jnp.sum(refine).astype(jnp.int32))
 
     adaptive_merge = jax.jit(_adaptive_merge)
@@ -832,10 +935,19 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
     merge_refined = jax.jit(_merge_refined, donate_argnums=(0, 1))
 
+    # shadow verdict reuse: skip rays whose flags carried over; re-apply the
+    # carried verdicts after the traced lanes scatter (pad-lane writes at
+    # index 0 must not clobber a carried verdict)
+    shadow_reuse = jax.jit(lambda need, sk, sn: need & ~(sk & sn))
+    shadow_apply = jax.jit(
+        lambda sk, sn, sb, blocked: jnp.where(sk & sn, sb, blocked)
+    )
+
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
                             gather_lanes, pix_rays_jit, store, scatter_bool,
                             combine_dense, coarse_rays, adaptive_merge,
-                            refine_order, merge_refined)
+                            refine_order, merge_refined, shadow_reuse,
+                            shadow_apply)
     return _pipeline_cache[key]
 
 
@@ -1291,8 +1403,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                                                   4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
-     refine_order, merge_refined) = _opaque_pipeline(
-        B, width, height, max_steps, stack_height)
+     refine_order, merge_refined, shadow_reuse, shadow_apply) = (
+        _opaque_pipeline(B, width, height, max_steps, stack_height))
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
@@ -1316,15 +1428,54 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         else (B >= (1 << 18) and width > 4 and height > 4)
     )
 
+    known = known_value = None
+    s_known = s_need = s_blocked = None
     if adaptive:
         cpidx, ro_c, rd_c = coarse_rays(cam_args)
+        Bc = int(cpidx.shape[0])
         frozen_c, hit_c, steps1 = trace(
             descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
             "pixsub", (cpidx,) + cam_args, "coarse",
         )
         mark("coarse", hit_c)
-        frozen, hit, refine_mask, refine_count = adaptive_merge(
-            frozen_c, hit_c, octree_scale, cam_args
+
+        # coarse shadow verdicts (exact shade-path rays, so coarse-sample
+        # pixels stay bit-identical to the non-adaptive render)
+        need_c = blocked_c = jnp.zeros(Bc, bool)
+        if render_shadows:
+            k_c = store.sticky_scalar("chits_k", hit_count(hit_c), Bc)
+            idx_c = hit_order(hit_c, k_c)
+            g = gather_lanes(idx_c, hit_c, cpidx, *frozen_c)
+            hit_ck, cpidx_ck = g[0], g[1]
+            frozen_ck = g[2:]
+            ro_ck, rd_ck = pix_rays_jit(cpidx_ck, cam_args)
+            res_c = finalize_lanes(descriptors, octree_scale, ro_ck, rd_ck,
+                                   jnp.float32(-1.0), frozen_ck, hit_ck,
+                                   steps1)
+            (_c, _d, _s, _h, need_ck, sro_ck, _srd, smax_ck) = shade(
+                (res_c.t, res_c.value, res_c.face_id, res_c.pos, res_c.uv,
+                 res_c.lod, None), ro_ck, rd_ck, mips, mat_params, mat_tex,
+                cam_pos, ambient, light_dir, shadow_distance, highlight_pos,
+            )
+            neg_light_c = -jnp.asarray(light_dir, jnp.float32)
+            k_cs = store.sticky_scalar("cns_k", hit_count(need_ck), k_c)
+            sidx_c = hit_order(need_ck, k_cs)
+            sro_c2, smax_c2 = gather_lanes(sidx_c, sro_ck, smax_ck)
+            srd_c2 = jnp.broadcast_to(neg_light_c, sro_c2.shape)
+            _f2, sblk_c, _s2 = trace(
+                descriptors, octree_scale, sro_c2, srd_c2, smax_c2, "dir",
+                (sro_c2, neg_light_c), ("cshadow", k_cs),
+                record_frozen=False,
+            )
+            blocked_ck = scatter_bool(jnp.zeros(k_c, bool), sidx_c, sblk_c)
+            need_c = scatter_bool(jnp.zeros(Bc, bool), idx_c, need_ck)
+            blocked_c = scatter_bool(jnp.zeros(Bc, bool), idx_c, blocked_ck)
+            mark("coarse-shadow", blocked_c)
+
+        (frozen, hit, known, known_value, s_known, s_need, s_blocked,
+         refine_mask, refine_count) = adaptive_merge(
+            descriptors, frozen_c, hit_c, octree_scale, cam_args,
+            need_c, blocked_c,
         )
         mark("adaptive-merge", hit)
         k_r = store.sticky_scalar("refine_k", refine_count, B)
@@ -1354,16 +1505,22 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         k = B
         idx = None
         hit_k, frozen_k, ro_k, rd_k = hit, frozen, ro, rd
+        known_k, known_value_k = known, known_value
     else:
         idx = hit_order(hit, k)
         gathered = gather_lanes(idx, hit, *frozen)
         hit_k = gathered[0]
         frozen_k = gathered[1:]
         ro_k, rd_k = pix_rays_jit(idx, cam_args)
+        if known is not None:
+            known_k, known_value_k = gather_lanes(idx, known, known_value)
+        else:
+            known_k = known_value_k = None
     mark("compact-hits", hit_k)
 
     res = finalize_lanes(descriptors, octree_scale, ro_k, rd_k,
-                         jnp.float32(-1.0), frozen_k, hit_k, steps_total)
+                         jnp.float32(-1.0), frozen_k, hit_k, steps_total,
+                         known_k, known_value_k)
     mark("finalize", res.t)
 
     (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
@@ -1376,10 +1533,21 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
+        # adaptive: lanes with a carried coarse shadow verdict skip the ray
+        if s_known is not None:
+            if idx is None:
+                s_known_k, s_need_k, s_blocked_k = s_known, s_need, s_blocked
+            else:
+                s_known_k, s_need_k, s_blocked_k = gather_lanes(
+                    idx, s_known, s_need, s_blocked
+                )
+            trace_mask = shadow_reuse(need_shadow_k, s_known_k, s_need_k)
+        else:
+            trace_mask = need_shadow_k
         # compact to the lanes that actually need a shadow ray (~60% of
         # hits: lit-facing, within shadow distance)
-        k2 = store.sticky_scalar("ns_k", hit_count(need_shadow_k), k)
-        sidx = hit_order(need_shadow_k, k2)
+        k2 = store.sticky_scalar("ns_k", hit_count(trace_mask), k)
+        sidx = hit_order(trace_mask, k2)
         sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
         srd2 = jnp.broadcast_to(neg_light, sro2.shape)
         _f, shit2, _s = trace(
@@ -1387,6 +1555,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             (sro2, neg_light), ("shadow", k2), record_frozen=False,
         )
         blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
+        if s_known is not None:
+            blocked = shadow_apply(s_known_k, s_need_k, s_blocked_k, blocked)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
