@@ -82,13 +82,22 @@ def main() -> None:
 
     cam = np.array(params.cam_pos, np.float32)
 
-    # warmup: render along the fly-through path so the wavefront plans and
-    # their compiled bucket shapes settle before timing
-    for i in (0, 2, 4, 1):
+    # warmup: render along the fly-through path until the wavefront plans
+    # and their compiled bucket shapes settle — a single cold shape mid-
+    # measurement costs seconds-to-minutes of remote compile and poisons
+    # the average
+    warm = []
+    for i in (0, 2, 4, 1, 3, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4):
         p = RenderParams(**{**params.__dict__})
         p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
+        t0 = time.time()
         img = svo.render(p, W, H)
-        _ = float(np.asarray(img[0, 0, 0]))  # force real completion
+        _ = float(np.asarray(img[0, 0, 0]))
+        warm.append(time.time() - t0)
+        if len(warm) >= 6 and max(warm[-3:]) < 1.3 * min(warm[3:]):
+            break
+    print(f"# warmup: {len(warm)} frames, last {warm[-1]*1e3:.0f} ms",
+          file=sys.stderr)  # force real completion
 
     def frame(i):
         from voxelrs_tpu.graphics.svo import RenderParams as RP
@@ -110,8 +119,11 @@ def main() -> None:
     # probe shows enqueue is ~free and only syncs (~26 ms) serialize
     from concurrent.futures import ThreadPoolExecutor
 
+    # depth 2 only: deeper pipelining makes concurrent frames race the
+    # sticky plan buckets (each new bucket = a freshly compiled shape,
+    # minutes of remote compile) — measured catastrophic at depth 3
     piped = seq
-    for depth in (2, 3):
+    for depth in (2,):
         with ThreadPoolExecutor(depth) as pool:
             list(pool.map(frame, range(depth)))  # warm per-thread caches
             t0 = time.time()

@@ -222,15 +222,18 @@ _pipeline_cache: dict = {}
 
 
 def _margin_bucket(count: int) -> int:
-    return max(_bucket_size(count + (count * 7) // 20 + 64), 8192)
+    return max(_bucket_size(count + count // 2 + 256), 8192)
 
 
 def _sticky_bucket(prev, count: int) -> int:
     """Reuse the previous bucket while it still fits — every distinct
     bucket is a compiled shape (minutes of remote compile), so plans must
     not wobble with per-frame count noise. Padded lanes cost microseconds;
-    shrink only when the bucket is >8x oversized."""
-    need = count + (count >> 4) + 64
+    shrink only when the bucket is >8x oversized. The 25% + 256 margin
+    absorbs frame-to-frame count drift under camera motion — an overflow
+    marks the whole plan stale (a full re-synced frame, ~6 x 26 ms of
+    readbacks), so flapping costs far more than pad lanes."""
+    need = count + (count >> 2) + 256
     if prev is not None and need <= prev and prev <= 8 * max(need, 2048):
         return prev
     return _margin_bucket(count)
@@ -247,6 +250,10 @@ class _PlanStore:
 
         self.plans: dict = {}
         self.pending: list = []
+        # last known per-segment buckets per tag — consulted by SYNCED
+        # explorations so a re-synced plan re-picks the same compiled
+        # shapes instead of flapping between adjacent ladder points
+        self.history: dict = {}
         self.lock = threading.Lock()
         # widths below this merge consecutive compaction-free segments into
         # one round (dispatches over the tunnel cost ~25-30 ms each); the
@@ -274,6 +281,13 @@ class _PlanStore:
             return
         with self.lock:
             self.plans[tag] = (n, plan)
+            self.history[tag] = [b for _seg, b in plan]
+
+    def bucket_hint(self, tag, i):
+        """Bucket used for segment ``i`` the last time this tag ran."""
+        with self.lock:
+            hist = self.history.get(tag)
+        return hist[i] if hist and i < len(hist) else None
 
     def push_pending(self, tag, n, seg_lens, counts_dev):
         with self.lock:
@@ -329,13 +343,12 @@ class _PlanStore:
                 count = counts[0]
                 with self.lock:
                     prev = self.plans.get(name)
-                stale = prev is not None and count > prev
-                if debug and stale:
-                    print(f"    [plan {name}] STALE (scalar overflow)",
-                          flush=True)
+                if debug and prev is not None and count > prev:
+                    print(f"    [plan {name}] overflowed (grown)", flush=True)
+                # an overflow truncated that frame's lane set; grow the
+                # bucket in place (no sync needed — scalars have no plan)
                 with self.lock:
-                    self.plans[name] = (None if stale else
-                                        min(cap, _sticky_bucket(prev, count)))
+                    self.plans[name] = min(cap, _sticky_bucket(prev, count))
                 continue
             with self.lock:
                 old = self.plans.get(tag)
@@ -371,6 +384,10 @@ class _PlanStore:
                 print(f"    [plan {tag}] STALE (bucket overflow)", flush=True)
             with self.lock:
                 self.plans[tag] = None if stale else (n, new_plan)
+                # history updates even on stale: its buckets grew with the
+                # overflowing counts, steering the re-sync to a shape that
+                # fits (instead of flapping back to the smaller ladder point)
+                self.history[tag] = [b for _seg, b in new_plan]
 
 
 def _bucket_size(count: int) -> int:
@@ -598,7 +615,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             plan_rec = []
             seg_lens = []
             counts_dev = []
-            for steps in schedule:
+            for seg_i, steps in enumerate(schedule):
                 seg = min(steps, budget)
                 cur_state, steps_total = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, seg
@@ -621,8 +638,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 if count == 0:
                     plan_rec.append((seg, None))
                     break
-                bucket = _margin_bucket(count)
-                if bucket <= (width_now * 3) // 4:
+                bucket = _sticky_bucket(store.bucket_hint(tag, seg_i), count)
+                if count > 0 and bucket <= (width_now * 3) // 4:
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
@@ -943,11 +960,60 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         lambda sk, sn, sb, blocked: jnp.where(sk & sn, sb, blocked)
     )
 
+    # -- two-pass shadow reuse within the fine pass (full-width frames) ----
+    # Pass 1 traces only coarse-sample pixels' shadow rays (their own exact
+    # rays — bit-identical to the single-pass render); interior pixels whose
+    # 4 cell corners agree on (need, blocked) reuse the verdict; pass 2
+    # traces the disagreeing remainder (shadow edges, texel-noise lanes).
+    def _full_is_sample():
+        lane = jnp.arange(width * height, dtype=jnp.int32)
+        y = lane // width
+        x = lane % width
+        return (((y % 2 == 0) | (y == height - 1))
+                & ((x % 2 == 0) | (x == width - 1)))
+
+    shadow_mask1 = jax.jit(lambda need: need & _full_is_sample())
+
+    def _shadow_cell_merge(need, blocked1):
+        """Corner-agreement reuse for interior pixels. Returns
+        (mask2 = lanes still needing a ray, reuse, verdict)."""
+
+        def to_coarse(a):
+            g = a.reshape(height, width)
+            g = jnp.concatenate([g[::2], g[height - 1:]], axis=0)[:Hc]
+            return jnp.concatenate([g[:, ::2], g[:, width - 1:]], axis=1)[:, :Wc]
+
+        def up4(g):
+            right = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+            down = jnp.concatenate([g[1:, :], g[-1:, :]], axis=0)
+            downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+
+            def up(x):
+                x = jnp.repeat(x, 2, axis=0)[:height]
+                return jnp.repeat(x, 2, axis=1)[:, :width].reshape(-1)
+
+            return up(g), up(right), up(down), up(downright)
+
+        n00, n01, n10, n11 = up4(to_coarse(need))
+        b00, b01, b10, b11 = up4(to_coarse(blocked1))
+        agree = ((n00 == n01) & (n00 == n10) & (n00 == n11)
+                 & (b00 == b01) & (b00 == b10) & (b00 == b11))
+        is_sample = _full_is_sample()
+        reuse = ~is_sample & agree & n00  # verdict exists only where needed
+        mask2 = need & ~is_sample & ~reuse
+        return mask2, reuse, b00
+
+    shadow_cell_merge = jax.jit(_shadow_cell_merge)
+    shadow_combine = jax.jit(
+        lambda reuse, verdict, blocked: jnp.where(reuse, verdict, blocked)
+    )
+
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
                             gather_lanes, pix_rays_jit, store, scatter_bool,
                             combine_dense, coarse_rays, adaptive_merge,
                             refine_order, merge_refined, shadow_reuse,
-                            shadow_apply)
+                            shadow_apply, shadow_mask1, shadow_cell_merge,
+                            shadow_combine)
     return _pipeline_cache[key]
 
 
@@ -1157,7 +1223,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         budget = max_steps
         if plan is None:
             plan_rec = []
-            for steps in schedule:
+            for seg_i, steps in enumerate(schedule):
                 seg = min(steps, budget)
                 cur_state, steps_total, cur_acc, cur_done = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, cur_acc,
@@ -1178,7 +1244,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 if count == 0:
                     plan_rec.append((seg, None))
                     break
-                bucket = _margin_bucket(count)
+                bucket = _sticky_bucket(store.bucket_hint(tag, seg_i), count)
                 if bucket <= (width_now * 3) // 4:
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
@@ -1403,7 +1469,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                                                   4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
-     refine_order, merge_refined, shadow_reuse, shadow_apply) = (
+     refine_order, merge_refined, shadow_reuse, shadow_apply, shadow_mask1,
+     shadow_cell_merge, shadow_combine) = (
         _opaque_pipeline(B, width, height, max_steps, stack_height))
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
@@ -1440,9 +1507,13 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         mark("coarse", hit_c)
 
         # coarse shadow verdicts (exact shade-path rays, so coarse-sample
-        # pixels stay bit-identical to the non-adaptive render)
+        # pixels stay bit-identical to the non-adaptive render). Default
+        # OFF: measured a net loss on the bench scene — the coarse chain
+        # (finalize+shade+trace at ~60% of coarse hits) costs more than the
+        # fine rays it elides, because the shade-path need flag is
+        # texel-noisy (normal-mapped diffuse) and corner agreement is rare.
         need_c = blocked_c = jnp.zeros(Bc, bool)
-        if render_shadows:
+        if render_shadows and _os.environ.get("VOXELRS_SHADOW_REUSE") == "1":
             k_c = store.sticky_scalar("chits_k", hit_count(hit_c), Bc)
             idx_c = hit_order(hit_c, k_c)
             g = gather_lanes(idx_c, hit_c, cpidx, *frozen_c)
@@ -1499,9 +1570,10 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     # sync per frame, and shading never drops a hit pixel; sticky across
     # frames so the shadow pass's compiled width doesn't wobble
     k = store.sticky_sync("hits_k", int(hit_count(hit)), B)
-    if k >= (B * 3) // 4:
-        # hit-dense frame: compaction's nonzero + 8 wide gathers cost more
-        # than the sky lanes they remove — shade the full frame in place
+    if k >= B // 3:
+        # hit-dense frame: compaction's nonzero + 8 wide gathers (slow tier
+        # at megapixel row counts) cost more than the sky lanes they remove
+        # — shade the full frame in place
         k = B
         idx = None
         hit_k, frozen_k, ro_k, rd_k = hit, frozen, ro, rd
@@ -1523,40 +1595,74 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          known_k, known_value_k)
     mark("finalize", res.t)
 
-    (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
-     shadow_rd_k, shadow_max_k) = shade(
-        (res.t, res.value, res.face_id, res.pos, res.uv, res.lod, None),
-        ro_k, rd_k, mips, mat_params, mat_tex, cam_pos, ambient, light_dir,
-        shadow_distance, highlight_pos,
-    )
+    def _shade_at(sl):
+        return shade(
+            (res.t[sl], res.value[sl], res.face_id[sl], res.pos[sl],
+             res.uv[sl], res.lod[sl], None),
+            ro_k[sl], rd_k[sl], mips, mat_params, mat_tex, cam_pos, ambient,
+            light_dir, shadow_distance, highlight_pos,
+        )
+
+    if k > 1_600_000:
+        # gather cost/lane doubles above ~1.6M gathering lanes (measured,
+        # scripts/shade_probe.py) — run the texture-heavy shade in halves
+        half = k // 2
+        pa = _shade_at(slice(0, half))
+        pb = _shade_at(slice(half, k))
+        (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
+         shadow_rd_k, shadow_max_k) = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(pa, pb)
+        )
+    else:
+        (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
+         shadow_rd_k, shadow_max_k) = _shade_at(slice(0, k))
     mark("shade", color_k)
 
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
-        # adaptive: lanes with a carried coarse shadow verdict skip the ray
-        if s_known is not None:
-            if idx is None:
-                s_known_k, s_need_k, s_blocked_k = s_known, s_need, s_blocked
-            else:
-                s_known_k, s_need_k, s_blocked_k = gather_lanes(
-                    idx, s_known, s_need, s_blocked
-                )
-            trace_mask = shadow_reuse(need_shadow_k, s_known_k, s_need_k)
+
+        def shadow_trace(mask, name):
+            """Trace shadow rays for the masked lanes (sticky bucket)."""
+            k2 = store.sticky_scalar(name, hit_count(mask), k)
+            sidx = hit_order(mask, k2)
+            sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
+            srd2 = jnp.broadcast_to(neg_light, sro2.shape)
+            _f, shit2, _s = trace(
+                descriptors, octree_scale, sro2, srd2, smax2, "dir",
+                (sro2, neg_light), (name, k2), record_frozen=False,
+            )
+            return sidx, shit2
+
+        if adaptive and idx is None:
+            # two-pass cell reuse: trace the coarse-sample pixels' own rays
+            # (bit-identical verdicts), reuse them for interior pixels whose
+            # 4 cell corners agree, trace only the disagreeing remainder
+            sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k), "ns1_k")
+            blocked = scatter_bool(jnp.zeros(k, bool), sidx1, shit1)
+            mask2, reuse, verdict = shadow_cell_merge(need_shadow_k, blocked)
+            sidx2, shit2 = shadow_trace(mask2, "ns2_k")
+            # pad lanes of both scatters re-trace lane 0's own ray, so the
+            # duplicate writes are value-identical
+            blocked = scatter_bool(blocked, sidx2, shit2)
+            blocked = shadow_combine(reuse, verdict, blocked)
         else:
-            trace_mask = need_shadow_k
-        # compact to the lanes that actually need a shadow ray (~60% of
-        # hits: lit-facing, within shadow distance)
-        k2 = store.sticky_scalar("ns_k", hit_count(trace_mask), k)
-        sidx = hit_order(trace_mask, k2)
-        sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
-        srd2 = jnp.broadcast_to(neg_light, sro2.shape)
-        _f, shit2, _s = trace(
-            descriptors, octree_scale, sro2, srd2, smax2, "dir",
-            (sro2, neg_light), ("shadow", k2), record_frozen=False,
-        )
-        blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
-        if s_known is not None:
-            blocked = shadow_apply(s_known_k, s_need_k, s_blocked_k, blocked)
+            # adaptive coarse verdicts (gated, see above)
+            if s_known is not None:
+                if idx is None:
+                    s_known_k, s_need_k, s_blocked_k = (s_known, s_need,
+                                                        s_blocked)
+                else:
+                    s_known_k, s_need_k, s_blocked_k = gather_lanes(
+                        idx, s_known, s_need, s_blocked
+                    )
+                trace_mask = shadow_reuse(need_shadow_k, s_known_k, s_need_k)
+            else:
+                trace_mask = need_shadow_k
+            sidx, shit2 = shadow_trace(trace_mask, "ns_k")
+            blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
+            if s_known is not None:
+                blocked = shadow_apply(s_known_k, s_need_k, s_blocked_k,
+                                       blocked)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
