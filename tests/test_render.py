@@ -179,3 +179,40 @@ def test_adaptive_matches_exact(scene, monkeypatch):
     assert diff_images(adaptive, exact) < 0.002
     per_pixel = np.abs(adaptive - exact).max(axis=-1)
     assert (per_pixel > 1e-3).mean() < 0.02
+
+
+def test_judged_adaptive_matches_exact(monkeypatch):
+    """Adaptive thick-ray pass over the alpha-judged (translucent) pipeline
+    must agree with the exact per-pixel judged render on a glass world."""
+    from voxelrs_tpu.gamelogic.content import GLASS
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0), SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+    assert (svo.world_value_mask & svo.translucent_block_mask) != 0
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(svo.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    adaptive = np.asarray(svo.render(p, W, H, max_steps=300))
+
+    ys = np.r_[np.arange(0, H, 2), H - 1]
+    xs = np.r_[np.arange(0, W, 2), W - 1]
+    np.testing.assert_array_equal(adaptive[np.ix_(ys, xs)], exact[np.ix_(ys, xs)])
+
+    # interior pixels near the glass frame sit on texel knife edges where
+    # even jit-vs-eager execution of identical math flips the sampled
+    # texel; the budget covers those sub-pixel flips (the reference's CI
+    # image budget is 0.015 mean-abs)
+    assert diff_images(adaptive, exact) < 0.01
+    per_pixel = np.abs(adaptive - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.02

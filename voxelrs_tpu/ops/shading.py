@@ -221,6 +221,13 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
 _pipeline_cache: dict = {}
 
 
+def _compact_on() -> bool:
+    """Debug kill-switch for wavefront compaction (VOXELRS_COMPACT=0)."""
+    import os
+
+    return os.environ.get("VOXELRS_COMPACT", "1") != "0"
+
+
 def _margin_bucket(count: int) -> int:
     return max(_bucket_size(count + count // 2 + 256), 8192)
 
@@ -388,6 +395,72 @@ class _PlanStore:
                 # overflowing counts, steering the re-sync to a shape that
                 # fits (instead of flapping back to the smaller ladder point)
                 self.history[tag] = [b for _seg, b in new_plan]
+
+
+def _pix_rays_for(width: int, height: int):
+    """Pixel-ray derivation from flat pixel ids — bit-identical to
+    ``generate_rays`` (shared by the adaptive passes)."""
+
+    def pix_rays(idx, ray_args):
+        cam_pos, cam_right, cam_up, cam_fwd, fov, aspect = ray_args
+        x = (idx % width).astype(jnp.float32)
+        y = (idx // width).astype(jnp.float32)
+        u = (x / width * 2.0 - 1.0) * aspect * jnp.tan(fov * 0.5)
+        v = ((height - 1.0 - y) / height * 2.0 - 1.0) * jnp.tan(fov * 0.5)
+        rd = (u[:, None] * cam_right[None, :] + v[:, None] * cam_up[None, :]
+              + cam_fwd[None, :])
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        ro = jnp.broadcast_to(cam_pos, rd.shape)
+        return ro, rd
+
+    return pix_rays
+
+
+def _coarse_grid_for(width: int, height: int):
+    """(Hc, Wc, coarse_pidx_fn, up4_fn, is_sample/pick helpers) for the
+    half-resolution adaptive grid."""
+    Hc = height // 2 + 1 if height > 1 else 1
+    Wc = width // 2 + 1 if width > 1 else 1
+
+    def coarse_pidx():
+        cy = jnp.minimum(2 * jnp.arange(Hc, dtype=jnp.int32), height - 1)
+        cx = jnp.minimum(2 * jnp.arange(Wc, dtype=jnp.int32), width - 1)
+        return (cy[:, None] * width + cx[None, :]).reshape(-1)
+
+    def up4(a):
+        """The 4 cell-corner values of every pixel by 2x nearest upsampling
+        of the coarse grid and its +1 shifts (no gathers)."""
+        g = a.reshape(Hc, Wc) if a.ndim == 1 else a.reshape(Hc, Wc, -1)
+        right = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+        down = jnp.concatenate([g[1:], g[-1:]], axis=0)
+        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+
+        def up(x):
+            x = jnp.repeat(x, 2, axis=0)[:height]
+            x = jnp.repeat(x, 2, axis=1)[:, :width]
+            return x.reshape(-1) if a.ndim == 1 else x.reshape(width * height, -1)
+
+        return up(g), up(right), up(down), up(downright)
+
+    def sample_masks():
+        lane = jnp.arange(width * height, dtype=jnp.int32)
+        y = lane // width
+        x = lane % width
+        ylast = y == height - 1
+        xlast = x == width - 1
+        is_sample = ((y % 2 == 0) | ylast) & ((x % 2 == 0) | xlast)
+        return is_sample, ylast, xlast
+
+    def pick_sample(ylast, xlast, a00, a01, a10, a11):
+        if a00.ndim == 2:
+            ylast = ylast[:, None]
+            xlast = xlast[:, None]
+        return jnp.where(
+            ylast & xlast, a11,
+            jnp.where(ylast, a10, jnp.where(xlast, a01, a00)),
+        )
+
+    return Hc, Wc, coarse_pidx, up4, sample_masks, pick_sample
 
 
 def _bucket_size(count: int) -> int:
@@ -639,7 +712,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     plan_rec.append((seg, None))
                     break
                 bucket = _sticky_bucket(store.bucket_hint(tag, seg_i), count)
-                if count > 0 and bucket <= (width_now * 3) // 4:
+                if count > 0 and bucket <= (width_now * 3) // 4 and _compact_on():
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
@@ -662,7 +735,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 budget -= seg
                 seg_lens.append(seg)
                 counts_dev.append(active_count(cur_state))
-                if bucket is not None and bucket <= (width_now * 3) // 4:
+                if (bucket is not None and bucket <= (width_now * 3) // 4
+                        and _compact_on()):
                     do_compact(bucket)
             if budget > 0:
                 # safety tail: stragglers beyond last frame's profile
@@ -1054,6 +1128,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                    mips, mat_tex, seg_steps):
         """One deferred round: run the loop to the next leaf hits, judge
         texel alpha + adjacency, record accepted hits, resume the rest."""
+        from .traversal import _exp2_scale
+
         fat_rows = _make_fat_rows(descriptors)
         steps, state = run_loop_push(fat_rows, consts, state, seg_steps,
                                      _substeps)
@@ -1072,7 +1148,23 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         accept = judge & (alpha > 0) & first
         resume = judge & ~accept
 
-        acc_t, acc_value, acc_face, acc_pos, acc_uv, acc_lod = acc
+        # accepted surface identity for the adaptive fill: leaf scale + the
+        # un-mirrored entry-plane coordinate in [1,2) h-space (exact — all
+        # quantities are multiples of the leaf size)
+        sexp2 = _exp2_scale(state.scale)
+        axis = res.face_id >> 1
+        plane_m = jnp.where(
+            axis == 0, state.posx,
+            jnp.where(axis == 1, state.posy, state.posz),
+        ) + sexp2
+        mirror_ax = jnp.where(
+            axis == 0, consts.mirror_x,
+            jnp.where(axis == 1, consts.mirror_y, consts.mirror_z),
+        )
+        plane_h = jnp.where(mirror_ax, 3.0 - plane_m, plane_m)
+
+        (acc_t, acc_value, acc_face, acc_pos, acc_uv, acc_lod, acc_scale,
+         acc_plane, acc_passed) = acc
         acc = (
             jnp.where(accept, res.t, acc_t),
             jnp.where(accept, res.value, acc_value),
@@ -1080,6 +1172,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             jnp.where(accept[:, None], res.pos, acc_pos),
             jnp.where(accept[:, None], res.uv, acc_uv),
             jnp.where(accept, res.lod, acc_lod),
+            jnp.where(accept, state.scale, acc_scale),
+            jnp.where(accept, plane_h, acc_plane),
+            acc_passed | resume,
         )
         done = done | accept
 
@@ -1091,6 +1186,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             adj_last=(adj_count.astype(jnp.uint32) << 24) | last_value,
             missed=jnp.zeros_like(state.missed),
             suppress=resume,
+            floor=jnp.where(resume, state.t_min, state.floor),
         )
         return state, steps_total, acc, done
 
@@ -1157,6 +1253,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             jnp.zeros((n, 3), jnp.float32),
             jnp.zeros((n, 2), jnp.float32),
             jnp.zeros(n, jnp.float32),
+            jnp.zeros(n, jnp.int32),    # accepted leaf scale
+            jnp.zeros(n, jnp.float32),  # accepted entry plane (h-space)
+            jnp.zeros(n, bool),         # passed through a translucent texel
         )
         done = jnp.zeros(n, bool)
         inside_full = jnp.zeros(n, bool)
@@ -1245,7 +1344,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     plan_rec.append((seg, None))
                     break
                 bucket = _sticky_bucket(store.bucket_hint(tag, seg_i), count)
-                if bucket <= (width_now * 3) // 4:
+                if bucket <= (width_now * 3) // 4 and _compact_on():
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
@@ -1268,7 +1367,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 budget -= seg
                 seg_lens.append(seg)
                 counts_dev.append(unfinished_count(cur_state, cur_done))
-                if bucket is not None and bucket <= (width_now * 3) // 4:
+                if (bucket is not None and bucket <= (width_now * 3) // 4
+                        and _compact_on()):
                     do_compact(bucket)
             if budget > 0:
                 # safety tail: stragglers beyond last frame's profile get
@@ -1291,11 +1391,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
         from .traversal import TraversalResult
 
-        return TraversalResult(
+        res = TraversalResult(
             t=acc[0], value=acc[1], face_id=acc[2], pos=acc[3], uv=acc[4],
             lod=acc[5], inside_voxel=inside_full,
             steps=jnp.broadcast_to(steps_total, (n,)), trace=None,
         )
+        return res, acc[6], acc[7], acc[8]
 
     def shade(res_tuple, ro, rd, mips, mat_params, mat_tex, cam_pos, ambient,
               light_dir, shadow_distance, highlight_pos):
@@ -1359,9 +1460,180 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     finish_light = jax.jit(finish_light)
 
+    # -- adaptive (thick-ray) machinery for the judged pipeline ------------
+    # Same scheme as the opaque path but at RESULT level: the coarse pass's
+    # accepted surfaces (value, signed face, leaf scale, entry plane — the
+    # identity survives translucent pass-throughs because only the ACCEPTED
+    # hit is compared) fill interior pixels analytically; disagreements
+    # re-trace through the full judged pipeline.
+    Hc, Wc, _coarse_pidx, _up4, _sample_masks, _pick = _coarse_grid_for(
+        width, height
+    )
+    pix_rays_j = jax.jit(_pix_rays_for(width, height))
+    coarse_rays_j = jax.jit(
+        lambda ray_args: (lambda p: (p, *_pix_rays_for(width, height)(
+            p, ray_args)))(_coarse_pidx())
+    )
+
+    def _adaptive_merge_judged(res_c, scale_c, plane_c, passed_c, inside_c,
+                               scale, ray_args, mips, mat_tex):
+        from .bits import EPSILON, bits_f32
+        from .traversal import (
+            _exp2_scale,
+            _hit_geometry,
+            f32_bits,
+            make_ray_consts,
+        )
+
+        t_c, value_c, face_c, pos_c, uv_c, lod_c = res_c
+        hit_c = t_c != -1.0
+
+        def same4(q):
+            a00, a01, a10, a11 = _up4(q)
+            return a00, (a00 == a01) & (a00 == a10) & (a00 == a11)
+
+        h00, h01, h10, h11 = _up4(hit_c)
+        hit4 = h00 & h01 & h10 & h11
+        miss4 = ~(h00 | h01 | h10 | h11)
+        value00, value_eq = same4(value_c)
+        face00, face_eq = same4(face_c)
+        scale00, scale_eq = same4(scale_c)
+        plane00, plane_eq = same4(plane_c)
+
+        # translucency guards: a cell is only fillable when (a) no corner
+        # ray passed through a translucent texel on the way to its accepted
+        # surface (the interior ray could clip an opaque texel of that
+        # block — e.g. a glass frame), and (b) the accepted surface's own
+        # textures are fully opaque (the fill's texel may land on an
+        # alpha-0 spot of a translucent block's face)
+        p00, p01, p10, p11 = _up4(passed_c)
+        no_pass = ~(p00 | p01 | p10 | p11)
+        T = mips[0].shape[0]
+        V = mat_tex.shape[0]
+        layer_translucent = (mips[0][..., 3] < 1.0).any(axis=(1, 2))
+        block_translucent = layer_translucent[
+            jnp.clip(mat_tex[:, 0:3], 0, T - 1)
+        ].any(axis=1)
+        vid = value00.astype(jnp.int32)
+        value_opaque = (vid < V) & ~block_translucent[jnp.clip(vid, 0, V - 1)]
+
+        is_sample, ylast, xlast = _sample_masks()
+        B = width * height
+        lane = jnp.arange(B, dtype=jnp.int32)
+        ro, rd = _pix_rays_for(width, height)(lane, ray_args)
+        c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
+
+        axis00 = face00 >> 1
+        sexp2 = _exp2_scale(scale00)
+        sx = (f32_bits(c.rdx) >> jnp.uint32(31)).astype(jnp.int32)
+        sy = (f32_bits(c.rdy) >> jnp.uint32(31)).astype(jnp.int32)
+        sz = (f32_bits(c.rdz) >> jnp.uint32(31)).astype(jnp.int32)
+        own_sign_ax = jnp.where(axis00 == 0, sx,
+                                jnp.where(axis00 == 1, sy, sz))
+        sign_ok = own_sign_ax == (face00 & 1)
+
+        mirror_ax = jnp.where(
+            axis00 == 0, c.mirror_x,
+            jnp.where(axis00 == 1, c.mirror_y, c.mirror_z),
+        )
+        plane_m = jnp.where(mirror_ax, 3.0 - plane00, plane00)
+        tc_ax = jnp.where(axis00 == 0, c.tcx,
+                          jnp.where(axis00 == 1, c.tcy, c.tcz))
+        tb_ax = jnp.where(axis00 == 0, c.tbx,
+                          jnp.where(axis00 == 1, c.tby, c.tbz))
+        t_int = plane_m * tc_ax - tb_ax
+
+        def mcoord(roa, rda, mirror):
+            h = roa + t_int * rda
+            return jnp.where(mirror, 3.0 - h, h)
+
+        sc = jnp.clip(scale00, 0, 31).astype(jnp.uint32)
+
+        def quant(m):
+            return bits_f32((f32_bits(m) >> sc) << sc)
+
+        base_ax = plane_m - sexp2
+        posx = jnp.where(axis00 == 0, base_ax,
+                         quant(mcoord(c.rox, c.rdx, c.mirror_x)))
+        posy = jnp.where(axis00 == 1, base_ax,
+                         quant(mcoord(c.roy, c.rdy, c.mirror_y)))
+        posz = jnp.where(axis00 == 2, base_ax,
+                         quant(mcoord(c.roz, c.rdz, c.mirror_z)))
+
+        t2x = (posx + sexp2) * c.tcx - c.tbx
+        t2y = (posy + sexp2) * c.tcy - c.tby
+        t2z = (posz + sexp2) * c.tcz - c.tbz
+        tcmin = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
+        on_x = tcmin == t2x
+        on_y = (~on_x) & (tcmin == t2y)
+        face_own = jnp.where(on_x, sx, jnp.where(on_y, 2 | sy, 4 | sz))
+        t_cube_exit = jnp.minimum(
+            jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
+        )
+        smooth = (
+            hit4 & value_eq & face_eq & scale_eq & plane_eq & sign_ok
+            & no_pass & value_opaque
+            & (face_own == face00) & (t_int == tcmin)
+            & (t_int > 0) & (t_int <= t_cube_exit)
+        )
+
+        face_g, ux, uy, dst, tex_lod, (upx, upy, upz) = _hit_geometry(
+            c, 0, scale00, posx, posy, posz, t_int
+        )
+        hx = jnp.clip(c.rox + t_int * c.rdx, upx + EPSILON,
+                      upx + sexp2 - EPSILON)
+        hy = jnp.clip(c.roy + t_int * c.rdy, upy + EPSILON,
+                      upy + sexp2 - EPSILON)
+        hz = jnp.clip(c.roz + t_int * c.rdz, upz + EPSILON,
+                      upz + sexp2 - EPSILON)
+        pos_fill = (jnp.stack([hx, hy, hz], -1) - 1.0) / c.octree_scale
+
+        samp = lambda *a4: _pick(ylast, xlast, *a4)  # noqa: E731
+        hit_full = jnp.where(is_sample, samp(h00, h01, h10, h11), smooth)
+        refine = ~is_sample & ~smooth & ~miss4
+
+        def fill(coarse, fill_val, miss_val):
+            a4 = _up4(coarse)
+            s = samp(*a4)
+            sm = smooth[:, None] if s.ndim == 2 else smooth
+            is_s = is_sample[:, None] if s.ndim == 2 else is_sample
+            return jnp.where(is_s, s, jnp.where(sm, fill_val, miss_val))
+
+        out = (
+            fill(t_c, dst, jnp.float32(-1.0)),
+            fill(value_c, value00, jnp.uint32(0)),
+            fill(face_c, face00, jnp.int32(0)),
+            fill(pos_c, pos_fill, jnp.float32(0.0)),
+            fill(uv_c, jnp.stack([ux, uy], -1), jnp.float32(0.0)),
+            fill(lod_c, tex_lod, jnp.float32(0.0)),
+        )
+        inside_full = jnp.where(is_sample, samp(*_up4(inside_c)), False)
+        return (out, hit_full, inside_full, refine,
+                jnp.sum(refine).astype(jnp.int32))
+
+    adaptive_merge_j = jax.jit(_adaptive_merge_judged)
+
+    refine_order_j = jax.jit(
+        lambda mask, size: jnp.nonzero(mask, size=size, fill_value=0)[0],
+        static_argnums=(1,),
+    )
+
+    def _merge_refined_res(res_full, hit_full, inside_full, idx_r, res_r,
+                           inside_r):
+        res_full = tuple(
+            a.at[idx_r].set(r) for a, r in zip(res_full, res_r)
+        )
+        hit_full = hit_full.at[idx_r].set(res_r[0] != -1.0)
+        inside_full = inside_full.at[idx_r].set(inside_r)
+        return res_full, hit_full, inside_full
+
+    merge_refined_res = jax.jit(_merge_refined_res, donate_argnums=(0, 1, 2))
+
     _pipeline_cache[key] = (raygen, trace, shade, combine, hit_count,
                             hit_order, gather_lanes, combine_scatter,
-                            finish_light, store)
+                            finish_light, store, pix_rays_j, coarse_rays_j,
+                            adaptive_merge_j, refine_order_j,
+                            merge_refined_res)
     return _pipeline_cache[key]
 
 
@@ -1407,15 +1679,33 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             max_steps=max_steps, mark=mark, stack_height=stack_height,
         )
 
+    _adaptive_env = os.environ.get("VOXELRS_ADAPTIVE")
+    adaptive = (
+        bool(int(_adaptive_env)) if _adaptive_env is not None
+        else (B >= (1 << 18) and width > 4 and height > 4)
+    )
+    if adaptive:
+        return _render_frame_judged_adaptive(
+            descriptors, octree_scale, mips, mat_params, mat_tex,
+            width=width, height=height, render_shadows=render_shadows,
+            cam_pos=cam_pos, cam_right=cam_right, cam_up=cam_up,
+            cam_fwd=cam_fwd, fov_y_rad=fov_y_rad, aspect=aspect,
+            ambient=ambient, light_dir=light_dir,
+            shadow_distance=shadow_distance, highlight_pos=highlight_pos,
+            max_steps=max_steps, rounds=rounds, mark=mark,
+            stack_height=stack_height,
+        )
+
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
-     combine_scatter, finish_light, store) = _deferred_pipeline(
+     combine_scatter, finish_light, store, *_adap) = _deferred_pipeline(
         B, width, height, render_shadows, max_steps, rounds, stack_height
     )
     store.resolve()  # refresh replay plans from last frame's counts
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
-    res = trace(descriptors, octree_scale, ro, rd, jnp.float32(-1.0), mips,
-                mat_tex, tag="primary")
+    res, _sc, _pl, _ps = trace(descriptors, octree_scale, ro, rd,
+                               jnp.float32(-1.0), mips, mat_tex,
+                               tag="primary")
     mark("primary", res.t)
 
     # compact shading + shadows to the hit lanes
@@ -1434,8 +1724,10 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     )
     mark("shade", color_k)
     if render_shadows:
-        sres = trace(descriptors, octree_scale, shadow_ro_k, shadow_rd_k,
-                     shadow_max_k, mips, mat_tex, tag=("shadow", k))
+        sres, _ssc, _spl, _sps = trace(descriptors, octree_scale,
+                                       shadow_ro_k, shadow_rd_k,
+                                       shadow_max_k, mips, mat_tex,
+                                       tag=("shadow", k))
         shadow_t_k = sres.t
         mark("shadow", shadow_t_k)
     else:
@@ -1451,6 +1743,145 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
 _shadow_sign = None
 
 
+def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
+                                  mat_params, mat_tex, *, width, height,
+                                  render_shadows, cam_pos, cam_right, cam_up,
+                                  cam_fwd, fov_y_rad, aspect, ambient,
+                                  light_dir, shadow_distance, highlight_pos,
+                                  max_steps, rounds, mark, stack_height=12):
+    """Adaptive thick-ray frame over the alpha-judged (translucent-capable)
+    pipeline: quarter-res judged trace, result-level coplanar fill keyed on
+    each pixel cell's ACCEPTED surface (value, signed face, leaf scale,
+    entry plane), full judged re-trace of disagreement pixels, two-pass
+    shadow cell reuse. The MC-world scenes (glass/water/leaves) render this
+    way at large frame sizes."""
+    global _shadow_sign
+
+    B = width * height
+    (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
+     combine_scatter, finish_light, store, pix_rays_j, coarse_rays_j,
+     adaptive_merge_j, refine_order_j, merge_refined_res) = (
+        _deferred_pipeline(B, width, height, render_shadows, max_steps,
+                           rounds, stack_height))
+    # shape-only helpers shared with the opaque pipeline (bool-mask order,
+    # scatter, shadow cell merge)
+    (_to, _fl, hit_count_b, hit_order_b, _glo, _pro, _so, scatter_bool,
+     _cdo, _cro, _amo, _roo, _mro, _sru, _sap, shadow_mask1,
+     shadow_cell_merge, shadow_combine) = _opaque_pipeline(
+        B, width, height, max_steps, stack_height)
+    if _shadow_sign is None:
+        _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
+
+    store.resolve()
+    mark("plan-refresh", jnp.zeros(1))
+
+    ray_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    mark("raygen", rd)
+
+    cpidx, ro_c, rd_c = coarse_rays_j(ray_args)
+    res_c, scale_c, plane_c, passed_c = trace(
+        descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0), mips,
+        mat_tex, tag="coarse",
+    )
+    mark("coarse", res_c.t)
+
+    resf, hit, inside_full, refine_mask, refine_count = adaptive_merge_j(
+        (res_c.t, res_c.value, res_c.face_id, res_c.pos, res_c.uv,
+         res_c.lod), scale_c, plane_c, passed_c, res_c.inside_voxel,
+        octree_scale, ray_args, mips, mat_tex,
+    )
+    mark("adaptive-merge", hit)
+
+    k_r = store.sticky_scalar("refine_k", refine_count, B)
+    idx_r = refine_order_j(refine_mask, k_r)
+    ro_r, rd_r = pix_rays_j(idx_r, ray_args)
+    res_r, _sc_r, _pl_r, _ps_r = trace(
+        descriptors, octree_scale, ro_r, rd_r, jnp.float32(-1.0), mips,
+        mat_tex, tag=("refine", k_r),
+    )
+    resf, hit, inside_full = merge_refined_res(
+        resf, hit, inside_full, idx_r,
+        (res_r.t, res_r.value, res_r.face_id, res_r.pos, res_r.uv,
+         res_r.lod), res_r.inside_voxel,
+    )
+    mark("refine", hit)
+
+    t_f, value_f, face_f, pos_f, uv_f, lod_f = resf
+    k = store.sticky_scalar("hits_k", hit_count(t_f), B)
+    if k >= B // 3:
+        k = B
+        idx = None
+        res_k = resf
+        ro_k, rd_k = ro, rd
+    else:
+        idx = hit_order(t_f, k)
+        res_k = gather_lanes(idx, *resf)
+        ro_k, rd_k = pix_rays_j(idx, ray_args)
+    mark("compact-hits", res_k[0])
+
+    def _shade_at(sl):
+        return shade(
+            (res_k[0][sl], res_k[1][sl], res_k[2][sl], res_k[3][sl],
+             res_k[4][sl], res_k[5][sl], None),
+            ro_k[sl], rd_k[sl], mips, mat_params, mat_tex, cam_pos, ambient,
+            light_dir, shadow_distance, highlight_pos,
+        )
+
+    if k > 1_600_000:
+        half = k // 2
+        pa = _shade_at(slice(0, half))
+        pb = _shade_at(slice(half, k))
+        (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
+         shadow_rd_k, shadow_max_k) = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(pa, pb)
+        )
+    else:
+        (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
+         shadow_rd_k, shadow_max_k) = _shade_at(slice(0, k))
+    mark("shade", color_k)
+
+    if render_shadows:
+        def shadow_trace(mask, name):
+            k2 = store.sticky_scalar(name, hit_count_b(mask), k)
+            sidx = hit_order_b(mask, k2)
+            sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
+                                             shadow_max_k)
+            sres, _a, _b, _c2 = trace(
+                descriptors, octree_scale, sro2, srd2, smax2, mips, mat_tex,
+                tag=(name, k2),
+            )
+            return sidx, sres.t != -1.0
+
+        if idx is None:
+            sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k),
+                                        "jns1_k")
+            blocked = scatter_bool(jnp.zeros(k, bool), sidx1, shit1)
+            mask2, reuse, verdict = shadow_cell_merge(need_shadow_k, blocked)
+            sidx2, shit2 = shadow_trace(mask2, "jns2_k")
+            blocked = scatter_bool(blocked, sidx2, shit2)
+            blocked = shadow_combine(reuse, verdict, blocked)
+        else:
+            sidx, shit = shadow_trace(need_shadow_k, "jns_k")
+            blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit)
+        shadow_t_k = _shadow_sign(blocked)
+        mark("shadow", shadow_t_k)
+    else:
+        shadow_t_k = jnp.full(k, -1.0, jnp.float32)
+
+    if idx is None:
+        out = combine(color_k, diffuse_k, specular_k, hit, need_shadow_k,
+                      shadow_t_k, rd, ambient)
+    else:
+        rgb_k, alpha_k = finish_light(
+            color_k, diffuse_k, specular_k, need_shadow_k, shadow_t_k,
+            ambient
+        )
+        out = combine_scatter(idx, rgb_k, alpha_k, hit, rd)
+    mark("combine", out)
+    return out
+
+
 def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          mat_tex, *, width, height, render_shadows, cam_pos,
                          cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
@@ -1464,9 +1895,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     B = width * height
     (raygen, _t, shade, _c, _hc, _ho, _gl, combine_scatter,
-     finish_light, _store_t) = _deferred_pipeline(B, width, height,
-                                                  render_shadows, max_steps,
-                                                  4, stack_height)
+     finish_light, _store_t, *_adap) = _deferred_pipeline(
+        B, width, height, render_shadows, max_steps, 4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
      refine_order, merge_refined, shadow_reuse, shadow_apply, shadow_mask1,
@@ -1566,10 +1996,12 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         )
         mark("primary", hit)
 
-    # the hit-lane bucket stays a synchronous (exact) readback: one ~30 ms
-    # sync per frame, and shading never drops a hit pixel; sticky across
-    # frames so the shadow pass's compiled width doesn't wobble
-    k = store.sticky_sync("hits_k", int(hit_count(hit)), B)
+    # the hit-lane bucket replays asynchronously (sticky across frames so
+    # the shadow pass's compiled width doesn't wobble). The dense full-width
+    # path — the common case — never truncates; in the compacted regime an
+    # overflow drops hit pixels for one frame before the bucket grows, the
+    # same contract as every other replayed bucket.
+    k = store.sticky_scalar("hits_k", hit_count(hit), B)
     if k >= B // 3:
         # hit-dense frame: compaction's nonzero + 8 wide gathers (slow tier
         # at megapixel row counts) cost more than the sky lanes they remove

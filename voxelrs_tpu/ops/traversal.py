@@ -497,6 +497,12 @@ class PushState(NamedTuple):
     need_fetch: jnp.ndarray  # (B,) bool: desc/child_ptr stale (pending push)
     stack_desc: jnp.ndarray
     stack_cptr: jnp.ndarray
+    # restart floor: while t_min <= floor the lane is re-descending over
+    # territory it already covered before a wavefront restart — miss steps
+    # there must NOT touch the translucency adjacency bookkeeping (they
+    # were either already accounted or are ULP-shifted re-tests); -1 when
+    # not restarted (t_min >= 0 always)
+    floor: jnp.ndarray
 
 
 def _make_fat_rows(descriptors):
@@ -538,6 +544,7 @@ def init_state_push(c: RayConsts, stack_height: int = STACK_HEIGHT) -> PushState
         need_fetch=jnp.ones(B, bool),  # first fetch loads the root registers
         stack_desc=jnp.zeros((H, B), u32),
         stack_cptr=jnp.zeros((H, B), u32),
+        floor=jnp.full(B, -1.0, f32),
     )
 
 
@@ -578,6 +585,7 @@ def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
         need_fetch=jnp.ones(B, bool),
         stack_desc=jnp.zeros((H, B), u32),
         stack_cptr=jnp.zeros((H, B), u32),
+        floor=s.t_min,
     )
 
 
@@ -628,12 +636,19 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     inside = s.inside | (runnable & hit_branch & is_leaf & (s.t_min == 0))
 
     # HIT: deferred semantics — stop at every leaf except a freshly resumed
-    # lane, which passes its already-judged leaf once
+    # lane, which passes its already-judged leaf once. The pending pass is
+    # only honored while the lane still sits at the resume point
+    # (t_min <= floor); if a restart's ULP shift skipped the judged leaf,
+    # the pass expires rather than swallowing the next real surface.
     leaf_hit = runnable & hit_branch & is_leaf & (s.t_min > 0)
-    accept = leaf_hit & ~s.suppress
-    suppress = s.suppress & ~leaf_hit
+    sup_active = s.suppress & (s.t_min <= s.floor)
+    accept = leaf_hit & ~sup_active
+    suppress = s.suppress & ~leaf_hit & (s.t_min <= s.floor)
 
-    miss = runnable & ~hit_branch
+    # misses while re-descending over pre-restart territory (t_min still at
+    # the restart floor) are re-tests, not new traversal — adjacency
+    # bookkeeping only reacts to misses past the floor
+    miss = runnable & ~hit_branch & (s.t_min > s.floor)
     adj_count = jnp.where(miss, 0, adj_count)
     last_value = jnp.where(miss, _NO_VALUE, last_value)
     adj_last = (adj_count.astype(u32) << 24) | last_value
@@ -744,6 +759,7 @@ def substep(c: RayConsts, s: PushState) -> PushState:
         need_fetch=s.need_fetch | want_push,
         stack_desc=stack_desc,
         stack_cptr=stack_cptr,
+        floor=s.floor,
     )
 
 
@@ -930,6 +946,7 @@ def intersect_octree_deferred(
             adj_last=(adj_count.astype(u32) << 24) | last_value,
             missed=jnp.zeros(B, bool),
             suppress=resume,
+            floor=jnp.where(resume, state.t_min, state.floor),
         )
 
     return TraversalResult(
