@@ -825,8 +825,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         )
     )
 
-    def _adaptive_merge(descriptors, frozen_c, hit_c, scale, ray_args,
-                        need_c, blocked_c):
+    def _adaptive_merge(descriptors, frozen_c, hit_c, scale, ray_args):
         """Expand the coarse pass over the full frame.
 
         A pixel is filled without tracing when its 4 cell corners hit the
@@ -837,10 +836,6 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         (the traversal's own POP rounding), and the leaf value is carried
         from the corners so finalize needs no extra fetch. Returns
         (frozen_full, hit_full, known_value, refine_mask, refine_count)
-        plus (s_known, s_need, s_blocked): per-pixel shadow reuse — the
-        coarse pass's shadow-ray verdicts (need_c, blocked_c) carry over to
-        samples and to smooth pixels whose 4 corners agree on both flags
-        (shadow edges stay traced).
         """
         from .traversal import (
             PTR_MASK,
@@ -997,18 +992,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             jnp.where(smooth, value00, 0),
         )
         known = hit_full & ~refine
-
-        # shadow verdict carry-over
-        nd = up4(need_c)
-        bl = up4(blocked_c)
-        n00, n_eq = nd[0], (nd[0] == nd[1]) & (nd[0] == nd[2]) & (nd[0] == nd[3])
-        b00, b_eq = bl[0], (bl[0] == bl[1]) & (bl[0] == bl[2]) & (bl[0] == bl[3])
-        s_known = jnp.where(is_sample, True, smooth & n_eq & b_eq)
-        s_need = jnp.where(is_sample, pick_sample(*nd), n00)
-        s_blocked = jnp.where(is_sample, pick_sample(*bl), b00)
-
-        return (tuple(outs), hit_full, known, known_value,
-                s_known, s_need, s_blocked, refine,
+        return (tuple(outs), hit_full, known, known_value, refine,
                 jnp.sum(refine).astype(jnp.int32))
 
     adaptive_merge = jax.jit(_adaptive_merge)
@@ -1025,14 +1009,6 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         return frozen_full, hit_full.at[idx_r].set(hit_r)
 
     merge_refined = jax.jit(_merge_refined, donate_argnums=(0, 1))
-
-    # shadow verdict reuse: skip rays whose flags carried over; re-apply the
-    # carried verdicts after the traced lanes scatter (pad-lane writes at
-    # index 0 must not clobber a carried verdict)
-    shadow_reuse = jax.jit(lambda need, sk, sn: need & ~(sk & sn))
-    shadow_apply = jax.jit(
-        lambda sk, sn, sb, blocked: jnp.where(sk & sn, sb, blocked)
-    )
 
     # -- two-pass shadow reuse within the fine pass (full-width frames) ----
     # Pass 1 traces only coarse-sample pixels' shadow rays (their own exact
@@ -1085,9 +1061,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     _pipeline_cache[key] = (trace, finalize_lanes, hit_count, hit_order,
                             gather_lanes, pix_rays_jit, store, scatter_bool,
                             combine_dense, coarse_rays, adaptive_merge,
-                            refine_order, merge_refined, shadow_reuse,
-                            shadow_apply, shadow_mask1, shadow_cell_merge,
-                            shadow_combine)
+                            refine_order, merge_refined, shadow_mask1,
+                            shadow_cell_merge, shadow_combine)
     return _pipeline_cache[key]
 
 
@@ -1766,8 +1741,8 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     # shape-only helpers shared with the opaque pipeline (bool-mask order,
     # scatter, shadow cell merge)
     (_to, _fl, hit_count_b, hit_order_b, _glo, _pro, _so, scatter_bool,
-     _cdo, _cro, _amo, _roo, _mro, _sru, _sap, shadow_mask1,
-     shadow_cell_merge, shadow_combine) = _opaque_pipeline(
+     _cdo, _cro, _amo, _roo, _mro, shadow_mask1, shadow_cell_merge,
+     shadow_combine) = _opaque_pipeline(
         B, width, height, max_steps, stack_height)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
@@ -1899,8 +1874,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         B, width, height, render_shadows, max_steps, 4, stack_height)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
-     refine_order, merge_refined, shadow_reuse, shadow_apply, shadow_mask1,
-     shadow_cell_merge, shadow_combine) = (
+     refine_order, merge_refined, shadow_mask1, shadow_cell_merge,
+     shadow_combine) = (
         _opaque_pipeline(B, width, height, max_steps, stack_height))
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
@@ -1926,57 +1901,17 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     )
 
     known = known_value = None
-    s_known = s_need = s_blocked = None
     if adaptive:
         cpidx, ro_c, rd_c = coarse_rays(cam_args)
-        Bc = int(cpidx.shape[0])
         frozen_c, hit_c, steps1 = trace(
             descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
             "pixsub", (cpidx,) + cam_args, "coarse",
         )
         mark("coarse", hit_c)
 
-        # coarse shadow verdicts (exact shade-path rays, so coarse-sample
-        # pixels stay bit-identical to the non-adaptive render). Default
-        # OFF: measured a net loss on the bench scene — the coarse chain
-        # (finalize+shade+trace at ~60% of coarse hits) costs more than the
-        # fine rays it elides, because the shade-path need flag is
-        # texel-noisy (normal-mapped diffuse) and corner agreement is rare.
-        need_c = blocked_c = jnp.zeros(Bc, bool)
-        if render_shadows and _os.environ.get("VOXELRS_SHADOW_REUSE") == "1":
-            k_c = store.sticky_scalar("chits_k", hit_count(hit_c), Bc)
-            idx_c = hit_order(hit_c, k_c)
-            g = gather_lanes(idx_c, hit_c, cpidx, *frozen_c)
-            hit_ck, cpidx_ck = g[0], g[1]
-            frozen_ck = g[2:]
-            ro_ck, rd_ck = pix_rays_jit(cpidx_ck, cam_args)
-            res_c = finalize_lanes(descriptors, octree_scale, ro_ck, rd_ck,
-                                   jnp.float32(-1.0), frozen_ck, hit_ck,
-                                   steps1)
-            (_c, _d, _s, _h, need_ck, sro_ck, _srd, smax_ck) = shade(
-                (res_c.t, res_c.value, res_c.face_id, res_c.pos, res_c.uv,
-                 res_c.lod, None), ro_ck, rd_ck, mips, mat_params, mat_tex,
-                cam_pos, ambient, light_dir, shadow_distance, highlight_pos,
-            )
-            neg_light_c = -jnp.asarray(light_dir, jnp.float32)
-            k_cs = store.sticky_scalar("cns_k", hit_count(need_ck), k_c)
-            sidx_c = hit_order(need_ck, k_cs)
-            sro_c2, smax_c2 = gather_lanes(sidx_c, sro_ck, smax_ck)
-            srd_c2 = jnp.broadcast_to(neg_light_c, sro_c2.shape)
-            _f2, sblk_c, _s2 = trace(
-                descriptors, octree_scale, sro_c2, srd_c2, smax_c2, "dir",
-                (sro_c2, neg_light_c), ("cshadow", k_cs),
-                record_frozen=False,
-            )
-            blocked_ck = scatter_bool(jnp.zeros(k_c, bool), sidx_c, sblk_c)
-            need_c = scatter_bool(jnp.zeros(Bc, bool), idx_c, need_ck)
-            blocked_c = scatter_bool(jnp.zeros(Bc, bool), idx_c, blocked_ck)
-            mark("coarse-shadow", blocked_c)
-
-        (frozen, hit, known, known_value, s_known, s_need, s_blocked,
-         refine_mask, refine_count) = adaptive_merge(
-            descriptors, frozen_c, hit_c, octree_scale, cam_args,
-            need_c, blocked_c,
+        frozen, hit, known, known_value, refine_mask, refine_count = (
+            adaptive_merge(descriptors, frozen_c, hit_c, octree_scale,
+                           cam_args)
         )
         mark("adaptive-merge", hit)
         k_r = store.sticky_scalar("refine_k", refine_count, B)
@@ -2078,23 +2013,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             blocked = scatter_bool(blocked, sidx2, shit2)
             blocked = shadow_combine(reuse, verdict, blocked)
         else:
-            # adaptive coarse verdicts (gated, see above)
-            if s_known is not None:
-                if idx is None:
-                    s_known_k, s_need_k, s_blocked_k = (s_known, s_need,
-                                                        s_blocked)
-                else:
-                    s_known_k, s_need_k, s_blocked_k = gather_lanes(
-                        idx, s_known, s_need, s_blocked
-                    )
-                trace_mask = shadow_reuse(need_shadow_k, s_known_k, s_need_k)
-            else:
-                trace_mask = need_shadow_k
-            sidx, shit2 = shadow_trace(trace_mask, "ns_k")
+            sidx, shit2 = shadow_trace(need_shadow_k, "ns_k")
             blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
-            if s_known is not None:
-                blocked = shadow_apply(s_known_k, s_need_k, s_blocked_k,
-                                       blocked)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
