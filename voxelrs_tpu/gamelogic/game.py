@@ -30,6 +30,10 @@ class GameArgs:
     mc_world: Optional[str] = None
     player_pos: tuple = (-24.0, 80.0, 174.0)
     player_euler_rot: tuple = (0.0, -90.0, 0.0)  # degrees
+    # reference: --detach-input starts with detached controls (the cursor
+    # stays ungrabbed, main.rs:89-91). Headless builds have no cursor; the
+    # flag is kept for CLI parity and exposed to scripted drivers.
+    detach_input: bool = False
     render_distance: int = 20
     fov: float = 72.0
     render_shadows: bool = True
@@ -187,6 +191,9 @@ def parse_args(argv=None) -> GameArgs:
     p.add_argument("--fov", type=float, default=72.0)
     p.add_argument("--render-shadows", type=lambda s: s != "false", default=True)
     p.add_argument("--no-lod", action="store_true")
+    p.add_argument("--detach-input", action="store_true",
+                   help="start with detached controls (reference parity; "
+                        "headless builds have no cursor to grab)")
     p.add_argument("--mc-world", type=str, default=None)
     p.add_argument("--gpu-buffer-size", type=float, default=800.0)
     p.add_argument("--width", type=int, default=1920)
@@ -202,6 +209,7 @@ def parse_args(argv=None) -> GameArgs:
         fov=a.fov,
         render_shadows=a.render_shadows,
         no_lod=a.no_lod,
+        detach_input=a.detach_input,
         gpu_buffer_size_mb=a.gpu_buffer_size,
         width=a.width,
         height=a.height,
