@@ -339,7 +339,15 @@ class _PlanStore:
                     del self.plans[t]
             return
         flat = [c for (_, _, _, cs) in work for c in cs]
-        values = [int(v) for v in np.asarray(jnp.stack(flat))] if flat else []
+        if flat:
+            # pad the batch to a stable shape — a varying input count would
+            # compile a fresh stack program every frame (seconds of remote
+            # compile for a trivial readback)
+            n_pad = -(-len(flat) // 16) * 16
+            padded = flat + [flat[0]] * (n_pad - len(flat))
+            values = [int(v) for v in np.asarray(jnp.stack(padded))[:len(flat)]]
+        else:
+            values = []
         pos = 0
         debug = os.environ.get("VOXELRS_PLAN_DEBUG")
         for tag, n, segs, cs in work:
