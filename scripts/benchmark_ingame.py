@@ -54,7 +54,7 @@ def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
             )
         )
         loaded = game.wait_for_world(timeout=600)
-        for _ in range(5):  # absorb compiles + plan-replay warmup
+        for _ in range(8):  # absorb compiles + plan-replay warmup
             img = game.step_frame(render=True, width=width, height=height)
             img.block_until_ready()
             _ = float(np.asarray(img[0, 0, 0]))

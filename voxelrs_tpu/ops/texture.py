@@ -6,20 +6,14 @@ magnification (lod <= 0), LINEAR_MIPMAP_LINEAR minification (lod > 0).
 
 The mip stack is a tuple of ``(T, h_l, w_l, C)`` arrays, level 0 largest.
 Internally the levels flatten into one atlas so a trilinear sample costs 8
-texel gathers (4 per adjacent mip) + 1 nearest gather, instead of sampling
-every level — gathers are the dominant cost on TPU.
+texel gathers (4 per adjacent mip); NEAREST magnification rides the same
+gathers by snapping the sample to the texel center (exact for the pow2
+texture sizes used here) — gathers are the dominant cost on TPU.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-
-
-def _nearest_level0(level, layer, uv):
-    T, h, w = level.shape[0], level.shape[1], level.shape[2]
-    x = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
-    return level[jnp.clip(layer, 0, T - 1), y, x]
 
 
 def sample_texture_lod(mips: tuple, layer, uv, lod):
@@ -59,6 +53,16 @@ def sample_texture_lod(mips: tuple, layer, uv, lod):
     d0 = jnp.floor(lod).astype(jnp.int32)
     frac = (lod - d0.astype(lod.dtype))[:, None]
 
+    # NEAREST magnification (lod <= 0) rides the same bilinear gathers:
+    # snapping the sample point to the texel center makes the bilinear
+    # weights degenerate to exactly that texel, saving a dedicated gather
+    mag = lod <= 0.0
+    w0 = ws[jnp.clip(d0, 0, n_levels - 1)].astype(lod.dtype)
+    h0 = hs[jnp.clip(d0, 0, n_levels - 1)].astype(lod.dtype)
+    ux = jnp.where(mag, (jnp.floor(uv[:, 0] * w0) + 0.5) / w0, uv[:, 0])
+    uy = jnp.where(mag, (jnp.floor(uv[:, 1] * h0) + 0.5) / h0, uv[:, 1])
+    uv = jnp.stack([jnp.clip(ux, 0.0, 1.0), jnp.clip(uy, 0.0, 1.0)], axis=-1)
+
     def bilinear_at(dl):
         dl = jnp.clip(dl, 0, n_levels - 1)
         h = hs[dl]
@@ -82,9 +86,7 @@ def sample_texture_lod(mips: tuple, layer, uv, lod):
         bot = c01 * (1 - fx) + c11 * fx
         return top * (1 - fy) + bot * fy
 
-    tri = bilinear_at(d0) * (1 - frac) + bilinear_at(d0 + 1) * frac
-    near = _nearest_level0(mips[0], layer, uv)
-    out = jnp.where((lod <= 0.0)[:, None], near, tri)
+    out = bilinear_at(d0) * (1 - frac) + bilinear_at(d0 + 1) * frac
     return out[..., 0] if squeeze else out
 
 
