@@ -221,6 +221,17 @@ def shade_hits(res, ro, rd, mips, mat_params, mat_tex, *, cam_pos, ambient,
 _pipeline_cache: dict = {}
 
 
+def _fused_replay_on() -> bool:
+    """Opt-in (VOXELRS_FUSED_REPLAY=1): run each replayed trace as ONE
+    compiled program. Measured ~1% faster steady-state over the tunnel but
+    every new plan signature costs a fresh ~30 s remote compile (granular
+    replay re-uses per-width round programs), so it only pays on directly
+    attached hardware with local compiles."""
+    import os
+
+    return os.environ.get("VOXELRS_FUSED_REPLAY") == "1"
+
+
 def _compact_on() -> bool:
     """Debug kill-switch for wavefront compaction (VOXELRS_COMPACT=0)."""
     import os
@@ -338,21 +349,30 @@ class _PlanStore:
                           if isinstance(v, tuple)]:
                     del self.plans[t]
             return
-        flat = [c for (_, _, _, cs) in work for c in cs]
+        # each pending entry's counts may be scalars or stacked (k,) arrays
+        # (fused replay programs return all segment counts as one array)
+        flat = [jnp.asarray(c).reshape(-1) for (_, _, _, cs) in work
+                for c in cs]
+        sizes = [int(a.shape[0]) for a in flat]
         if flat:
-            # pad the batch to a stable shape — a varying input count would
-            # compile a fresh stack program every frame (seconds of remote
+            # pad the batch to a stable shape — a varying length would
+            # compile a fresh concat program every frame (seconds of remote
             # compile for a trivial readback)
-            n_pad = -(-len(flat) // 16) * 16
-            padded = flat + [flat[0]] * (n_pad - len(flat))
-            values = [int(v) for v in np.asarray(jnp.stack(padded))[:len(flat)]]
+            total = sum(sizes)
+            n_pad = -(-total // 16) * 16
+            pads = [jnp.zeros(n_pad - total, jnp.int32)] if n_pad > total else []
+            values = [int(v) for v in
+                      np.asarray(jnp.concatenate(flat + pads))[:total]]
         else:
             values = []
         pos = 0
+        entry_i = 0
         debug = os.environ.get("VOXELRS_PLAN_DEBUG")
         for tag, n, segs, cs in work:
-            counts = values[pos : pos + len(cs)]
-            pos += len(cs)
+            take = sum(sizes[entry_i : entry_i + len(cs)])
+            entry_i += len(cs)
+            counts = values[pos : pos + take]
+            pos += take
             if isinstance(tag, tuple) and tag and tag[0] == "scalar":
                 _, name, cap = tag
                 count = counts[0]
@@ -585,7 +605,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         donate_argnums=(0,),
     )
 
-    def _make_compact(ray_fn):
+    def _make_compact_raw(ray_fn):
         def f(scale, ray_args, max_dst, state, gidx, sub_idx):
             ro_k, rd_k = ray_fn(gidx, ray_args)
             md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
@@ -605,11 +625,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             )
             return sub_consts, sub_state
 
-        return jax.jit(f)
+        return f
 
-    compact_jits = {"pix": _make_compact(_pix_rays),
-                    "dir": _make_compact(_dir_rays),
-                    "pixsub": _make_compact(_pixsub_rays)}
+    compact_raw = {"pix": _make_compact_raw(_pix_rays),
+                   "dir": _make_compact_raw(_dir_rays),
+                   "pixsub": _make_compact_raw(_pixsub_rays)}
+    compact_jits = {m: jax.jit(f) for m, f in compact_raw.items()}
     pix_rays_jit = jax.jit(_pix_rays)
 
     start = jax.jit(
@@ -626,6 +647,81 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     )
 
     store = _PlanStore(merge_none_below=1 << 62)  # no judge in rounds
+
+    # -- fused replay: one compiled program per recorded plan -------------
+    # A replayed trace is a FIXED sequence of rounds and static-bucket
+    # compactions; running it as one jit removes ~8-14 per-frame dispatches
+    # (and their queue bubbles) per trace. Per-segment survivor counts
+    # return as one stacked array for the next frame's plan refresh.
+    _fused_cache: dict = {}
+
+    def _fused_replay(mode, plan_key, record_frozen):
+        key = (mode, plan_key, record_frozen)
+        if key in _fused_cache:
+            return _fused_cache[key]
+
+        from .traversal import _make_fat_rows, run_loop_push
+
+        compact_fn = compact_raw[mode]
+        plan = list(plan_key)
+
+        def fused(descriptors, scale, ro, rd, max_dst, ray_args):
+            fat_rows = _make_fat_rows(descriptors)
+            consts = make_ray_consts(scale, ro, rd, max_dst)
+            state = init_state_push(consts, stack_height)
+            n = ro.shape[0]
+            frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
+            hit_full = jnp.zeros(n, bool)
+            steps_total = jnp.int32(0)
+            counts = []
+            idx = None
+            width_now = n
+            budget = max_steps
+            segs = [(seg, bucket) for seg, bucket in plan]
+            if sum(s for s, _ in plan) < max_steps:
+                segs.append((max_steps - sum(s for s, _ in plan), None))
+            for seg, bucket in segs:
+                seg = min(seg, budget)
+                if seg <= 0:
+                    break
+                steps, state = run_loop_push(fat_rows, consts, state, seg,
+                                             _substeps)
+                steps_total = steps_total + steps
+                budget -= seg
+                counts.append(jnp.sum(state.active).astype(jnp.int32))
+                if (bucket is not None and bucket <= (width_now * 3) // 4
+                        and _compact_on()):
+                    sub_idx = jnp.nonzero(state.active, size=bucket,
+                                          fill_value=0)[0]
+                    gidx = sub_idx if idx is None else idx[sub_idx]
+                    if idx is None:
+                        hit_full = state.hit
+                        if record_frozen:
+                            frozen = _freeze(state)
+                    elif record_frozen:
+                        frozen, hit_full = _scatter_frozen(
+                            frozen, hit_full, idx, state
+                        )
+                    else:
+                        hit_full = hit_full.at[idx].set(hit_full[idx]
+                                                        | state.hit)
+                    consts, state = compact_fn(scale, ray_args, max_dst,
+                                               state, gidx, sub_idx)
+                    idx = gidx
+                    width_now = bucket
+            if idx is None:
+                hit_full = state.hit
+                if record_frozen:
+                    frozen = _freeze(state)
+            elif record_frozen:
+                frozen, hit_full = _scatter_frozen(frozen, hit_full, idx,
+                                                   state)
+            else:
+                hit_full = hit_full.at[idx].set(hit_full[idx] | state.hit)
+            return frozen, hit_full, steps_total, jnp.stack(counts)
+
+        _fused_cache[key] = jax.jit(fused)
+        return _fused_cache[key]
 
     def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag,
               record_frozen: bool = True):
@@ -726,6 +822,25 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 else:
                     plan_rec.append((seg, None))
             store.record(tag, n, plan_rec)
+        elif _fused_replay_on():
+            fn = _fused_replay(mode, tuple(plan), record_frozen)
+            frozen, hit_full, steps_total, counts = fn(
+                descriptors, scale, ro, rd, max_dst, ray_args
+            )
+            seg_lens = []
+            for seg, _bucket in plan:
+                seg = min(seg, budget)
+                if seg <= 0:
+                    break
+                budget -= seg
+                seg_lens.append(seg)
+            if budget > 0:
+                seg_lens.append(budget)
+            if timing:
+                hit_full.block_until_ready()
+                tmark(f"fused replay x{len(seg_lens)}")
+            store.push_pending(tag, n, seg_lens, [counts])
+            return frozen, hit_full, steps_total
         else:
             # replay: no intra-frame syncs; counts resolved next frame
             seg_lens = []
@@ -1225,11 +1340,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     store = _PlanStore(merge_none_below=32768)  # keep judges at width
 
-    def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
-              tag="primary"):
-        consts, state = start(scale, ro, rd, max_dst)
-        n = ro.shape[0]
-        acc = (
+    # fused replay: the whole recorded round/judge/compaction sequence as
+    # one compiled program (see the opaque pipeline's _fused_replay)
+    _fused_cache: dict = {}
+
+    def _make_acc(n):
+        return (
             jnp.full(n, -1.0, jnp.float32),
             jnp.zeros(n, jnp.uint32),
             jnp.zeros(n, jnp.int32),
@@ -1240,6 +1356,86 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             jnp.zeros(n, jnp.float32),  # accepted entry plane (h-space)
             jnp.zeros(n, bool),         # passed through a translucent texel
         )
+
+    def _fused_replay_j(plan_key):
+        if plan_key in _fused_cache:
+            return _fused_cache[plan_key]
+
+        plan = list(plan_key)
+
+        def fused(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
+            consts = make_ray_consts(scale, ro, rd, max_dst)
+            state = init_state_push(consts, stack_height)
+            n = ro.shape[0]
+            acc = _make_acc(n)
+            done = jnp.zeros(n, bool)
+            inside_full = jnp.zeros(n, bool)
+            steps_total = jnp.int32(0)
+            idx = None
+            width_now = n
+            counts = []
+            budget = max_steps
+            segs = list(plan)
+            if sum(s for s, _ in plan) < max_steps:
+                segs.append((max_steps - sum(s for s, _ in plan), None))
+            for seg, bucket in segs:
+                seg = min(seg, budget)
+                if seg <= 0:
+                    break
+                state, steps_total, acc, done = round_body(
+                    descriptors, consts, state, steps_total, acc, done,
+                    mips, mat_tex, seg,
+                )
+                budget -= seg
+                counts.append(
+                    jnp.sum(state.active | (state.hit & ~done)).astype(
+                        jnp.int32)
+                )
+                if (bucket is not None and bucket <= (width_now * 3) // 4
+                        and _compact_on()):
+                    sub_idx = jnp.nonzero(
+                        state.active | (state.hit & ~done), size=bucket,
+                        fill_value=0,
+                    )[0]
+                    gidx = sub_idx if idx is None else idx[sub_idx]
+                    nc, ns, na, nd = _compact_fn(
+                        scale, ro, rd, max_dst, state, acc, done, gidx,
+                        sub_idx,
+                    )
+                    # scatter current results into the parents first
+                    if idx is None:
+                        accF, doneF, insideF = acc, done, state.inside
+                    else:
+                        accF, doneF, insideF = _scatter_fn(
+                            accF, doneF, insideF, idx, acc, done,
+                            state.inside,
+                        )
+                    idx = gidx
+                    consts, state, acc, done = nc, ns, na, nd
+                    width_now = bucket
+            if idx is None:
+                accF, doneF, insideF = acc, done, state.inside
+            else:
+                accF, doneF, insideF = _scatter_fn(
+                    accF, doneF, insideF, idx, acc, done, state.inside
+                )
+            from .traversal import TraversalResult
+
+            res = TraversalResult(
+                t=accF[0], value=accF[1], face_id=accF[2], pos=accF[3],
+                uv=accF[4], lod=accF[5], inside_voxel=insideF,
+                steps=jnp.broadcast_to(steps_total, (n,)), trace=None,
+            )
+            return res, accF[6], accF[7], accF[8], jnp.stack(counts)
+
+        _fused_cache[plan_key] = jax.jit(fused)
+        return _fused_cache[plan_key]
+
+    def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
+              tag="primary"):
+        consts, state = start(scale, ro, rd, max_dst)
+        n = ro.shape[0]
+        acc = _make_acc(n)
         done = jnp.zeros(n, bool)
         inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
@@ -1333,6 +1529,24 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 else:
                     plan_rec.append((seg, None))
             store.record(tag, n, plan_rec)
+        elif _fused_replay_on():
+            fn = _fused_replay_j(tuple(plan))
+            res, sc, pl, ps, counts = fn(descriptors, scale, ro, rd, max_dst,
+                                         mips, mat_tex)
+            seg_lens = []
+            for seg, _bucket in plan:
+                seg = min(seg, budget)
+                if seg <= 0:
+                    break
+                budget -= seg
+                seg_lens.append(seg)
+            if budget > 0:
+                seg_lens.append(budget)
+            if timing:
+                res.t.block_until_ready()
+                tmark(f"fused replay x{len(seg_lens)}")
+            store.push_pending(tag, n, seg_lens, [counts])
+            return res, sc, pl, ps
         else:
             seg_lens = []
             counts_dev = []
