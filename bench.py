@@ -114,23 +114,32 @@ def main() -> None:
         frame(i)
     seq = (time.time() - t0) / FRAMES
 
-    # frames in flight: sustained throughput (device work interleaves while
-    # other frames wait on their host syncs); depth swept — the dispatch
-    # probe shows enqueue is ~free and only syncs (~26 ms) serialize
-    from concurrent.futures import ThreadPoolExecutor
+    # frames in flight, single thread: issue frame i+1's dispatches before
+    # syncing frame i's image — the steady-state driver has no blocking
+    # syncs (plans replay; counts prefetch with a 2-frame lag), so host
+    # orchestration of the next frame overlaps the device work of the
+    # previous one. (Thread-based pipelining raced the sticky plan buckets
+    # and recompiled shapes; this keeps one deterministic plan stream.)
+    def render_async(i):
+        p = RenderParams(**{**params.__dict__})
+        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
+        return svo.render(p, W, H)
 
-    # depth 2 only: deeper pipelining makes concurrent frames race the
-    # sticky plan buckets (each new bucket = a freshly compiled shape,
-    # minutes of remote compile) — measured catastrophic at depth 3
-    piped = seq
-    for depth in (2,):
-        with ThreadPoolExecutor(depth) as pool:
-            list(pool.map(frame, range(depth)))  # warm per-thread caches
-            t0 = time.time()
-            list(pool.map(frame, range(depth * FRAMES)))
-            piped_d = (time.time() - t0) / (depth * FRAMES)
-        print(f"# pipelined depth {depth}: {piped_d*1e3:.0f} ms", file=sys.stderr)
-        piped = min(piped, piped_d)
+    from collections import deque
+
+    inflight = deque()
+    for i in range(2):  # warm the in-flight path
+        inflight.append(render_async(i))
+    while inflight:
+        _ = float(np.asarray(inflight.popleft()[0, 0, 0]))
+    t0 = time.time()
+    for i in range(2 * FRAMES):
+        inflight.append(render_async(i % FRAMES))
+        if len(inflight) > 1:
+            _ = float(np.asarray(inflight.popleft()[0, 0, 0]))
+    while inflight:
+        _ = float(np.asarray(inflight.popleft()[0, 0, 0]))
+    piped = (time.time() - t0) / (2 * FRAMES)
 
     print(f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f} ms",
           file=sys.stderr)

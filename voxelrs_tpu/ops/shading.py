@@ -311,6 +311,34 @@ class _PlanStore:
         with self.lock:
             self.pending.append((tag, n, seg_lens, counts_dev))
 
+    def _rotate_pending(self):
+        """Concatenate the queued count arrays into one stable-shape device
+        buffer and start its async host copy; the batch becomes readable at
+        the NEXT resolve."""
+        with self.lock:
+            work, self.pending[:] = list(self.pending), []
+        if not work:
+            return
+        flat = [jnp.asarray(c).reshape(-1) for (_, _, _, cs) in work
+                for c in cs]
+        sizes = [int(a.shape[0]) for a in flat]
+        total = sum(sizes)
+        if total:
+            # stable shape — a varying length would compile a fresh concat
+            # program every frame (seconds of remote compile)
+            n_pad = -(-total // 16) * 16
+            pads = ([jnp.zeros(n_pad - total, jnp.int32)]
+                    if n_pad > total else [])
+            flat_dev = jnp.concatenate(flat + pads)
+            try:
+                flat_dev.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copies: resolve blocks
+        else:
+            flat_dev = None
+        with self.lock:
+            self._ready = (work, flat_dev, sizes)
+
     def sticky_scalar(self, name, count_dev, cap):
         """Bucket for a lane subset sized by an async device count: replay
         last frame's sticky value (no sync); first frame reads it back."""
@@ -332,14 +360,21 @@ class _PlanStore:
         return min(k, cap)
 
     def resolve(self):
-        """One batched readback of last frame's per-segment counts; refresh
-        (or invalidate) the recorded plans."""
+        """Refresh (or invalidate) the recorded plans from per-segment
+        counts. Counts resolve with a TWO-frame lag: at the end of frame N
+        the pending batch is concatenated and its host copy starts
+        asynchronously; frame N+2's resolve reads the landed buffer — no
+        round-trip latency on the critical path."""
         import os
 
         with self.lock:
-            work, self.pending[:] = list(self.pending), []
-        if not work:
+            batch = getattr(self, "_ready", None)
+            self._ready = None
+        # rotate: start the async host copy for the batch queued this frame
+        self._rotate_pending()
+        if batch is None:
             return
+        work, flat_dev, sizes = batch
         # merged plans can only coarsen; re-sync the segment plans once in a
         # while so a changed scene can rediscover finer compaction points
         self._epoch = getattr(self, "_epoch", 0) + 1
@@ -349,22 +384,9 @@ class _PlanStore:
                           if isinstance(v, tuple)]:
                     del self.plans[t]
             return
-        # each pending entry's counts may be scalars or stacked (k,) arrays
-        # (fused replay programs return all segment counts as one array)
-        flat = [jnp.asarray(c).reshape(-1) for (_, _, _, cs) in work
-                for c in cs]
-        sizes = [int(a.shape[0]) for a in flat]
-        if flat:
-            # pad the batch to a stable shape — a varying length would
-            # compile a fresh concat program every frame (seconds of remote
-            # compile for a trivial readback)
-            total = sum(sizes)
-            n_pad = -(-total // 16) * 16
-            pads = [jnp.zeros(n_pad - total, jnp.int32)] if n_pad > total else []
-            values = [int(v) for v in
-                      np.asarray(jnp.concatenate(flat + pads))[:total]]
-        else:
-            values = []
+        total = sum(sizes)
+        values = ([int(v) for v in np.asarray(flat_dev)[:total]]
+                  if flat_dev is not None else [])
         pos = 0
         entry_i = 0
         debug = os.environ.get("VOXELRS_PLAN_DEBUG")
