@@ -73,12 +73,26 @@ class Physics:
 
     def step_many(self, delta_time: float, raycaster: Raycaster,
                   entities: list[Entity]) -> None:
+        # zero-motion early-out: a flying entity with zero velocity neither
+        # moves nor needs grounded detection (grounded is always False when
+        # flying, reference: physics.rs:150-152) — its sweep results would
+        # be unused, so skip the device round-trip entirely
+        live = [
+            e for e in entities
+            if not (e.caps.flying and not e.velocity.any())
+        ]
+        live_ids = {id(e) for e in live}
+        for e in entities:
+            if id(e) not in live_ids:
+                e.state = EntityState(is_grounded=False)
+        if not live:
+            return
         self._batch.reset()
         self._result.reset()
-        for e in entities:
+        for e in live:
             self._batch.add_aabb(Aabb.new(e.position, e.aabb_def.offset, e.aabb_def.extents))
         raycaster.raycast(self._batch, self._result)
-        for e, res in zip(entities, self._result.aabbs):
+        for e, res in zip(live, self._result.aabbs):
             self._update_entity(e, res, delta_time)
 
     @staticmethod
