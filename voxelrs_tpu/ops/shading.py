@@ -565,19 +565,9 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
 
     # -- ray sources ---------------------------------------------------------
-    def _pix_rays(idx, ray_args):
-        """Recompute (ro, rd) for pixel lanes ``idx`` — bit-identical to
-        ``generate_rays`` so compacted lanes see the exact same ray."""
-        cam_pos, cam_right, cam_up, cam_fwd, fov, aspect = ray_args
-        x = (idx % width).astype(jnp.float32)
-        y = (idx // width).astype(jnp.float32)
-        u = (x / width * 2.0 - 1.0) * aspect * jnp.tan(fov * 0.5)
-        v = ((height - 1.0 - y) / height * 2.0 - 1.0) * jnp.tan(fov * 0.5)
-        rd = (u[:, None] * cam_right[None, :] + v[:, None] * cam_up[None, :]
-              + cam_fwd[None, :])
-        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-        ro = jnp.broadcast_to(cam_pos, rd.shape)
-        return ro, rd
+    # bit-identical to ``generate_rays`` so compacted lanes see the exact
+    # same ray
+    _pix_rays = _pix_rays_for(width, height)
 
     def _dir_rays(idx, ray_args):
         """Per-lane origins, constant direction (shadow rays)."""
@@ -953,16 +943,9 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     # pixel's own ray with that leaf analytically (exact), and re-trace only
     # the disagreement pixels at full resolution.
     # ---------------------------------------------------------------------
-    Hc = height // 2 + 1 if height > 1 else 1
-    Wc = width // 2 + 1 if width > 1 else 1
+    Hc, Wc, _coarse_pidx, _up4_g, _sample_masks_g, _pick_g = (
+        _coarse_grid_for(width, height))
     Bc = Hc * Wc
-
-    def _coarse_pidx():
-        """Global pixel ids of the coarse grid: every 2nd pixel plus the
-        last row/column (cell corners cover the whole image)."""
-        cy = jnp.minimum(2 * jnp.arange(Hc, dtype=jnp.int32), height - 1)
-        cx = jnp.minimum(2 * jnp.arange(Wc, dtype=jnp.int32), width - 1)
-        return (cy[:, None] * width + cx[None, :]).reshape(-1)
 
     coarse_rays = jax.jit(
         lambda ray_args: (lambda p: (p, *_pix_rays(p, ray_args)))(
@@ -992,19 +975,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         )
         from .bits import bits_f32
 
-        def up4(a):
-            """The 4 cell-corner values of every pixel, by 2x nearest
-            upsampling of the coarse grid and its +1 shifts (no gathers)."""
-            g = a.reshape(Hc, Wc)
-            right = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
-            down = jnp.concatenate([g[1:, :], g[-1:, :]], axis=0)
-            downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-
-            def up(x):
-                x = jnp.repeat(x, 2, axis=0)[:height]
-                return jnp.repeat(x, 2, axis=1)[:, :width].reshape(-1)
-
-            return up(g), up(right), up(down), up(downright)
+        up4 = _up4_g
 
         def same4(q):
             a00, a01, a10, a11 = up4(q)
@@ -1012,17 +983,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
         B = width * height
         lane = jnp.arange(B, dtype=jnp.int32)
-        y = lane // width
-        x = lane % width
-        ylast = y == height - 1
-        xlast = x == width - 1
-        is_sample = ((y % 2 == 0) | ylast) & ((x % 2 == 0) | xlast)
+        is_sample, ylast, xlast = _sample_masks_g()
 
         def pick_sample(a00, a01, a10, a11):
-            return jnp.where(
-                ylast & xlast, a11,
-                jnp.where(ylast, a10, jnp.where(xlast, a01, a00)),
-            )
+            return _pick_g(ylast, xlast, a00, a01, a10, a11)
 
         # -- per-coarse-lane surface identity (value fetch + hit geometry) --
         cp = _coarse_pidx()
@@ -1160,14 +1124,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     # rays — bit-identical to the single-pass render); interior pixels whose
     # 4 cell corners agree on (need, blocked) reuse the verdict; pass 2
     # traces the disagreeing remainder (shadow edges, texel-noise lanes).
-    def _full_is_sample():
-        lane = jnp.arange(width * height, dtype=jnp.int32)
-        y = lane // width
-        x = lane % width
-        return (((y % 2 == 0) | (y == height - 1))
-                & ((x % 2 == 0) | (x == width - 1)))
-
-    shadow_mask1 = jax.jit(lambda need: need & _full_is_sample())
+    shadow_mask1 = jax.jit(lambda need: need & _sample_masks_g()[0])
 
     def _shadow_cell_merge(need, blocked1):
         """Corner-agreement reuse for interior pixels. Returns
@@ -1176,24 +1133,14 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         def to_coarse(a):
             g = a.reshape(height, width)
             g = jnp.concatenate([g[::2], g[height - 1:]], axis=0)[:Hc]
-            return jnp.concatenate([g[:, ::2], g[:, width - 1:]], axis=1)[:, :Wc]
+            g = jnp.concatenate([g[:, ::2], g[:, width - 1:]], axis=1)[:, :Wc]
+            return g.reshape(-1)
 
-        def up4(g):
-            right = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
-            down = jnp.concatenate([g[1:, :], g[-1:, :]], axis=0)
-            downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-
-            def up(x):
-                x = jnp.repeat(x, 2, axis=0)[:height]
-                return jnp.repeat(x, 2, axis=1)[:, :width].reshape(-1)
-
-            return up(g), up(right), up(down), up(downright)
-
-        n00, n01, n10, n11 = up4(to_coarse(need))
-        b00, b01, b10, b11 = up4(to_coarse(blocked1))
+        n00, n01, n10, n11 = _up4_g(to_coarse(need))
+        b00, b01, b10, b11 = _up4_g(to_coarse(blocked1))
         agree = ((n00 == n01) & (n00 == n10) & (n00 == n11)
                  & (b00 == b01) & (b00 == b10) & (b00 == b11))
-        is_sample = _full_is_sample()
+        is_sample = _sample_masks_g()[0]
         reuse = ~is_sample & agree & n00  # verdict exists only where needed
         mask2 = need & ~is_sample & ~reuse
         return mask2, reuse, b00
