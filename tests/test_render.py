@@ -245,3 +245,19 @@ def test_deferred_matches_canonical_inloop(monkeypatch):
     canonical = np.asarray(svo.render(p, W, H, max_steps=300, mode="fused"))
     np.testing.assert_allclose(deferred, canonical, atol=1e-5)
     assert np.abs(deferred - canonical).mean() < 1e-6
+
+
+def test_hierarchical_adaptive_matches_exact(scene, monkeypatch):
+    """The two-level (quarter-res -> half-res -> pixels) adaptive pass must
+    stay within the thick-ray budget of the exact render."""
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(scene.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "1")
+    hier = np.asarray(scene.render(p, W, H, max_steps=300))
+
+    assert not np.isnan(hier).any()
+    assert diff_images(hier, exact) < 0.004
+    per_pixel = np.abs(hier - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.03

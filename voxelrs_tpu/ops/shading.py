@@ -953,158 +953,185 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         )
     )
 
-    def _adaptive_merge(descriptors, frozen_c, hit_c, scale, ray_args):
-        """Expand the coarse pass over the full frame.
+    def _make_frozen_merge(hi_w, hi_h, hi_ids_fn):
+        """Frozen-level coplanar merge from a lo grid onto its hi grid.
+        Level 1: hi = the pixel grid, lo = the half-res coarse grid.
+        Level 2 (hierarchy): hi = the coarse grid, lo = quarter-res.
+        ``hi_ids_fn() -> (Bhi,)`` global PIXEL ids of the hi lanes."""
+        _Hlo, _Wlo, lo_in_hi_fn, up4_l, masks_l, pick_l = (
+            _coarse_grid_for(hi_w, hi_h))
 
-        A pixel is filled without tracing when its 4 cell corners hit the
-        SAME RENDERED SURFACE: equal block value, face, leaf scale and face
-        plane (coplanar leaves — voxel boundaries within a flat surface stay
-        smooth). The fill is exact: the pixel's own ray intersects the
-        shared plane, its leaf base is recovered by mantissa quantization
-        (the traversal's own POP rounding), and the leaf value is carried
-        from the corners so finalize needs no extra fetch. Returns
-        (frozen_full, hit_full, known_value, refine_mask, refine_count)
-        """
-        from .traversal import (
-            PTR_MASK,
-            _exp2_scale,
-            _make_fat_rows,
-            f32_bits,
-            hit_phase_fat,
-            make_ray_consts,
-        )
-        from .bits import bits_f32
+        def merge(descriptors, frozen_c, hit_c, scale, ray_args,
+                  known_c=None, kval_c=None):
+            """Expand the coarse pass over the full frame.
 
-        up4 = _up4_g
+            A pixel is filled without tracing when its 4 cell corners hit the
+            SAME RENDERED SURFACE: equal block value, face, leaf scale and face
+            plane (coplanar leaves — voxel boundaries within a flat surface stay
+            smooth). The fill is exact: the pixel's own ray intersects the
+            shared plane, its leaf base is recovered by mantissa quantization
+            (the traversal's own POP rounding), and the leaf value is carried
+            from the corners so finalize needs no extra fetch. Returns
+            (frozen_full, hit_full, known_value, refine_mask, refine_count)
+            """
+            from .traversal import (
+                PTR_MASK,
+                _exp2_scale,
+                _make_fat_rows,
+                f32_bits,
+                hit_phase_fat,
+                make_ray_consts,
+            )
+            from .bits import bits_f32
 
-        def same4(q):
-            a00, a01, a10, a11 = up4(q)
-            return a00, (a00 == a01) & (a00 == a10) & (a00 == a11)
+            up4 = up4_l
 
-        B = width * height
-        lane = jnp.arange(B, dtype=jnp.int32)
-        is_sample, ylast, xlast = _sample_masks_g()
+            def same4(q):
+                a00, a01, a10, a11 = up4(q)
+                return a00, (a00 == a01) & (a00 == a10) & (a00 == a11)
 
-        def pick_sample(a00, a01, a10, a11):
-            return _pick_g(ylast, xlast, a00, a01, a10, a11)
+            lane = hi_ids_fn()
+            is_sample, ylast, xlast = masks_l()
 
-        # -- per-coarse-lane surface identity (value fetch + hit geometry) --
-        cp = _coarse_pidx()
-        ro_c2, rd_c2 = _pix_rays(cp, ray_args)
-        cc = make_ray_consts(scale, ro_c2, rd_c2, jnp.float32(-1.0))
-        t_c, pp_c, idxscale_c, px_c, py_c, pz_c = frozen_c
-        scale_c = (idxscale_c >> jnp.uint32(8)).astype(jnp.int32)
-        idx_c = (idxscale_c & jnp.uint32(0xFF)).astype(jnp.int32)
-        value_c, _f, _ux, _uy, _d, _l, _up = hit_phase_fat(
-            _make_fat_rows(descriptors), cc, pp_c, idx_c, scale_c,
-            px_c, py_c, pz_c, t_c,
-        )
-        sexp2_c = _exp2_scale(scale_c)
-        t2x_c = (px_c + sexp2_c) * cc.tcx - cc.tbx
-        t2y_c = (py_c + sexp2_c) * cc.tcy - cc.tby
-        t2z_c = (pz_c + sexp2_c) * cc.tcz - cc.tbz
-        tcmin_c = jnp.maximum(jnp.maximum(t2x_c, t2y_c), t2z_c)
-        # face AXIS (0/1/2) + the shared entry-plane coordinate on it
-        on_x_c = tcmin_c == t2x_c
-        on_y_c = (~on_x_c) & (tcmin_c == t2y_c)
-        axis_c = jnp.where(on_x_c, 0, jnp.where(on_y_c, 1, 2))
-        plane_c = jnp.where(
-            on_x_c, px_c + sexp2_c,
-            jnp.where(on_y_c, py_c + sexp2_c, pz_c + sexp2_c),
-        )
+            def pick_sample(a00, a01, a10, a11):
+                return pick_l(ylast, xlast, a00, a01, a10, a11)
 
-        h00, h01, h10, h11 = up4(hit_c)
-        hit4 = h00 & h01 & h10 & h11
-        miss4 = ~(h00 | h01 | h10 | h11)
-
-        value00, value_eq = same4(value_c)
-        axis00, axis_eq = same4(axis_c)
-        plane00, plane_eq = same4(plane_c)
-        scale00, scale_eq = same4(scale_c)
-        om00, om_eq = same4(cc.octant_mask)
-
-        # own-ray constants (bit-identical ray derivation to the traversal)
-        ro, rd = _pix_rays(lane, ray_args)
-        c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
-        om_ok = om_eq & (c.octant_mask == om00)
-
-        # the pixel's own ray meets the shared plane at t_int
-        sexp2 = _exp2_scale(scale00)
-        tc_ax = jnp.where(axis00 == 0, c.tcx,
-                          jnp.where(axis00 == 1, c.tcy, c.tcz))
-        tb_ax = jnp.where(axis00 == 0, c.tbx,
-                          jnp.where(axis00 == 1, c.tby, c.tbz))
-        t_int = plane00 * tc_ax - tb_ax
-
-        # hit point in mirrored [1,2) space -> leaf base by mantissa
-        # quantization (face axis comes from the plane itself)
-        def mcoord(roa, rda, mirror):
-            h = roa + t_int * rda
-            return jnp.where(mirror, 3.0 - h, h)
-
-        mx = mcoord(c.rox, c.rdx, c.mirror_x)
-        my = mcoord(c.roy, c.rdy, c.mirror_y)
-        mz = mcoord(c.roz, c.rdz, c.mirror_z)
-        sc = jnp.clip(scale00, 0, 31).astype(jnp.uint32)
-
-        def quant(m):
-            return bits_f32((f32_bits(m) >> sc) << sc)
-
-        base_ax = plane00 - sexp2
-        posx = jnp.where(axis00 == 0, base_ax, quant(mx))
-        posy = jnp.where(axis00 == 1, base_ax, quant(my))
-        posz = jnp.where(axis00 == 2, base_ax, quant(mz))
-
-        # consistency: the plane must be the pixel's own entry face of the
-        # synthesized leaf box (finalize recomputes the same argmax)
-        t2x = (posx + sexp2) * c.tcx - c.tbx
-        t2y = (posy + sexp2) * c.tcy - c.tby
-        t2z = (posz + sexp2) * c.tcz - c.tbz
-        tcmin = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
-        on_x = tcmin == t2x
-        on_y = (~on_x) & (tcmin == t2y)
-        axis_own = jnp.where(on_x, 0, jnp.where(on_y, 1, 2))
-        t_cube_exit = jnp.minimum(
-            jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
-        )
-        smooth = (
-            hit4 & value_eq & axis_eq & plane_eq & scale_eq & om_ok
-            & (axis_own == axis00) & (t_int == tcmin)
-            & (t_int > 0) & (t_int <= t_cube_exit)
-        )
-
-        hit_full = jnp.where(is_sample, pick_sample(h00, h01, h10, h11),
-                             smooth)
-        refine = ~is_sample & ~smooth & ~miss4
-
-        # frozen channels: samples keep their coarse state; smooth lanes get
-        # the synthesized state (pp unused - value is carried)
-        outs = []
-        zero_u = jnp.zeros((), jnp.uint32)
-        smooth_vals = [
-            t_int, zero_u,
-            scale00.astype(jnp.uint32) << jnp.uint32(8),
-            posx, posy, posz,
-        ]
-        for a, sv in zip(frozen_c, smooth_vals):
-            a00, a01, a10, a11 = up4(a)
-            samp = pick_sample(a00, a01, a10, a11)
-            zero = jnp.zeros((), samp.dtype)
-            outs.append(
-                jnp.where(is_sample, samp, jnp.where(smooth, sv, zero))
+            # -- per-coarse-lane surface identity (value fetch + hit geometry) --
+            cp = hi_ids_fn()[lo_in_hi_fn()]
+            ro_c2, rd_c2 = _pix_rays(cp, ray_args)
+            cc = make_ray_consts(scale, ro_c2, rd_c2, jnp.float32(-1.0))
+            t_c, pp_c, idxscale_c, px_c, py_c, pz_c = frozen_c
+            scale_c = (idxscale_c >> jnp.uint32(8)).astype(jnp.int32)
+            idx_c = (idxscale_c & jnp.uint32(0xFF)).astype(jnp.int32)
+            value_c, _f, _ux, _uy, _d, _l, _up = hit_phase_fat(
+                _make_fat_rows(descriptors), cc, pp_c, idx_c, scale_c,
+                px_c, py_c, pz_c, t_c,
+            )
+            if known_c is not None:
+                # hierarchical lower level: analytically filled lanes carry
+                # their value (their synthesized state has no valid pointer)
+                value_c = jnp.where(known_c, kval_c, value_c)
+            sexp2_c = _exp2_scale(scale_c)
+            t2x_c = (px_c + sexp2_c) * cc.tcx - cc.tbx
+            t2y_c = (py_c + sexp2_c) * cc.tcy - cc.tby
+            t2z_c = (pz_c + sexp2_c) * cc.tcz - cc.tbz
+            tcmin_c = jnp.maximum(jnp.maximum(t2x_c, t2y_c), t2z_c)
+            # face AXIS (0/1/2) + the shared entry-plane coordinate on it
+            on_x_c = tcmin_c == t2x_c
+            on_y_c = (~on_x_c) & (tcmin_c == t2y_c)
+            axis_c = jnp.where(on_x_c, 0, jnp.where(on_y_c, 1, 2))
+            plane_c = jnp.where(
+                on_x_c, px_c + sexp2_c,
+                jnp.where(on_y_c, py_c + sexp2_c, pz_c + sexp2_c),
             )
 
-        # carried leaf values: samples + smooth lanes skip finalize's fetch
-        v00, v01, v10, v11 = up4(value_c)
-        known_value = jnp.where(
-            is_sample, pick_sample(v00, v01, v10, v11),
-            jnp.where(smooth, value00, 0),
-        )
-        known = hit_full & ~refine
-        return (tuple(outs), hit_full, known, known_value, refine,
-                jnp.sum(refine).astype(jnp.int32))
+            h00, h01, h10, h11 = up4(hit_c)
+            hit4 = h00 & h01 & h10 & h11
+            miss4 = ~(h00 | h01 | h10 | h11)
 
-    adaptive_merge = jax.jit(_adaptive_merge)
+            value00, value_eq = same4(value_c)
+            axis00, axis_eq = same4(axis_c)
+            plane00, plane_eq = same4(plane_c)
+            scale00, scale_eq = same4(scale_c)
+            om00, om_eq = same4(cc.octant_mask)
+
+            # own-ray constants (bit-identical ray derivation to the traversal)
+            ro, rd = _pix_rays(lane, ray_args)
+            c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
+            om_ok = om_eq & (c.octant_mask == om00)
+
+            # the pixel's own ray meets the shared plane at t_int
+            sexp2 = _exp2_scale(scale00)
+            tc_ax = jnp.where(axis00 == 0, c.tcx,
+                              jnp.where(axis00 == 1, c.tcy, c.tcz))
+            tb_ax = jnp.where(axis00 == 0, c.tbx,
+                              jnp.where(axis00 == 1, c.tby, c.tbz))
+            t_int = plane00 * tc_ax - tb_ax
+
+            # hit point in mirrored [1,2) space -> leaf base by mantissa
+            # quantization (face axis comes from the plane itself)
+            def mcoord(roa, rda, mirror):
+                h = roa + t_int * rda
+                return jnp.where(mirror, 3.0 - h, h)
+
+            mx = mcoord(c.rox, c.rdx, c.mirror_x)
+            my = mcoord(c.roy, c.rdy, c.mirror_y)
+            mz = mcoord(c.roz, c.rdz, c.mirror_z)
+            sc = jnp.clip(scale00, 0, 31).astype(jnp.uint32)
+
+            def quant(m):
+                return bits_f32((f32_bits(m) >> sc) << sc)
+
+            base_ax = plane00 - sexp2
+            posx = jnp.where(axis00 == 0, base_ax, quant(mx))
+            posy = jnp.where(axis00 == 1, base_ax, quant(my))
+            posz = jnp.where(axis00 == 2, base_ax, quant(mz))
+
+            # consistency: the plane must be the pixel's own entry face of the
+            # synthesized leaf box (finalize recomputes the same argmax)
+            t2x = (posx + sexp2) * c.tcx - c.tbx
+            t2y = (posy + sexp2) * c.tcy - c.tby
+            t2z = (posz + sexp2) * c.tcz - c.tbz
+            tcmin = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
+            on_x = tcmin == t2x
+            on_y = (~on_x) & (tcmin == t2y)
+            axis_own = jnp.where(on_x, 0, jnp.where(on_y, 1, 2))
+            t_cube_exit = jnp.minimum(
+                jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
+            )
+            smooth = (
+                hit4 & value_eq & axis_eq & plane_eq & scale_eq & om_ok
+                & (axis_own == axis00) & (t_int == tcmin)
+                & (t_int > 0) & (t_int <= t_cube_exit)
+            )
+
+            hit_full = jnp.where(is_sample, pick_sample(h00, h01, h10, h11),
+                                 smooth)
+            refine = ~is_sample & ~smooth & ~miss4
+
+            # frozen channels: samples keep their coarse state; smooth lanes get
+            # the synthesized state (pp unused - value is carried)
+            outs = []
+            zero_u = jnp.zeros((), jnp.uint32)
+            smooth_vals = [
+                t_int, zero_u,
+                scale00.astype(jnp.uint32) << jnp.uint32(8),
+                posx, posy, posz,
+            ]
+            for a, sv in zip(frozen_c, smooth_vals):
+                a00, a01, a10, a11 = up4(a)
+                samp = pick_sample(a00, a01, a10, a11)
+                zero = jnp.zeros((), samp.dtype)
+                outs.append(
+                    jnp.where(is_sample, samp, jnp.where(smooth, sv, zero))
+                )
+
+            # carried leaf values: samples + smooth lanes skip finalize's fetch
+            v00, v01, v10, v11 = up4(value_c)
+            known_value = jnp.where(
+                is_sample, pick_sample(v00, v01, v10, v11),
+                jnp.where(smooth, value00, 0),
+            )
+            known = hit_full & ~refine
+            return (tuple(outs), hit_full, known, known_value, refine,
+                    jnp.sum(refine).astype(jnp.int32))
+
+        return jax.jit(merge)
+
+    adaptive_merge = _make_frozen_merge(
+        width, height,
+        lambda: jnp.arange(width * height, dtype=jnp.int32),
+    )
+    # hierarchical level 2: quarter-res grid merged onto the coarse grid
+    adaptive_merge_q = _make_frozen_merge(Wc, Hc, _coarse_pidx)
+    _Hq, _Wq, _q_in_c, _u4q, _smq, _pkq = _coarse_grid_for(Wc, Hc)
+    coarse_rays_q = jax.jit(
+        lambda ray_args: (lambda p: (p, *_pix_rays(p, ray_args)))(
+            _coarse_pidx()[_q_in_c()]
+        )
+    )
+    coarse_sub_ids = jax.jit(lambda idx, ray_args: (
+        lambda p: (p, *_pix_rays(p, ray_args)))(_coarse_pidx()[idx]))
 
     refine_order = jax.jit(
         lambda mask, size: jnp.nonzero(mask, size=size, fill_value=0)[0],
@@ -1154,7 +1181,9 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                             gather_lanes, pix_rays_jit, store, scatter_bool,
                             combine_dense, coarse_rays, adaptive_merge,
                             refine_order, merge_refined, shadow_mask1,
-                            shadow_cell_merge, shadow_combine)
+                            shadow_cell_merge, shadow_combine,
+                            adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
+                            Bc)
     return _pipeline_cache[key]
 
 
@@ -1933,7 +1962,7 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     # scatter, shadow cell merge)
     (_to, _fl, hit_count_b, hit_order_b, _glo, _pro, _so, scatter_bool,
      _cdo, _cro, _amo, _roo, _mro, shadow_mask1, shadow_cell_merge,
-     shadow_combine) = _opaque_pipeline(
+     shadow_combine, *_hier) = _opaque_pipeline(
         B, width, height, max_steps, stack_height)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
@@ -2066,8 +2095,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
      refine_order, merge_refined, shadow_mask1, shadow_cell_merge,
-     shadow_combine) = (
-        _opaque_pipeline(B, width, height, max_steps, stack_height))
+     shadow_combine, adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
+     Bc) = _opaque_pipeline(B, width, height, max_steps, stack_height)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
@@ -2093,16 +2122,47 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     known = known_value = None
     if adaptive:
-        cpidx, ro_c, rd_c = coarse_rays(cam_args)
-        frozen_c, hit_c, steps1 = trace(
-            descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
-            "pixsub", (cpidx,) + cam_args, "coarse",
-        )
-        mark("coarse", hit_c)
+        # optional second level (VOXELRS_HIERARCHY=1): quarter-res trace
+        # fills the half-res grid the same way the half-res grid fills
+        # pixels. Off by default: on the tunnel-attached chip the q-level
+        # saves ~60 ms of coarse trace but its extra merge/refine stages
+        # and plan tags cost about as much (measured ~505 vs ~450 ms
+        # steady), and thin features in the 2-4 px band may drop.
+        hierarchy = _os.environ.get("VOXELRS_HIERARCHY") == "1"
+        known_c = kval_c = None
+        if hierarchy:
+            qpix, ro_q, rd_q = coarse_rays_q(cam_args)
+            frozen_q, hit_q, steps1 = trace(
+                descriptors, octree_scale, ro_q, rd_q, jnp.float32(-1.0),
+                "pixsub", (qpix,) + cam_args, "coarse4",
+            )
+            mark("coarse4", hit_q)
+            (frozen_c, hit_c, known_c, kval_c, ref_c_mask, ref_c_count) = (
+                adaptive_merge_q(descriptors, frozen_q, hit_q, octree_scale,
+                                 cam_args)
+            )
+            k_rc = store.sticky_scalar("crefine_k", ref_c_count, Bc)
+            idx_rc = refine_order(ref_c_mask, k_rc)
+            cpix_sub, ro_rc, rd_rc = coarse_sub_ids(idx_rc, cam_args)
+            frozen_rc, hit_rc, steps1b = trace(
+                descriptors, octree_scale, ro_rc, rd_rc, jnp.float32(-1.0),
+                "pixsub", (cpix_sub,) + cam_args, ("crefine", k_rc),
+            )
+            frozen_c, hit_c = merge_refined(frozen_c, hit_c, idx_rc,
+                                            frozen_rc, hit_rc)
+            steps1 = steps1 + steps1b
+            mark("coarse-refine", hit_c)
+        else:
+            cpidx, ro_c, rd_c = coarse_rays(cam_args)
+            frozen_c, hit_c, steps1 = trace(
+                descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
+                "pixsub", (cpidx,) + cam_args, "coarse",
+            )
+            mark("coarse", hit_c)
 
         frozen, hit, known, known_value, refine_mask, refine_count = (
             adaptive_merge(descriptors, frozen_c, hit_c, octree_scale,
-                           cam_args)
+                           cam_args, known_c, kval_c)
         )
         mark("adaptive-merge", hit)
         k_r = store.sticky_scalar("refine_k", refine_count, B)
