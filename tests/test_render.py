@@ -165,6 +165,7 @@ def test_adaptive_matches_exact(scene, monkeypatch):
     where the four corners hit the same leaf, and only disagreement pixels
     (re-traced at full res anyway) plus thin sub-2px features may differ."""
     p = default_params()
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")  # flat path: samples trace
     monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
     exact = np.asarray(scene.render(p, W, H, max_steps=300))
     monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
