@@ -37,9 +37,30 @@ def test_walk_speed_and_direction():
 
 
 def test_sprint_multiplier():
+    # sprint is LeftShift-while-walking (reference: gameplay.rs:86-87)
     gp, e = Gameplay(), player()
-    gp.handle_movement(Input(keys_down={"w", "ctrl"}), e, 1 / 60)
+    gp.handle_movement(Input(keys_down={"w", "shift"}), e, 1 / 60)
     assert abs(np.linalg.norm([e.velocity[0], e.velocity[2]]) - WALK_SPEED * 1.5) < 1e-4
+
+
+def test_lateral_directions():
+    # yaw 0 -> forward +x, right = fwd x unit_y = (0,0,-z)... assert via cross
+    # product identity: A strafes -right, D strafes +right
+    # (reference: gameplay.rs:102-109)
+    gp, e = Gameplay(), player()
+    e.euler_rotation[1] = 0.0
+    fwd = e.get_forward()
+    flat = np.array([fwd[0], 0.0, fwd[2]], np.float32)
+    flat /= np.linalg.norm(flat)
+    right = np.cross(flat, np.array([0.0, 1.0, 0.0], np.float32))
+
+    gp.handle_movement(Input(keys_down={"d"}), e, 1 / 60)
+    v = np.array([e.velocity[0], 0.0, e.velocity[2]])
+    assert np.allclose(v / np.linalg.norm(v), right, atol=1e-5)
+
+    gp.handle_movement(Input(keys_down={"a"}), e, 1 / 60)
+    v = np.array([e.velocity[0], 0.0, e.velocity[2]])
+    assert np.allclose(v / np.linalg.norm(v), -right, atol=1e-5)
 
 
 def test_fly_speed_and_vertical():
@@ -50,12 +71,42 @@ def test_fly_speed_and_vertical():
 
 
 def test_jump_requires_grounded():
+    # jump fires only when grounded on the PREVIOUS frame
+    # (reference: gameplay.rs:133-145 `was_grounded` latch)
     gp, e = Gameplay(), player()
     gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)
     assert e.velocity[1] == 0.0
     e.state.is_grounded = True
     gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)
+    assert e.velocity[1] == 0.0  # was_grounded not yet latched
+    gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)
     assert e.velocity[1] == JUMP_SPEED
+
+
+def test_no_autojump_while_holding_space():
+    # holding space must not re-jump every grounded frame: is_jumping stays
+    # latched until space is released while grounded (reference: gameplay.rs:133-141)
+    gp, e = Gameplay(), player()
+    e.state.is_grounded = True
+    gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)  # latch was_grounded
+    gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)  # jump
+    assert e.velocity[1] == JUMP_SPEED
+    e.velocity[1] = 0.0
+    # still grounded (landing frame), still holding space: no second jump
+    gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)
+    assert e.velocity[1] == 0.0
+    # release space while grounded resets the latch; next press jumps again
+    gp.handle_movement(Input(), e, 1 / 60)
+    gp.handle_movement(Input(keys_down={"space"}), e, 1 / 60)
+    assert e.velocity[1] == JUMP_SPEED
+
+
+def test_flying_resets_jump_latch():
+    gp, e = Gameplay(), player(flying=True)
+    gp.was_grounded = True
+    gp.is_jumping = True
+    gp.handle_movement(Input(), e, 1 / 60)
+    assert not gp.was_grounded and not gp.is_jumping
 
 
 def test_mouse_look_sensitivity():

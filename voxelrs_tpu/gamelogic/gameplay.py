@@ -50,7 +50,9 @@ class Gameplay:
     def __init__(self) -> None:
         self.selected_block = content.GRASS
         self.looking_at = None  # RayResult or None
+        # jump edge-detection latch (reference: gameplay.rs:121-145)
         self.was_grounded = False
+        self.is_jumping = False
 
     # -- camera / movement -------------------------------------------------------
 
@@ -58,11 +60,14 @@ class Gameplay:
         """Update rotation from mouse delta and velocity from WASD
         (reference: gameplay.rs:100-159)."""
         dx, dy = input.mouse_delta
-        player.euler_rotation[1] += dx * MOUSE_SENSITIVITY  # yaw
-        player.euler_rotation[0] -= dy * MOUSE_SENSITIVITY  # pitch
-        player.euler_rotation[0] = float(
-            np.clip(player.euler_rotation[0], -math.pi / 2 + 1e-3, math.pi / 2 - 1e-3)
-        )
+        if abs(dx) > 0.01:
+            player.euler_rotation[1] += dx * MOUSE_SENSITIVITY  # yaw
+        if abs(dy) > 0.01:
+            player.euler_rotation[0] -= dy * MOUSE_SENSITIVITY  # pitch
+            limit = math.pi / 2 - 0.01
+            player.euler_rotation[0] = float(
+                np.clip(player.euler_rotation[0], -limit, limit)
+            )
 
         fwd = player.get_forward()
         flat_fwd = np.array([fwd[0], 0.0, fwd[2]], np.float32)
@@ -76,14 +81,18 @@ class Gameplay:
             direction += flat_fwd
         if "s" in input.keys_down:
             direction -= flat_fwd
-        if "d" in input.keys_down:
-            direction -= right
         if "a" in input.keys_down:
+            direction -= right
+        if "d" in input.keys_down:
             direction += right
 
-        speed = FLY_SPEED if player.caps.flying else WALK_SPEED
-        if "ctrl" in input.keys_down:
-            speed *= SPRINT_FACTOR
+        # flying -> FLY_SPEED; else shift sprints (reference: gameplay.rs:84-90)
+        if player.caps.flying:
+            speed = FLY_SPEED
+        elif "shift" in input.keys_down:
+            speed = WALK_SPEED * SPRINT_FACTOR
+        else:
+            speed = WALK_SPEED
         n = np.linalg.norm(direction)
         if n > 0:
             direction = direction / n * speed
@@ -92,14 +101,25 @@ class Gameplay:
         player.velocity[2] = direction[2]
 
         if player.caps.flying:
+            self.is_jumping = False
+            self.was_grounded = False
             player.velocity[1] = 0.0
             if "space" in input.keys_down:
                 player.velocity[1] = speed
             if "shift" in input.keys_down:
                 player.velocity[1] = -speed
-        elif "space" in input.keys_down and player.state.is_grounded:
-            # jump only on (re)grounding edge
-            player.velocity[1] = JUMP_SPEED
+        else:
+            # jump latch: holding space does not autojump; a jump fires only
+            # while grounded-last-frame and not already mid-jump
+            # (reference: gameplay.rs:133-145)
+            is_grounded = player.state.is_grounded
+            if "space" in input.keys_down and self.was_grounded:
+                if not self.is_jumping:
+                    self.is_jumping = True
+                    player.velocity[1] = JUMP_SPEED
+            elif is_grounded:
+                self.is_jumping = False
+            self.was_grounded = is_grounded
 
         if "f" in input.keys_pressed:
             player.caps.flying = not player.caps.flying
