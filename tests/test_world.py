@@ -105,3 +105,56 @@ def test_mark_all_changed():
     assert not w.has_changed_chunks()
     w.mark_all_chunks_as_changed()
     assert len(w.get_changed_chunks(10)) == 3
+
+
+def test_storage_pool_release_on_unload():
+    """Dropped chunks return voxel storage to the pool; rejected borrows
+    release once the loan comes back (reference: src/world/memory.rs:16-117)."""
+    from voxelrs_tpu.world.chunk import ChunkSlotPool
+
+    pool = ChunkSlotPool()
+    w = World(storage_pool=pool)
+
+    c1 = Chunk(ChunkPos(0, 0, 0), 5, pool.allocate())
+    c2 = Chunk(ChunkPos(1, 0, 0), 5, pool.allocate())
+    w.set_chunk(c1)
+    w.set_chunk(c2)
+    assert pool.used_count() == 2
+
+    # plain unload releases immediately
+    w.remove_chunk(ChunkPos(1, 0, 0))
+    assert pool.used_count() == 1
+    assert pool.allocated_count() == 2  # array kept on the free list
+
+    # removing while borrowed defers release until the borrow returns
+    borrowed = w.borrow_chunk(ChunkPos(0, 0, 0))
+    w.remove_chunk(ChunkPos(0, 0, 0))
+    assert pool.used_count() == 1  # serializer may still read the array
+    w.return_chunk(borrowed)
+    assert pool.used_count() == 0
+
+    # freed storage is reused, not reallocated
+    arr = pool.allocate()
+    assert pool.allocated_count() == 2
+    assert not arr.any()
+
+
+def test_storage_pool_release_on_override():
+    from voxelrs_tpu.world.chunk import ChunkSlotPool
+
+    pool = ChunkSlotPool()
+    w = World(storage_pool=pool)
+    w.set_chunk(Chunk(ChunkPos(0, 0, 0), 5, pool.allocate()))
+    w.set_chunk(Chunk(ChunkPos(0, 0, 0), 5, pool.allocate()))
+    assert pool.used_count() == 1
+
+
+def test_storage_pool_ignores_foreign_arrays():
+    from voxelrs_tpu.world.chunk import ChunkSlotPool
+
+    pool = ChunkSlotPool()
+    w = World(storage_pool=pool)
+    w.set_chunk(Chunk(ChunkPos(0, 0, 0)))  # non-pool storage
+    w.remove_chunk(ChunkPos(0, 0, 0))
+    assert pool.used_count() == 0
+    assert pool.allocated_count() == 0

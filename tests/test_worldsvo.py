@@ -130,3 +130,36 @@ def test_shift_chunks_back_and_forth_is_stable():
         assert sp is not None
         assert svo.get(sp) == (pos.x, pos.z)
     assert len(leaf_ids) <= n0
+
+
+def test_serialize_chunk_trace_recorded():
+    """Per-chunk serialization is traced into the benchmark collector
+    (reference: worldsvo.rs:93-98 trace_if has_data)."""
+    import time
+
+    from voxelrs_tpu.gamelogic import benchmark, content
+    from voxelrs_tpu.systems.jobs import JobSystem
+    from voxelrs_tpu.world.chunk import Chunk
+    from voxelrs_tpu.world.world import BorrowedChunk
+
+    benchmark.reset_all()
+    js = JobSystem(1)
+    try:
+        import voxelrs_tpu.graphics as graphics
+
+        gfx = graphics.Svo(content.new_registry(None), 4.0, np.uint32)
+        svo = Svo(js, gfx, 2)
+        chunk = Chunk(ChunkPos(0, 0, 0), 5)
+        chunk.set_block(1, 1, 1, content.STONE)
+        svo.set_chunk(BorrowedChunk(chunk))
+        deadline = time.time() + 10
+        while svo.has_pending_jobs() and time.time() < deadline:
+            svo.update(ChunkPos(0, 0, 0))
+            time.sleep(0.01)
+        svo.update(ChunkPos(0, 0, 0))
+        traces = benchmark.collect()["traces"]
+        assert "serialize_chunk" in traces
+        assert traces["serialize_chunk"]["n"] == 1
+    finally:
+        js.stop()
+        benchmark.reset_all()

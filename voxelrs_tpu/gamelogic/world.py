@@ -55,7 +55,7 @@ class World:
         else:
             self.storage = NopStorage()
 
-        self.world = ChunkMap()
+        self.world = ChunkMap(storage_pool=self.slot_pool)
         self.world_generator_cfg = worldgen.default_config()
         self.world_generator = GeneratorDriver(
             job_system, worldgen.Generator(1, self.world_generator_cfg), self.slot_pool

@@ -97,7 +97,15 @@ class Svo:
         factory = self._chunk_factory
 
         def produce():
-            return factory(pos, voxels, lod, borrowed_chunk=chunk)
+            # per-chunk serialization trace, recorded only when the chunk
+            # produced data (reference: worldsvo.rs:93-98 trace_if has_data)
+            from ..gamelogic import benchmark
+
+            return benchmark.trace_if(
+                "serialize_chunk",
+                lambda: factory(pos, voxels, lod, borrowed_chunk=chunk),
+                lambda sc: sc.has_data(),
+            )
 
         self.processor.enqueue(pos, True, produce)
 

@@ -155,6 +155,7 @@ class ChunkSlotPool:
 
     def __init__(self) -> None:
         self._free: list[np.ndarray] = []
+        self._issued: set[int] = set()  # id() of arrays currently handed out
         self._allocated = 0
         self._used = 0
 
@@ -163,11 +164,20 @@ class ChunkSlotPool:
         if self._free:
             arr = self._free.pop()
             arr.fill(NO_BLOCK)
-            return arr
-        self._allocated += 1
-        return np.zeros((CHUNK_SIZE, CHUNK_SIZE, CHUNK_SIZE), dtype=np.uint32)
+        else:
+            self._allocated += 1
+            arr = np.zeros((CHUNK_SIZE, CHUNK_SIZE, CHUNK_SIZE), dtype=np.uint32)
+        self._issued.add(id(arr))
+        return arr
 
     def release(self, arr: np.ndarray) -> None:
+        """Return an array to the free list. Arrays not handed out by this
+        pool (e.g. chunks built directly in tests) are ignored, keeping the
+        accounting exact (reference: src/world/memory.rs:16-117 — pooled
+        storages return to the allocator on chunk drop)."""
+        if id(arr) not in self._issued:
+            return
+        self._issued.discard(id(arr))
         self._used -= 1
         self._free.append(arr)
 

@@ -43,11 +43,18 @@ class BorrowedChunk:
 class World:
     """Collection of chunks keyed by position, with a changed-chunk queue."""
 
-    def __init__(self) -> None:
+    def __init__(self, storage_pool=None) -> None:
         self.chunks: dict[ChunkPos, Chunk] = {}
         self._changed_set: set[ChunkPos] = set()
         self._changed_queue: deque[ChunkPos] = deque()
         self._borrowed: dict[ChunkPos, BorrowedChunk] = {}
+        # optional ChunkSlotPool: voxel storage of dropped chunks returns here
+        # (reference: src/world/memory.rs pooled-storage semantics)
+        self.storage_pool = storage_pool
+
+    def _release_storage(self, chunk: Optional[Chunk]) -> None:
+        if chunk is not None and self.storage_pool is not None:
+            self.storage_pool.release(chunk.voxels)
 
     def _mark_changed(self, pos: ChunkPos) -> None:
         if pos not in self._changed_set:
@@ -70,13 +77,19 @@ class World:
         self._mark_changed(pos)
 
     def set_chunk_unchanged(self, chunk: Chunk) -> None:
-        # forget any borrow so the stale chunk cannot be returned
+        # forget any borrow so the stale chunk cannot be returned; its storage
+        # is released when the rejected borrow comes back (return_chunk)
         self._borrowed.pop(chunk.pos, None)
+        old = self.chunks.get(chunk.pos)
+        if old is not None and old is not chunk and old.voxels is not chunk.voxels:
+            self._release_storage(old)
         self.chunks[chunk.pos] = chunk
 
     def remove_chunk(self, pos: ChunkPos) -> None:
+        # a chunk out on loan may still be read by a background serializer;
+        # its storage is reclaimed when the borrow is rejected in return_chunk
         self._borrowed.pop(pos, None)
-        self.chunks.pop(pos, None)
+        self._release_storage(self.chunks.pop(pos, None))
         self._mark_changed(pos)
 
     def get_chunk(self, pos: ChunkPos) -> Optional[Chunk]:
@@ -102,6 +115,9 @@ class World:
             return
         pos = borrowed.chunk.pos
         if self._borrowed.get(pos) is not borrowed:
+            # slot overridden/removed while on loan: the serializer is done
+            # with the array now, so storage can finally go back to the pool
+            self._release_storage(borrowed.take())
             return
         del self._borrowed[pos]
         self.chunks[pos] = borrowed.take()
