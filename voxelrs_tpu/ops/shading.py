@@ -347,7 +347,9 @@ class _PlanStore:
             self.pending.append((("scalar", name, cap), None, [], [count_dev]))
         if prev is not None:
             return min(prev, cap)
-        return min(cap, _bucket_size(int(count_dev)))
+        # synchronous first pick / post-overflow re-sync: exact for this
+        # frame, with margin so steady growth doesn't overflow immediately
+        return min(cap, _margin_bucket(int(count_dev)))
 
     def sticky_sync(self, name, needed, cap):
         """Synchronous sticky bucket (exact, one readback already paid)."""
@@ -400,10 +402,19 @@ class _PlanStore:
                 count = counts[0]
                 with self.lock:
                     prev = self.plans.get(name)
-                if debug and prev is not None and count > prev:
-                    print(f"    [plan {name}] overflowed (grown)", flush=True)
-                # an overflow truncated that frame's lane set; grow the
-                # bucket in place (no sync needed — scalars have no plan)
+                if prev is not None and count > prev:
+                    # the overflow TRUNCATED that frame's lane set (dropped
+                    # pixels render as sky / rays go unshadowed) and this
+                    # count is already two frames old — growing from it can
+                    # lag a moving camera indefinitely. Drop the sticky value
+                    # so the next sticky_scalar() pays one exact synchronous
+                    # readback and picks a bucket that fits THAT frame.
+                    if debug:
+                        print(f"    [plan {name}] overflowed (re-sync)",
+                              flush=True)
+                    with self.lock:
+                        self.plans.pop(name, None)
+                    continue
                 with self.lock:
                     self.plans[name] = min(cap, _sticky_bucket(prev, count))
                 continue
@@ -2185,8 +2196,9 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     # the hit-lane bucket replays asynchronously (sticky across frames so
     # the shadow pass's compiled width doesn't wobble). The dense full-width
     # path — the common case — never truncates; in the compacted regime an
-    # overflow drops hit pixels for one frame before the bucket grows, the
-    # same contract as every other replayed bucket.
+    # overflow drops hit pixels until the lagged count lands (~2 frames),
+    # at which point resolve() clears the sticky value and the next frame
+    # re-syncs exactly — truncation is bounded, not persistent.
     k = store.sticky_scalar("hits_k", hit_count(hit), B)
     if k >= B // 3:
         # hit-dense frame: compaction's nonzero + 8 wide gathers (slow tier

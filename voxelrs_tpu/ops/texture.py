@@ -34,6 +34,14 @@ def sample_texture_lod(mips: tuple, layer, uv, lod):
     n_levels = len(mips)
     T = mips[0].shape[0]
     C = mips[0].shape[-1]
+    # The NEAREST-magnification snap ((floor(u*w)+0.5)/w) is only bit-exact
+    # when level dims are powers of two (otherwise the recomputed bilinear
+    # weight is ~1 ULP off zero and bleeds the neighboring texel).
+    for m in mips:
+        h, w = m.shape[1], m.shape[2]
+        assert h & (h - 1) == 0 and w & (w - 1) == 0, (
+            f"sample_texture_lod requires pow2 level dims, got {h}x{w}"
+        )
     layer = jnp.clip(layer, 0, T - 1)
     lod = jnp.clip(lod, 0.0, float(n_levels - 1))
 
