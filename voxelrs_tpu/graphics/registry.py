@@ -35,22 +35,23 @@ def _hash01(ix: np.ndarray, iy: np.ndarray, salt: int) -> np.ndarray:
 
 
 def procedural_texture(base_rgb, salt: int, variation: float = 0.25,
-                       alpha: float | np.ndarray = 1.0) -> np.ndarray:
-    """(TEX_SIZE, TEX_SIZE, 4) noisy solid-color texture."""
-    iy, ix = np.meshgrid(np.arange(TEX_SIZE), np.arange(TEX_SIZE), indexing="ij")
+                       alpha: float | np.ndarray = 1.0,
+                       size: int = TEX_SIZE) -> np.ndarray:
+    """(size, size, 4) noisy solid-color texture."""
+    iy, ix = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     n = _hash01(ix, iy, salt)
     rgb = np.asarray(base_rgb, np.float32)[None, None, :] * (
         1.0 - variation / 2 + variation * n[:, :, None]
     )
-    tex = np.empty((TEX_SIZE, TEX_SIZE, 4), np.float32)
+    tex = np.empty((size, size, 4), np.float32)
     tex[:, :, :3] = np.clip(rgb, 0.0, 1.0)
     tex[:, :, 3] = alpha
     return tex
 
 
-def flat_normal_texture() -> np.ndarray:
+def flat_normal_texture(size: int = TEX_SIZE) -> np.ndarray:
     """Identity normal map: (0.5, 0.5, 1, 1) — yields the face normal."""
-    tex = np.empty((TEX_SIZE, TEX_SIZE, 4), np.float32)
+    tex = np.empty((size, size, 4), np.float32)
     tex[:, :, 0] = 0.5
     tex[:, :, 1] = 0.5
     tex[:, :, 2] = 1.0
@@ -108,17 +109,29 @@ class VoxelRegistry:
     materials: dict = field(default_factory=dict)  # block id -> Material
 
     def add_texture(self, name: str, tex: np.ndarray) -> "VoxelRegistry":
-        assert tex.shape == (TEX_SIZE, TEX_SIZE, 4), tex.shape
+        # all textures in one array share dimensions (GL texture-array rule,
+        # reference: texture_array.rs:141); pow2 keeps NEAREST-mag bit-exact
+        s = tex.shape[0]
+        assert tex.shape == (s, s, 4), tex.shape
+        assert s & (s - 1) == 0, f"texture size must be pow2, got {s}"
+        if self.textures:
+            first = next(iter(self.textures.values()))
+            assert first.shape == tex.shape, (
+                f"texture {name} is {tex.shape}, array is {first.shape}"
+            )
         self.textures[name] = tex.astype(np.float32)
         return self
 
     def add_texture_file(self, name: str, path: str) -> "VoxelRegistry":
-        """Load a PNG (v-flipped like the reference GL uploader)."""
+        """Load a PNG at native size (v-flipped like the reference GL
+        uploader, texture_array.rs:152-176)."""
         from PIL import Image
 
         img = Image.open(path).convert("RGBA")
-        if img.size != (TEX_SIZE, TEX_SIZE):
-            img = img.resize((TEX_SIZE, TEX_SIZE), Image.NEAREST)
+        if self.textures:
+            s = next(iter(self.textures.values())).shape[0]
+            if img.size != (s, s):
+                img = img.resize((s, s), Image.NEAREST)
         arr = np.asarray(img, np.float32) / 255.0
         return self.add_texture(name, arr[::-1].copy())
 
@@ -137,7 +150,9 @@ class VoxelRegistry:
         stack = np.stack([self.textures[n] for n in names]) if names else (
             np.zeros((1, TEX_SIZE, TEX_SIZE, 4), np.float32)
         )
-        mips = build_mip_chain(jnp.asarray(stack), MIP_LEVELS)
+        # level count = min(6, ilog2(size)) (reference: texture_array.rs:102)
+        levels = min(MIP_LEVELS, int(np.log2(stack.shape[1])))
+        mips = build_mip_chain(jnp.asarray(stack), levels)
 
         max_block = max(self.materials.keys(), default=0)
         mat_params = np.zeros((max_block + 1, 2), np.float32)
