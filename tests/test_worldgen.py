@@ -95,3 +95,33 @@ def test_columns_are_continuous_across_chunks():
     b = gen.get_column(1, 0).height_map
     # adjacent columns' edge heights differ by a small amount (continuity)
     assert np.abs(a[31, :] - b[0, :]).max() <= 6
+
+
+def test_noise_crate_reference_vectors():
+    """Exact values from the reference's own unit test
+    (worldgen.rs:88-103, noise_tests::get, seed 0)."""
+    n = Noise(frequency=2.0, octaves=3,
+              spline_points=[SplinePoint(-1.0, 0.0), SplinePoint(1.0, 1.0)])
+    p = Perlin(0)
+    expected = {(0, 0): 0.5, (1, 0): 0.234834, (0, 1): 0.676776, (1, 1): 0.411611}
+    for (x, z), exp in expected.items():
+        got = float(n.get(p, np.float64(x), np.float64(z)))
+        assert abs(got - exp) < 2e-6, f"({x},{z}): {got} != {exp}"
+
+
+def test_seed1_terrain_matches_reference_world():
+    """Seed-1 heightmap invariants confirmed against the reference's
+    end-to-end expected image (world.rs:461-498): gentle ~37-high terrain at
+    the test camera (-24, 80, 174) with the big mountain rising past z=0."""
+    gen = Generator(1, default_config())
+    cfg = gen.cfg
+
+    def h(x, z):
+        v = (cfg.continentalness.get(gen.perlin, np.float64(x), np.float64(z))
+             + cfg.erosion.get(gen.perlin, np.float64(x), np.float64(z)))
+        return int(v)  # Rust `as i32` truncation
+
+    assert h(-24, 174) == 37   # camera column: y=80 is in the air
+    assert h(-24, 0) == 65
+    assert h(-24, -75) == 197  # the mountain in view
+    assert h(-24, -250) == 195

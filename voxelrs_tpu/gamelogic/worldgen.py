@@ -19,44 +19,94 @@ from ..world.chunk import Chunk, ChunkPos
 from . import content
 
 
-# -- Perlin noise (classic Ken Perlin improved noise, 2D, seeded) -------------
+# -- Perlin noise (reconstruction of the `noise` crate v0.8.2) -----------------
+#
+# The reference uses noise-rs's Perlin (reference: worldgen.rs:6,182) whose
+# output is fully determined by: a 256-entry permutation table produced by a
+# XorShiftRng-seeded Fisher-Yates shuffle (rand 0.7 semantics), an xor-fold
+# hash, the four diagonal gradients, quintic smoothing, a sqrt(2) scale and
+# a [-1,1] clamp. Reconstructed from behavior and validated against the
+# reference's own noise_tests::get expectations (worldgen.rs:88-103) and the
+# end-to-end expected image — see tests/test_worldgen.py.
+
+
+class _XorShift:
+    """rand_xorshift 0.2 XorShiftRng (x, y, z, w u32 state)."""
+
+    def __init__(self, x: int, y: int, z: int, w: int):
+        self.x, self.y, self.z, self.w = x, y, z, w
+
+    def next_u32(self) -> int:
+        x = self.x
+        t = (x ^ (x << 11)) & 0xFFFFFFFF
+        self.x, self.y, self.z = self.y, self.z, self.w
+        w = self.w
+        self.w = (w ^ (w >> 19) ^ (t ^ (t >> 8))) & 0xFFFFFFFF
+        return self.w
+
+
+def _gen_index(rng: _XorShift, n: int) -> int:
+    """rand 0.7 `gen_range(0, n)` for n <= u32::MAX: one u32 draw, widening
+    multiply, zone rejection."""
+    lz = 32 - n.bit_length()
+    zone = ((n << lz) - 1) & 0xFFFFFFFF
+    while True:
+        v = rng.next_u32()
+        prod = v * n
+        hi, lo = prod >> 32, prod & 0xFFFFFFFF
+        if lo <= zone:
+            return hi
+
+
+def _permutation_table(seed: int) -> np.ndarray:
+    """noise-rs PermutationTable::new(seed): XorShiftRng seeded with state
+    words [1, seed, seed, seed] and a reverse Fisher-Yates shuffle of 0..255.
+    Layout confirmed against the reference's end-to-end expected image
+    (seed-1 terrain) and noise_tests::get vectors (seed 0)."""
+    s = int(seed) & 0xFFFFFFFF
+    rng = _XorShift(1, s, s, s)
+    seq = list(range(256))
+    for i in range(255, 0, -1):
+        j = _gen_index(rng, i + 1)
+        seq[i], seq[j] = seq[j], seq[i]
+    return np.array(seq, np.int64)
+
+
+_SQRT2 = np.float64(np.sqrt(2.0))
+
 
 class Perlin:
     def __init__(self, seed: int):
-        rng = np.random.default_rng(seed)
-        p = rng.permutation(256).astype(np.int32)
-        self.perm = np.concatenate([p, p])
+        self.values = _permutation_table(seed)
 
     def get(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        """Vectorized 2D Perlin noise in [-1, 1]."""
-        xi = np.floor(x).astype(np.int64)
-        yi = np.floor(y).astype(np.int64)
-        xf = x - xi
-        yf = y - yi
-        xi &= 255
-        yi &= 255
+        """Vectorized noise-rs perlin_2d in [-1, 1]."""
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        xi = np.floor(x)
+        yi = np.floor(y)
+        cx = xi.astype(np.int64)
+        cy = yi.astype(np.int64)
+        dx = x - xi
+        dy = y - yi
+        V = self.values
 
-        def fade(t):
-            return t * t * t * (t * (t * 6 - 15) + 10)
+        def gdot(ox, oy):
+            h = V[V[(cx + ox) & 255] ^ ((cy + oy) & 255)]
+            gx = np.where(h & 1, -1.0, 1.0)
+            gy = np.where(h & 2, -1.0, 1.0)
+            return gx * (dx - ox) + gy * (dy - oy)
 
-        def grad(h, gx, gy):
-            # 8 gradient directions from hash bits
-            h = h & 7
-            u = np.where(h < 4, gx, gy)
-            v = np.where(h < 4, gy, gx)
-            return np.where(h & 1, -u, u) + np.where(h & 2, -2.0 * v, 2.0 * v) * 0.5
+        g00, g10, g01, g11 = gdot(0, 0), gdot(1, 0), gdot(0, 1), gdot(1, 1)
 
-        perm = self.perm
-        aa = perm[perm[xi] + yi]
-        ab = perm[perm[xi] + yi + 1]
-        ba = perm[perm[xi + 1] + yi]
-        bb = perm[perm[xi + 1] + yi + 1]
+        def quintic(t):
+            return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
 
-        u = fade(xf)
-        v = fade(yf)
-        x1 = grad(aa, xf, yf) * (1 - u) + grad(ba, xf - 1, yf) * u
-        x2 = grad(ab, xf, yf - 1) * (1 - u) + grad(bb, xf - 1, yf - 1) * u
-        return (x1 * (1 - v) + x2 * v) * 0.7071
+        u = quintic(dx)
+        v = quintic(dy)
+        a = g00 + u * (g10 - g00)
+        b = g01 + u * (g11 - g01)
+        return np.clip((a + v * (b - a)) * _SQRT2, -1.0, 1.0)
 
 
 @dataclass
@@ -78,7 +128,9 @@ class Noise:
         return self.interpolate_spline_points(self.spline_points, v)
 
     def get_noise_value(self, perlin: Perlin, x, z) -> np.ndarray:
-        f = float(self.frequency)
+        # frequency is stored f32 and widened per the reference
+        # (worldgen.rs:42-54: `self.frequency as f64`)
+        f = float(np.float64(np.float32(self.frequency)))
         a = 1.0
         v = np.zeros_like(np.asarray(x, np.float64))
         for _ in range(self.octaves):
@@ -90,14 +142,28 @@ class Noise:
     @staticmethod
     def interpolate_spline_points(points: list[SplinePoint], x) -> np.ndarray:
         """Piecewise-linear remap; values outside the range clamp to the end
-        points (reference: worldgen.rs:56-77)."""
+        points. The interpolation factor is computed in f32 like the
+        reference (worldgen.rs:56-77: `(x as f32 - lhs.x) / (rhs.x - lhs.x)`
+        then widened for the mul_add)."""
         x = np.asarray(x, np.float64)
         if not points:
             return np.zeros_like(x)
-        xs = np.array([p.x for p in points], np.float64)
-        ys = np.array([p.y for p in points], np.float64)
-        # np.interp matches the reference's clamping linear interpolation
-        return np.interp(x, xs, ys)
+        xs32 = np.array([p.x for p in points], np.float32)
+        ys32 = np.array([p.y for p in points], np.float32)
+        # rhs = first point with (x_point as f64) > value; ends clamp
+        idx = np.searchsorted(xs32.astype(np.float64), x, side="right")
+        lhs = np.clip(idx - 1, 0, len(points) - 1)
+        rhs = np.clip(idx, 0, len(points) - 1)
+        factor = (x.astype(np.float32) - xs32[lhs]) / np.where(
+            rhs > lhs, xs32[rhs] - xs32[lhs], np.float32(1.0)
+        )
+        v_start = ys32[lhs].astype(np.float64)
+        v_diff = (ys32[rhs] - ys32[lhs]).astype(np.float64)
+        interp = v_start + v_diff * factor.astype(np.float64)
+        # outside the range: the end point's value, uninterpolated
+        interp = np.where(idx == 0, ys32[0].astype(np.float64), interp)
+        interp = np.where(idx == len(points), ys32[-1].astype(np.float64), interp)
+        return interp
 
 
 @dataclass
