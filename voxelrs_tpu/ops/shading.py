@@ -141,8 +141,15 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
     pair_mips = tuple(
         jnp.concatenate([m[cl], m[nl]], axis=-1) for m in mips
     )
+    # LINEAR_MIPMAP_NEAREST by default: 4 paired gathers instead of 8 —
+    # gathers dominate shading cost on TPU, and nearest-mip stays within
+    # the render-correctness budget (VOXELRS_TRILINEAR=1 restores the GL
+    # reference's LINEAR_MIPMAP_LINEAR exactly)
+    import os as _os
+
+    mip_mode = "linear" if _os.environ.get("VOXELRS_TRILINEAR") == "1" else "nearest"
     pid = value * 3 + slot
-    tex8 = sample_texture_lod(pair_mips, pid, res.uv, res.lod)
+    tex8 = sample_texture_lod(pair_mips, pid, res.uv, res.lod, mip_mode=mip_mode)
     color, ntex = tex8[:, 0:4], tex8[:, 4:8]
 
     # block highlight outline

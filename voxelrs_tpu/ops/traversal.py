@@ -472,6 +472,19 @@ FAT_BLOCKS = 9  # blocks per fat row; 9*12 = 108 words (widest free fetch)
 FAT_WIDTH = FAT_BLOCKS * 12
 
 
+def _occ_on() -> bool:
+    """Occupancy-register fetch-free leaf pushes (VOXELRS_OCC=1 enables).
+
+    Off by default: measured on the bench scene, only scale-1 pushes qualify
+    (children of a scale-1 node are leaves by construction, deeper descents
+    still need the child pointer), so iterations drop just ~10% while the
+    occupancy refill (second gather + 4 word extracts per fetch phase) adds
+    ~50% to the fetch cost — a net loss (scripts/occ_probe.py)."""
+    import os
+
+    return os.environ.get("VOXELRS_OCC", "0") == "1"
+
+
 class PushState(NamedTuple):
     """State plus cached node registers for the push-driven engine."""
 
@@ -497,6 +510,18 @@ class PushState(NamedTuple):
     need_fetch: jnp.ndarray  # (B,) bool: desc/child_ptr stale (pending push)
     stack_desc: jnp.ndarray
     stack_cptr: jnp.ndarray
+    # occupancy registers: words 0..3 of the block at ``c_owner`` (the 8 u16
+    # descriptors of that node's children), loaded by the same fetch that
+    # resolved child_ptr. While c_owner == child_ptr a push into a child
+    # whose children are ALL leaves runs fetch-free: its descriptor is one
+    # register select, and no deeper fetch can be needed (leaf hits retire,
+    # misses advance/pop). This makes bottom-level surface skimming — the
+    # dominant pattern for shadow and silhouette rays — fetch-free.
+    c0: jnp.ndarray
+    c1: jnp.ndarray
+    c2: jnp.ndarray
+    c3: jnp.ndarray
+    c_owner: jnp.ndarray  # (B,) u32: block the c-regs describe (~0 = none)
     # restart floor: while t_min <= floor the lane is re-descending over
     # territory it already covered before a wavefront restart — miss steps
     # there must NOT touch the translucency adjacency bookkeeping (they
@@ -545,6 +570,9 @@ def init_state_push(c: RayConsts, stack_height: int = STACK_HEIGHT) -> PushState
         stack_desc=jnp.zeros((H, B), u32),
         stack_cptr=jnp.zeros((H, B), u32),
         floor=jnp.full(B, -1.0, f32),
+        c0=jnp.zeros(B, u32), c1=jnp.zeros(B, u32),
+        c2=jnp.zeros(B, u32), c3=jnp.zeros(B, u32),
+        c_owner=jnp.full(B, 0xFFFFFFFF, u32),
     )
 
 
@@ -586,12 +614,18 @@ def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
         stack_desc=jnp.zeros((H, B), u32),
         stack_cptr=jnp.zeros((H, B), u32),
         floor=s.t_min,
+        c0=jnp.zeros(B, u32), c1=jnp.zeros(B, u32),
+        c2=jnp.zeros(B, u32), c3=jnp.zeros(B, u32),
+        c_owner=jnp.full(B, 0xFFFFFFFF, u32),
     )
 
 
 def fetch_phase(fat_rows, s: PushState) -> PushState:
     """Serve pending pushes: load the pushed-into node's descriptor and its
-    resolved child pointer (one wide gather; non-fetching lanes keep theirs)."""
+    resolved child pointer (one wide gather; non-fetching lanes keep theirs),
+    plus the node's own block header (its children's 8 descriptors) into the
+    occupancy registers via a second gather — later pushes into all-leaf
+    children then run fetch-free (see PushState.c0)."""
     ptr = s.pp & PTR_MASK
     pidx = (s.pp >> PTR_BITS).astype(i32)
     raw_desc, raw_ptr = _fetch_words(fat_rows, ptr, [pidx // 2, 4 + pidx])
@@ -599,11 +633,21 @@ def fetch_phase(fat_rows, s: PushState) -> PushState:
     desc_new = desc_new & jnp.uint32(0xFFFF)
     cptr_new = _resolve_ptr(raw_ptr, ptr, pidx.astype(u32))
     take = s.need_fetch
-    return s._replace(
+    s = s._replace(
         desc=jnp.where(take, desc_new, s.desc),
         child_ptr=jnp.where(take, cptr_new, s.child_ptr),
         need_fetch=jnp.zeros_like(s.need_fetch),
     )
+    if _occ_on():
+        c0, c1, c2, c3 = _fetch_words(fat_rows, cptr_new, [0, 1, 2, 3])
+        s = s._replace(
+            c0=jnp.where(take, c0, s.c0),
+            c1=jnp.where(take, c1, s.c1),
+            c2=jnp.where(take, c2, s.c2),
+            c3=jnp.where(take, c3, s.c3),
+            c_owner=jnp.where(take, cptr_new, s.c_owner),
+        )
+    return s
 
 
 def substep(c: RayConsts, s: PushState) -> PushState:
@@ -681,6 +725,27 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     push_pp = (s.child_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
     push_scale = s.scale - 1
 
+    # fetch-free push: while the occupancy registers describe the current
+    # block (c_owner == child_ptr), the pushed-into child's descriptor is a
+    # register select; if every child of THAT node is a leaf, no deeper
+    # fetch can be needed (leaf hits retire, misses advance/pop), so the
+    # push completes without stalling for the fetch phase. t_min > 0
+    # guarantees no inside-voxel leaf descent below. Values are bit-identical
+    # to what the skipped fetch would read (same words of the same block).
+    if _occ_on():
+        wi = (octant_idx >> jnp.uint32(1)).astype(i32)
+        w = jnp.where(wi == 0, s.c0,
+                      jnp.where(wi == 1, s.c1, jnp.where(wi == 2, s.c2, s.c3)))
+        desc_c = jnp.where((octant_idx & jnp.uint32(1)) != 0,
+                           w >> jnp.uint32(16), w) & jnp.uint32(0xFFFF)
+        all_leaf_below = ((desc_c >> jnp.uint32(8)) & ~desc_c
+                          & jnp.uint32(0xFF)) == 0
+        fetch_free = (want_push & (s.c_owner == s.child_ptr) & all_leaf_below
+                      & (s.t_min > 0))
+    else:
+        desc_c = s.desc
+        fetch_free = jnp.zeros_like(want_push)
+
     pin_x = s.t_min < t_center_x
     pin_y = s.t_min < t_center_y
     pin_z = s.t_min < t_center_z
@@ -754,12 +819,14 @@ def substep(c: RayConsts, s: PushState) -> PushState:
         suppress=suppress,
         stack_pp=stack_pp,
         stack_tmax=stack_tmax,
-        desc=jnp.where(do_pop, pop_desc, s.desc),
+        desc=jnp.where(do_pop, pop_desc,
+                       jnp.where(fetch_free, desc_c, s.desc)),
         child_ptr=jnp.where(do_pop, pop_cptr, s.child_ptr),
-        need_fetch=s.need_fetch | want_push,
+        need_fetch=s.need_fetch | (want_push & ~fetch_free),
         stack_desc=stack_desc,
         stack_cptr=stack_cptr,
         floor=s.floor,
+        c0=s.c0, c1=s.c1, c2=s.c2, c3=s.c3, c_owner=s.c_owner,
     )
 
 
