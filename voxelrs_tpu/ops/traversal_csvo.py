@@ -20,8 +20,10 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from typing import NamedTuple
+
 from .bits import EPSILON, MAX_SCALE, copysign_epsilon, f32_bits, find_msb, smoothstep
-from .traversal import TraversalResult, _exp2_scale
+from .traversal import RayConsts, TraversalResult, _exp2_scale
 
 MAX_STEPS = 1000
 INVALID_PTR = jnp.uint32(0xFFFFFFFF)
@@ -29,6 +31,116 @@ INVALID_PTR = jnp.uint32(0xFFFFFFFF)
 DEPTH_SHIFT = 27
 PTR_MASK = jnp.uint32((1 << DEPTH_SHIFT) - 1)
 STACK_HEIGHT = 12
+
+
+class _Readers:
+    """Byte-stream readers over the CSVO u32 word buffer
+    (reference: svo.csvo.glsl:25-133)."""
+
+    def __init__(self, words):
+        self.words = words
+        self.nwords = words.shape[0]
+
+    def word(self, i):
+        i32 = jnp.int32
+        return self.words[jnp.clip(i.astype(i32), 0, self.nwords - 1)]
+
+    def read_u32(self, byte_ptr):
+        u32 = jnp.uint32
+        index = byte_ptr // 4
+        mod = (byte_ptr % 4).astype(u32)
+        lo = self.word(index)
+        hi = self.word(index + 1)
+        sh = mod * 8
+        lo_part = jnp.where(mod == 0, lo, lo >> sh)
+        hi_part = jnp.where(mod == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+        return (lo_part | hi_part).astype(u32)
+
+    def read_u16(self, byte_ptr):
+        return self.read_u32(byte_ptr) & jnp.uint32(0xFFFF)
+
+    def read_byte(self, byte_ptr):
+        u32 = jnp.uint32
+        index = byte_ptr // 4
+        mod = (byte_ptr % 4).astype(u32)
+        return (self.word(index) >> (mod * 8)) & jnp.uint32(0xFF)
+
+    @staticmethod
+    def popcount(x):
+        return jax.lax.population_count(x.astype(jnp.uint32)).astype(jnp.uint32)
+
+    @staticmethod
+    def tag_bytes(header, upto):
+        """Sum of pointer byte-widths for children with idx < upto
+        ((1 << tag) >> 1 per 2-bit tag, reference: glsl:63-84)."""
+        u32 = jnp.uint32
+        total = jnp.zeros_like(header)
+        for k in range(8):
+            tag = (header >> jnp.uint32(2 * k)) & jnp.uint32(3)
+            width = (jnp.uint32(1) << tag) >> jnp.uint32(1)
+            total = total + jnp.where(k < upto, width, 0).astype(u32)
+        return total
+
+    def read_next_ptr(self, ptr, depth, idx):
+        """Child pointer for node kind by depth; returns
+        (next_ptr | INVALID, crossed_boundary). Reference: glsl:53-116."""
+        u32, i32 = jnp.uint32, jnp.int32
+        header16 = self.read_u16(ptr)
+        tag = (header16 >> (idx * jnp.uint32(2))) & jnp.uint32(3)
+        off_internal = self.tag_bytes(header16, idx)
+        ptr_bytes = self.tag_bytes(header16, jnp.full_like(idx, 8))
+        raw = self.read_u32(ptr + 2 + off_internal)
+        width_mask = jnp.where(
+            tag >= 3,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (((jnp.uint32(1) << tag) >> 1) * 8)) - 1,
+        )
+        raw = raw & width_mask
+        crossed = (tag == 3) & ((raw & jnp.uint32(1 << 31)) != 0)
+        internal_ptr = jnp.where(
+            crossed, raw ^ jnp.uint32(1 << 31), ptr + 2 + ptr_bytes + raw
+        )
+        internal_valid = tag != 0
+
+        header8 = self.read_byte(ptr)
+        bit_set = (header8 >> idx) & jnp.uint32(1)
+        rank = self.popcount(header8 & ((jnp.uint32(1) << idx) - 1))
+        n_children = self.popcount(header8)
+
+        pre_off = self.read_byte(ptr + 1 + rank)
+        pre_ptr = ptr + 1 + n_children + pre_off
+        leaf_ptr = ptr + 1 + 2 + rank
+
+        byte_ptr_sel = jnp.where(depth == 3, pre_ptr, leaf_ptr)
+        byte_valid = bit_set != 0
+
+        nxt = jnp.where(depth > 3, internal_ptr, byte_ptr_sel).astype(u32)
+        valid = jnp.where(depth > 3, internal_valid, byte_valid)
+        crossed = crossed & (depth > 3)
+        return jnp.where(valid, nxt, INVALID_PTR), crossed
+
+    def read_leaf(self, mat_ptr, pre_leaf_ptr, ptr, idx):
+        """Material for a leaf bit (reference: glsl:119-133)."""
+        u32, i32 = jnp.uint32, jnp.int32
+        mat_off = self.read_u16(pre_leaf_ptr + 1)
+        leaf_index = (ptr - (pre_leaf_ptr + 3)).astype(i32)
+        bit_mark = leaf_index * 8 + idx.astype(i32)
+        m0 = jnp.where(
+            bit_mark >= 32,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << jnp.clip(bit_mark, 0, 31).astype(u32)) - 1,
+        )
+        v0 = self.read_u32(pre_leaf_ptr + 3) & m0
+        over = jnp.clip(bit_mark - 32, 0, 31)
+        m1 = jnp.where(
+            bit_mark - 32 >= 32,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << over.astype(u32)) - 1,
+        )
+        m1 = jnp.where(bit_mark - 32 <= 0, jnp.uint32(0), m1)
+        v1 = self.read_u32(pre_leaf_ptr + 3 + 4) & m1
+        preceding = self.popcount(v0) + self.popcount(v1)
+        return self.read_u32(mat_ptr + mat_off * 4 + preceding * 4)
 
 
 def intersect_octree_csvo(
@@ -421,6 +533,361 @@ def intersect_octree_csvo(
         uv=jnp.where(hit[:, None], jnp.stack([ux, uy], -1), 0.0).astype(f32),
         lod=jnp.where(hit, tex_lod, 0.0).astype(f32),
         inside_voxel=inside,
+        steps=jnp.broadcast_to(steps_used, (B,)),
+        trace=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Restartable deferred engine — the CSVO counterpart of traversal.py's
+# push-driven PushState machinery, with the SAME pipeline-facing semantics:
+# stop at every leaf (alpha judged by the host pipeline between rounds),
+# restart-based compaction (the walk is memoryless given (ray, t_min) — the
+# material-section and pre-leaf pointers are re-derived during re-descent),
+# and the floor/suppress/missed bookkeeping for judged resumes. No
+# fetch/substep split: CSVO reads are per-lane element gathers, so every
+# step reads inline (~2 unaligned u32 reads; reference: svo.csvo.glsl).
+# ---------------------------------------------------------------------------
+
+
+class CsvoPushState(NamedTuple):
+    active: jnp.ndarray
+    hit: jnp.ndarray
+    inside: jnp.ndarray
+    pp: jnp.ndarray  # ptr | depth << DEPTH_SHIFT
+    idx: jnp.ndarray
+    scale: jnp.ndarray
+    posx: jnp.ndarray
+    posy: jnp.ndarray
+    posz: jnp.ndarray
+    t_min: jnp.ndarray
+    t_max: jnp.ndarray
+    h: jnp.ndarray
+    adj_last: jnp.ndarray
+    missed: jnp.ndarray
+    suppress: jnp.ndarray
+    stack_pp: jnp.ndarray  # (H, B) pd stack
+    stack_tmax: jnp.ndarray
+    mat_ptr: jnp.ndarray  # chunk material-section pointer
+    pre_leaf: jnp.ndarray  # enclosing lnode pointer (depth-2 node)
+    floor: jnp.ndarray
+
+
+def _csvo_entry(c: RayConsts, t_floor=None):
+    """Cube entry state (identical geometry to the ESVO kernel)."""
+    f32, i32 = jnp.float32, jnp.int32
+    t_min = jnp.maximum(
+        jnp.maximum(2.0 * c.tcx - c.tbx, 2.0 * c.tcy - c.tby),
+        2.0 * c.tcz - c.tbz,
+    )
+    t_min = jnp.maximum(0.0, t_min)
+    if t_floor is not None:
+        t_min = jnp.maximum(t_min, t_floor)
+    t_max = jnp.minimum(
+        jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
+    )
+    in_x = t_min < 1.5 * c.tcx - c.tbx
+    in_y = t_min < 1.5 * c.tcy - c.tby
+    in_z = t_min < 1.5 * c.tcz - c.tbz
+    idx = in_x.astype(i32) | (in_y.astype(i32) << 1) | (in_z.astype(i32) << 2)
+    posx = jnp.where(in_x, 1.5, 1.0).astype(f32)
+    posy = jnp.where(in_y, 1.5, 1.0).astype(f32)
+    posz = jnp.where(in_z, 1.5, 1.0).astype(f32)
+    return t_min, t_max, idx, posx, posy, posz
+
+
+def _csvo_root(B, root_ptr, total_depth):
+    u32, i32 = jnp.uint32, jnp.int32
+    depth0 = jnp.broadcast_to(jnp.asarray(total_depth, i32), (B,))
+    return (jnp.broadcast_to(jnp.asarray(root_ptr, u32), (B,)) & PTR_MASK) | (
+        depth0.astype(u32) << DEPTH_SHIFT
+    )
+
+
+def init_state_csvo(c: RayConsts, root_ptr, total_depth,
+                    stack_height: int = STACK_HEIGHT) -> CsvoPushState:
+    B = c.rox.shape[0]
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    H = stack_height
+    t_min, t_max, idx, posx, posy, posz = _csvo_entry(c)
+    return CsvoPushState(
+        active=jnp.ones(B, bool),
+        hit=jnp.zeros(B, bool),
+        inside=jnp.zeros(B, bool),
+        pp=_csvo_root(B, root_ptr, total_depth),
+        idx=idx, scale=jnp.full(B, MAX_SCALE - 1, i32),
+        posx=posx, posy=posy, posz=posz,
+        t_min=t_min, t_max=t_max, h=t_max,
+        adj_last=jnp.full(B, 0x00FFFFFF, u32),
+        missed=jnp.zeros(B, bool),
+        suppress=jnp.zeros(B, bool),
+        stack_pp=jnp.zeros((H, B), u32),
+        stack_tmax=jnp.zeros((H, B), f32),
+        mat_ptr=jnp.full(B, INVALID_PTR, u32),
+        pre_leaf=jnp.full(B, INVALID_PTR, u32),
+        floor=jnp.full(B, -1.0, f32),
+    )
+
+
+def restart_state_csvo(c: RayConsts, t_floor, inside, adj_last, missed,
+                       suppress, root_ptr, total_depth,
+                       stack_height: int = STACK_HEIGHT) -> CsvoPushState:
+    """Resume a ray mid-flight by re-descending from the root with its old
+    t_min as the entry floor (see traversal.restart_state_push). The
+    material-section / pre-leaf pointers re-derive during the descent."""
+    B = c.rox.shape[0]
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    H = stack_height
+    t_min, t_max, idx, posx, posy, posz = _csvo_entry(c, t_floor)
+    return CsvoPushState(
+        active=jnp.ones(B, bool) & (t_min <= t_max),
+        hit=jnp.zeros(B, bool),
+        inside=inside,
+        pp=_csvo_root(B, root_ptr, total_depth),
+        idx=idx, scale=jnp.full(B, MAX_SCALE - 1, i32),
+        posx=posx, posy=posy, posz=posz,
+        t_min=t_min, t_max=t_max, h=t_max,
+        adj_last=adj_last,
+        missed=missed,
+        suppress=suppress,
+        stack_pp=jnp.zeros((H, B), u32),
+        stack_tmax=jnp.zeros((H, B), f32),
+        mat_ptr=jnp.full(B, INVALID_PTR, u32),
+        pre_leaf=jnp.full(B, INVALID_PTR, u32),
+        floor=t_min,
+    )
+
+
+def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
+    """One deferred CSVO step: stop at every leaf; floor-gated adjacency and
+    suppress expiry exactly as in traversal.substep."""
+    B = s.active.shape[0]
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    H = s.stack_pp.shape[0]
+    stack_base = MAX_SCALE - H
+
+    ptr = s.pp & PTR_MASK
+    depth = (s.pp >> DEPTH_SHIFT).astype(i32)
+    scale_exp2 = _exp2_scale(s.scale)
+    adj_count = (s.adj_last >> 24).astype(i32)
+    last_value = s.adj_last & jnp.uint32(0x00FFFFFF)
+
+    active = s.active & ~((c.max_dst >= 0) & (s.t_min > c.max_dst))
+
+    tcox = s.posx * c.tcx - c.tbx
+    tcoy = s.posy * c.tcy - c.tby
+    tcoz = s.posz * c.tcz - c.tbz
+    tc_max = jnp.minimum(jnp.minimum(tcox, tcoy), tcoz)
+
+    octant_idx = (s.idx ^ c.octant_mask).astype(u32)
+    next_ptr, crossed = R.read_next_ptr(ptr, depth, octant_idx)
+    is_child = next_ptr != INVALID_PTR
+    is_leaf = is_child & (depth < 2)
+
+    pre_leaf = jnp.where(active & (depth == 2), ptr, s.pre_leaf)
+
+    hit_branch = is_child & (s.t_min <= s.t_max)
+    inside = s.inside | (active & hit_branch & is_leaf & (s.t_min == 0))
+
+    leaf_hit = active & hit_branch & is_leaf & (s.t_min > 0)
+    sup_active = s.suppress & (s.t_min <= s.floor)
+    accept = leaf_hit & ~sup_active
+    suppress = s.suppress & ~leaf_hit & (s.t_min <= s.floor)
+
+    miss = active & ~hit_branch & (s.t_min > s.floor)
+    adj_count = jnp.where(miss, 0, adj_count)
+    last_value = jnp.where(miss, jnp.uint32(0x00FFFFFF), last_value)
+    adj_last = (adj_count.astype(u32) << 24) | last_value
+    missed = s.missed | miss
+
+    hit = s.hit | accept
+    active = active & ~accept
+
+    # ---- PUSH -------------------------------------------------------------
+    half_scale = scale_exp2 * 0.5
+    t_center_x = half_scale * c.tcx + tcox
+    t_center_y = half_scale * c.tcy + tcoy
+    t_center_z = half_scale * c.tcz + tcoz
+    tv_max = jnp.minimum(s.t_max, tc_max)
+    want_push = (
+        active & hit_branch & ~(is_leaf & (s.t_min > 0)) & (s.t_min <= tv_max)
+    )
+
+    slot = s.scale - stack_base
+    lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
+    do_store = (want_push & (tc_max < s.h))[None, :] & lv
+    stack_pp = jnp.where(do_store, s.pp[None, :], s.stack_pp)
+    stack_tmax = jnp.where(do_store, s.t_max[None, :], s.stack_tmax)
+    h_new = jnp.where(want_push, tc_max, s.h)
+
+    # chunk-boundary crossing (reference: glsl:397-409)
+    blob_lod = R.read_byte(next_ptr)
+    blob_mat_bytes = R.read_u32(next_ptr + 1)
+    crossed_nodes = next_ptr + 5 + blob_mat_bytes
+    push_depth = jnp.where(crossed, blob_lod.astype(i32), depth - 1)
+    push_ptr = jnp.where(crossed, crossed_nodes, next_ptr)
+    mat_ptr = jnp.where(crossed & want_push, next_ptr + 5, s.mat_ptr)
+    push_pp = (push_ptr & PTR_MASK) | (push_depth.astype(u32) << DEPTH_SHIFT)
+    push_scale = s.scale - 1
+
+    pin_x = s.t_min < t_center_x
+    pin_y = s.t_min < t_center_y
+    pin_z = s.t_min < t_center_z
+    push_idx = pin_x.astype(i32) | (pin_y.astype(i32) << 1) | (pin_z.astype(i32) << 2)
+    push_posx = s.posx + jnp.where(pin_x, half_scale, 0.0)
+    push_posy = s.posy + jnp.where(pin_y, half_scale, 0.0)
+    push_posz = s.posz + jnp.where(pin_z, half_scale, 0.0)
+
+    # ---- ADVANCE ----------------------------------------------------------
+    advance = active & ~want_push
+    step_x = tc_max >= tcox
+    step_y = tc_max >= tcoy
+    step_z = tc_max >= tcoz
+    step_mask = step_x.astype(i32) | (step_y.astype(i32) << 1) | (step_z.astype(i32) << 2)
+    adv_posx = s.posx - jnp.where(step_x, scale_exp2, 0.0)
+    adv_posy = s.posy - jnp.where(step_y, scale_exp2, 0.0)
+    adv_posz = s.posz - jnp.where(step_z, scale_exp2, 0.0)
+    adv_idx = s.idx ^ step_mask
+
+    # ---- POP --------------------------------------------------------------
+    need_pop = advance & ((adv_idx & step_mask) != 0)
+    db = jnp.zeros(B, u32)
+    db = jnp.where(step_x, db | (f32_bits(adv_posx) ^ f32_bits(adv_posx + scale_exp2)), db)
+    db = jnp.where(step_y, db | (f32_bits(adv_posy) ^ f32_bits(adv_posy + scale_exp2)), db)
+    db = jnp.where(step_z, db | (f32_bits(adv_posz) ^ f32_bits(adv_posz + scale_exp2)), db)
+    pop_scale = find_msb(db)
+    exited = need_pop & (pop_scale >= MAX_SCALE)
+    active = active & ~exited
+    do_pop = need_pop & ~exited
+
+    pop_slot = jnp.clip(pop_scale - stack_base, 0, H - 1)
+    pop_lv = jnp.arange(H, dtype=i32)[:, None] == pop_slot[None, :]
+    pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
+    pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
+
+    sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
+    shx = f32_bits(adv_posx) >> sc
+    shy = f32_bits(adv_posy) >> sc
+    shz = f32_bits(adv_posz) >> sc
+    pop_posx = jax.lax.bitcast_convert_type(shx << sc, f32)
+    pop_posy = jax.lax.bitcast_convert_type(shy << sc, f32)
+    pop_posz = jax.lax.bitcast_convert_type(shz << sc, f32)
+    pop_idx = ((shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)).astype(i32)
+
+    def sel(push_v, pop_v, adv_v, old_v):
+        v = jnp.where(want_push, push_v, old_v)
+        v = jnp.where(advance, adv_v, v)
+        v = jnp.where(do_pop, pop_v, v)
+        return v
+
+    return CsvoPushState(
+        active=active,
+        hit=hit,
+        inside=inside,
+        pp=sel(push_pp, pop_pp, s.pp, s.pp),
+        idx=sel(push_idx, pop_idx, adv_idx, s.idx),
+        scale=sel(push_scale, pop_scale, s.scale, s.scale),
+        posx=sel(push_posx, pop_posx, adv_posx, s.posx),
+        posy=sel(push_posy, pop_posy, adv_posy, s.posy),
+        posz=sel(push_posz, pop_posz, adv_posz, s.posz),
+        t_min=jnp.where(advance, tc_max, s.t_min),
+        t_max=sel(tv_max, pop_t_max, s.t_max, s.t_max),
+        h=jnp.where(do_pop, 0.0, h_new),
+        adj_last=adj_last,
+        missed=missed,
+        suppress=suppress,
+        stack_pp=stack_pp,
+        stack_tmax=stack_tmax,
+        mat_ptr=mat_ptr,
+        pre_leaf=pre_leaf,
+        floor=s.floor,
+    )
+
+
+def run_loop_csvo(words, c: RayConsts, state: CsvoPushState, max_iters: int,
+                  substeps: int) -> tuple[jnp.ndarray, CsvoPushState]:
+    """Iterate ``substeps`` CSVO steps per while-iteration until all rays
+    retire (interface-compatible with traversal.run_loop_push)."""
+    R = _Readers(words)
+
+    def cond(carry):
+        it, s = carry
+        return (it < max_iters) & jnp.any(s.active)
+
+    def body(carry):
+        it, s = carry
+        for _ in range(substeps):
+            s = substep_csvo(R, c, s)
+        return it + 1, s
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+
+
+def hit_phase_csvo(words, c: RayConsts, pp, idx, scale, posx, posy, posz,
+                   t_min, mat_ptr, pre_leaf):
+    """Hit record (value, face, uv, lod, up) from frozen per-lane state —
+    the CSVO counterpart of traversal.hit_phase_fat."""
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    R = _Readers(words)
+    ptr = pp & PTR_MASK
+    octant_idx = (idx ^ c.octant_mask).astype(u32)
+    scale_exp2 = _exp2_scale(scale)
+    leaf_value = R.read_leaf(mat_ptr, pre_leaf, ptr, octant_idx)
+
+    t2x = (posx + scale_exp2) * c.tcx - c.tbx
+    t2y = (posy + scale_exp2) * c.tcy - c.tby
+    t2z = (posz + scale_exp2) * c.tcz - c.tbz
+    tc_min = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
+    upx = jnp.where(c.mirror_x, 3.0 - scale_exp2 - posx, posx)
+    upy = jnp.where(c.mirror_y, 3.0 - scale_exp2 - posy, posy)
+    upz = jnp.where(c.mirror_z, 3.0 - scale_exp2 - posz, posz)
+    sign_x = (f32_bits(c.rdx) >> jnp.uint32(31)).astype(i32)
+    sign_y = (f32_bits(c.rdy) >> jnp.uint32(31)).astype(i32)
+    sign_z = (f32_bits(c.rdz) >> jnp.uint32(31)).astype(i32)
+    on_x = tc_min == t2x
+    on_y = (~on_x) & (tc_min == t2y)
+    face_id = jnp.where(on_x, sign_x, jnp.where(on_y, 2 | sign_y, 4 | sign_z))
+    ux = jnp.where(
+        on_x, (c.roz + c.rdz * t2x) - upz,
+        jnp.where(on_y, (c.rox + c.rdx * t2y) - upx, (c.rox + c.rdx * t2z) - upx),
+    )
+    uy = jnp.where(
+        on_x, (c.roy + c.rdy * t2x) - upy,
+        jnp.where(on_y, (c.roz + c.rdz * t2y) - upz, (c.roy + c.rdy * t2z) - upy),
+    )
+    ux = ux / scale_exp2
+    uy = uy / scale_exp2
+    ux = jnp.where(on_x & c.mirror_x, 1.0 - ux, ux)
+    uy = jnp.where(on_y & c.mirror_y, 1.0 - uy, uy)
+    ux = jnp.where(~on_x & ~on_y & ~c.mirror_z, 1.0 - ux, ux)
+    dst = t_min / c.octree_scale
+    tex_lod = smoothstep(15.0, 25.0, dst) * (dst - 15.0) * 0.05
+    return leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz)
+
+
+def finalize_csvo(words, c: RayConsts, s: CsvoPushState,
+                  steps_used) -> TraversalResult:
+    """Assemble the TraversalResult from final (or frozen-shell) state."""
+    f32, u32 = jnp.float32, jnp.uint32
+    B = s.t_min.shape[0]
+    leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase_csvo(
+        words, c, s.pp, s.idx, s.scale, s.posx, s.posy, s.posz, s.t_min,
+        s.mat_ptr, s.pre_leaf,
+    )
+    scale_exp2 = _exp2_scale(s.scale)
+    hx = jnp.clip(c.rox + s.t_min * c.rdx, upx + EPSILON, upx + scale_exp2 - EPSILON)
+    hy = jnp.clip(c.roy + s.t_min * c.rdy, upy + EPSILON, upy + scale_exp2 - EPSILON)
+    hz = jnp.clip(c.roz + s.t_min * c.rdz, upz + EPSILON, upz + scale_exp2 - EPSILON)
+    hit_pos = (jnp.stack([hx, hy, hz], -1) - 1.0) / c.octree_scale
+    hit = s.hit
+    return TraversalResult(
+        t=jnp.where(hit, dst, -1.0).astype(f32),
+        value=jnp.where(hit, leaf_value, 0).astype(u32),
+        face_id=jnp.where(hit, face_id, 0).astype(jnp.int32),
+        pos=jnp.where(hit[:, None], hit_pos, 0.0).astype(f32),
+        uv=jnp.where(hit[:, None], jnp.stack([ux, uy], -1), 0.0).astype(f32),
+        lod=jnp.where(hit, tex_lod, 0.0).astype(f32),
+        inside_voxel=s.inside,
         steps=jnp.broadcast_to(steps_used, (B,)),
         trace=None,
     )
