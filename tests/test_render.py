@@ -262,3 +262,57 @@ def test_hierarchical_adaptive_matches_exact(scene, monkeypatch):
     assert diff_images(hier, exact) < 0.004
     per_pixel = np.abs(hier - exact).max(axis=-1)
     assert (per_pixel > 1e-3).mean() < 0.03
+
+
+def test_csvo_deferred_matches_fused(monkeypatch):
+    """The CSVO deferred pipeline (judged rounds + restarts over the byte
+    stream, ops/traversal_csvo.py engine) must match the fused CSVO kernel
+    on a translucent scene (mirror of the ESVO deferred==canonical test)."""
+    from voxelrs_tpu.gamelogic.content import GLASS
+    from voxelrs_tpu.world.csvo import Csvo, CsvoSerializedChunk
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    world = Csvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        CsvoSerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4, buffer_dtype=np.uint8)
+    svo.update(world)
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    deferred = np.asarray(svo.render(p, W, H, max_steps=334))
+    fused = np.asarray(svo.render(p, W, H, max_steps=1000, mode="csvo"))
+    np.testing.assert_allclose(deferred, fused, atol=1e-5)
+    assert np.abs(deferred - fused).mean() < 1e-6
+
+
+def test_csvo_adaptive_matches_exact(monkeypatch):
+    """CSVO adaptive thick-ray render vs the exact CSVO deferred render."""
+    from voxelrs_tpu.world.csvo import Csvo, CsvoSerializedChunk
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[10:14, 9:12, 10:14] = STONE
+    world = Csvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        CsvoSerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4, buffer_dtype=np.uint8)
+    svo.update(world)
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(svo.render(p, W, H, max_steps=334))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    adaptive = np.asarray(svo.render(p, W, H, max_steps=334))
+    assert np.abs(adaptive - exact).mean() < 0.015
+    assert (np.abs(adaptive - exact).max(axis=-1) > 0.05).mean() < 0.02

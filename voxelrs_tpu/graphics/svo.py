@@ -191,11 +191,13 @@ class Svo:
         """Render one frame; returns an (H, W, 4) float32 image (row 0 = top).
 
         ``mode="deferred"`` (default) runs the host-orchestrated pipeline —
-        traversal at one gather/step with between-round alpha judgement;
-        ``mode="fused"`` traces the whole frame as a single XLA program
-        (in-loop alpha, used by the sharded/multi-chip path). The CSVO
-        buffer format always renders fused with its own kernel."""
-        if self.buffer_dtype != np.uint32:
+        traversal at one gather/step with between-round alpha judgement —
+        for BOTH buffer formats (the CSVO engine reads the byte stream per
+        step; see ops/traversal_csvo.py). ``mode="fused"`` traces the whole
+        frame as one XLA program (in-loop alpha, used by the sharded
+        multi-chip path); for CSVO buffers it selects the fused CSVO
+        kernel."""
+        if self.buffer_dtype != np.uint32 and mode != "deferred":
             mode = "csvo"
         from .camera import Camera
 
@@ -214,8 +216,19 @@ class Svo:
         if mode == "deferred":
             from ..ops.shading import render_frame_deferred
 
+            if self.buffer_dtype == np.uint32:
+                engine = "esvo"
+                descriptors = self.device_buf
+                stack_h = min(12, max(self.depth, 1) + 1)
+            else:
+                engine = "csvo"
+                descriptors = (self.device_buf, jnp.uint32(self.root_ptr),
+                               jnp.int32(self.depth))
+                # full height: inside-voxel rays descend below leaf scale
+                stack_h = 12
+
             return render_frame_deferred(
-                self.device_buf, jnp.float32(self.octree_scale), self.mips,
+                descriptors, jnp.float32(self.octree_scale), self.mips,
                 self.mat_params, self.mat_tex, width=width, height=height,
                 render_shadows=bool(params.render_shadows),
                 cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(s),
@@ -227,7 +240,7 @@ class Svo:
                 shadow_distance=jnp.float32(params.shadow_distance),
                 highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
                 opaque=(self.world_value_mask & self.translucent_block_mask) == 0,
-                stack_height=min(12, max(self.depth, 1) + 1),
+                stack_height=stack_h, engine=engine,
             )
 
         if mode == "csvo":

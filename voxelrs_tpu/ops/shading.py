@@ -543,8 +543,172 @@ def _bucket_size(count: int) -> int:
     return p
 
 
+class _EsvoEngine:
+    """ESVO push-driven engine bound into the deferred pipelines.
+
+    ``descriptors`` is the (N,) u32 SVO buffer. The frozen record is
+    (t_min, pp, idx|scale<<8, posx, posy, posz)."""
+
+    name = "esvo"
+    FROZEN_EXTRA = 0  # channels beyond the 6 shared ones
+
+    @staticmethod
+    def prep(descriptors):
+        from .traversal import _make_fat_rows
+
+        return _make_fat_rows(descriptors)
+
+    @staticmethod
+    def start(descriptors, scale, ro, rd, max_dst, stack_height):
+        from .traversal import init_state_push, make_ray_consts
+
+        c = make_ray_consts(scale, ro, rd, max_dst)
+        return c, init_state_push(c, stack_height)
+
+    @staticmethod
+    def restart(descriptors, c, *, t_floor, inside, adj_last, missed,
+                suppress, stack_height):
+        from .traversal import restart_state_push
+
+        return restart_state_push(
+            c, t_floor=t_floor, inside=inside, adj_last=adj_last,
+            missed=missed, suppress=suppress, stack_height=stack_height,
+        )
+
+    @staticmethod
+    def run_loop(prepared, c, state, iters, substeps):
+        from .traversal import run_loop_push
+
+        return run_loop_push(prepared, c, state, iters, substeps)
+
+    @staticmethod
+    def finalize(prepared, c, state, steps):
+        from .traversal import finalize
+
+        return finalize(prepared, c, state, steps)
+
+    @staticmethod
+    def freeze(state):
+        idxscale = (state.idx.astype(jnp.uint32)
+                    | (state.scale.astype(jnp.uint32) << 8))
+        return (state.t_min, state.pp, idxscale,
+                state.posx, state.posy, state.posz)
+
+    @staticmethod
+    def thaw(c, frozen, hit, stack_height):
+        from .traversal import init_state_push
+
+        t_min, pp, idxscale, px, py, pz = frozen
+        return init_state_push(c, stack_height)._replace(
+            t_min=t_min, pp=pp,
+            idx=(idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
+            scale=(idxscale >> jnp.uint32(8)).astype(jnp.int32),
+            posx=px, posy=py, posz=pz, hit=hit,
+        )
+
+    @staticmethod
+    def frozen_values(descriptors, c, frozen):
+        """Leaf values for frozen hit lanes (adaptive-merge corner fetch)."""
+        from .traversal import _make_fat_rows, hit_phase_fat
+
+        t, pp, idxscale, px, py, pz = frozen
+        value, *_rest = hit_phase_fat(
+            _make_fat_rows(descriptors), c, pp,
+            (idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
+            (idxscale >> jnp.uint32(8)).astype(jnp.int32),
+            px, py, pz, t,
+        )
+        return value
+
+
+class _CsvoEngine:
+    """CSVO restartable engine (see traversal_csvo.py). ``descriptors`` is
+    the (words, root_ptr, total_depth) pytree; the frozen record appends
+    (mat_ptr, pre_leaf) — the leaf-material resolve needs both."""
+
+    name = "csvo"
+    FROZEN_EXTRA = 2
+
+    @staticmethod
+    def prep(descriptors):
+        return descriptors
+
+    @staticmethod
+    def start(descriptors, scale, ro, rd, max_dst, stack_height):
+        from .traversal import make_ray_consts
+        from .traversal_csvo import init_state_csvo
+
+        words, root_ptr, depth = descriptors
+        c = make_ray_consts(scale, ro, rd, max_dst)
+        return c, init_state_csvo(c, root_ptr, depth, stack_height)
+
+    @staticmethod
+    def restart(descriptors, c, *, t_floor, inside, adj_last, missed,
+                suppress, stack_height):
+        from .traversal_csvo import restart_state_csvo
+
+        words, root_ptr, depth = descriptors
+        return restart_state_csvo(
+            c, t_floor=t_floor, inside=inside, adj_last=adj_last,
+            missed=missed, suppress=suppress, root_ptr=root_ptr,
+            total_depth=depth, stack_height=stack_height,
+        )
+
+    @staticmethod
+    def run_loop(prepared, c, state, iters, substeps):
+        from .traversal_csvo import run_loop_csvo
+
+        words, _root, _depth = prepared
+        return run_loop_csvo(words, c, state, iters, substeps)
+
+    @staticmethod
+    def finalize(prepared, c, state, steps):
+        from .traversal_csvo import finalize_csvo
+
+        words, _root, _depth = prepared
+        return finalize_csvo(words, c, state, steps)
+
+    @staticmethod
+    def freeze(state):
+        idxscale = (state.idx.astype(jnp.uint32)
+                    | (state.scale.astype(jnp.uint32) << 8))
+        return (state.t_min, state.pp, idxscale,
+                state.posx, state.posy, state.posz,
+                state.mat_ptr, state.pre_leaf)
+
+    @staticmethod
+    def thaw(c, frozen, hit, stack_height):
+        from .traversal_csvo import init_state_csvo
+
+        t_min, pp, idxscale, px, py, pz, mat_ptr, pre_leaf = frozen
+        return init_state_csvo(c, jnp.uint32(0), 0, stack_height)._replace(
+            t_min=t_min, pp=pp,
+            idx=(idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
+            scale=(idxscale >> jnp.uint32(8)).astype(jnp.int32),
+            posx=px, posy=py, posz=pz, hit=hit,
+            mat_ptr=mat_ptr, pre_leaf=pre_leaf,
+        )
+
+    @staticmethod
+    def frozen_values(descriptors, c, frozen):
+        from .traversal_csvo import hit_phase_csvo
+
+        words, _root, _depth = descriptors
+        t, pp, idxscale, px, py, pz, mat_ptr, pre_leaf = frozen
+        value, *_rest = hit_phase_csvo(
+            words, c, pp,
+            (idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
+            (idxscale >> jnp.uint32(8)).astype(jnp.int32),
+            px, py, pz, t, mat_ptr, pre_leaf,
+        )
+        return value
+
+
+_ENGINES = {"esvo": _EsvoEngine, "csvo": _CsvoEngine}
+
+
 def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
-                     stack_height: int = 12):
+                     stack_height: int = 12, engine: str = "esvo"):
     """Deferred pipeline specialization for opaque worlds (no texture with
     alpha < 1 — then translucent casting is exactly first-leaf-hit casting):
 
@@ -565,20 +729,15 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
       marks the plan stale so the next frame re-syncs. VOXELRS_PLAN=0
       disables replay.
     """
-    key = ("opq", B, width, height, max_steps, stack_height)
+    key = ("opq", B, width, height, max_steps, stack_height, engine)
     if key in _pipeline_cache:
         return _pipeline_cache[key]
 
     import os as _os
 
-    from .traversal import (
-        _make_fat_rows,
-        finalize,
-        init_state_push,
-        make_ray_consts,
-        restart_state_push,
-        run_loop_push,
-    )
+    from .traversal import make_ray_consts
+
+    eng = _ENGINES[engine]
 
     _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
 
@@ -602,9 +761,9 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     _RAY_FNS = {"pix": _pix_rays, "dir": _dir_rays, "pixsub": _pixsub_rays}
 
     def round_body(descriptors, consts, state, steps_total, seg_steps):
-        fat_rows = _make_fat_rows(descriptors)
-        steps, state = run_loop_push(fat_rows, consts, state, seg_steps,
-                                     _substeps)
+        prepared = eng.prep(descriptors)
+        steps, state = eng.run_loop(prepared, consts, state, seg_steps,
+                                    _substeps)
         return state, steps_total + steps
 
     round_jit = jax.jit(round_body, donate_argnums=(2,), static_argnums=(4,))
@@ -612,11 +771,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     # frozen per-lane hit state: everything finalize needs later
     # (idx + scale packed into one word; `inside` is not recorded — no
     # consumer of this pipeline reads inside_voxel)
-    def _freeze(state):
-        idxscale = (state.idx.astype(jnp.uint32)
-                    | (state.scale.astype(jnp.uint32) << 8))
-        return (state.t_min, state.pp, idxscale,
-                state.posx, state.posy, state.posz)
+    _freeze = eng.freeze
 
     def _scatter_frozen(frozen, hit_full, idx, state):
         take = state.hit
@@ -636,12 +791,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     )
 
     def _make_compact_raw(ray_fn):
-        def f(scale, ray_args, max_dst, state, gidx, sub_idx):
+        def f(descriptors, scale, ray_args, max_dst, state, gidx, sub_idx):
             ro_k, rd_k = ray_fn(gidx, ray_args)
             md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
             sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
-            sub_state = restart_state_push(
-                sub_consts,
+            sub_state = eng.restart(
+                descriptors, sub_consts,
                 t_floor=state.t_min[sub_idx],
                 inside=state.inside[sub_idx],
                 adj_last=state.adj_last[sub_idx],
@@ -664,9 +819,9 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     pix_rays_jit = jax.jit(_pix_rays)
 
     start = jax.jit(
-        lambda scale, ro, rd, max_dst: (
-            lambda c: (c, init_state_push(c, stack_height))
-        )(make_ray_consts(scale, ro, rd, max_dst))
+        lambda descriptors, scale, ro, rd, max_dst: eng.start(
+            descriptors, scale, ro, rd, max_dst, stack_height
+        )
     )
 
     active_count = jax.jit(lambda state: jnp.sum(state.active))
@@ -690,15 +845,13 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         if key in _fused_cache:
             return _fused_cache[key]
 
-        from .traversal import _make_fat_rows, run_loop_push
-
         compact_fn = compact_raw[mode]
         plan = list(plan_key)
 
         def fused(descriptors, scale, ro, rd, max_dst, ray_args):
-            fat_rows = _make_fat_rows(descriptors)
-            consts = make_ray_consts(scale, ro, rd, max_dst)
-            state = init_state_push(consts, stack_height)
+            prepared = eng.prep(descriptors)
+            consts, state = eng.start(descriptors, scale, ro, rd, max_dst,
+                                      stack_height)
             n = ro.shape[0]
             frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
             hit_full = jnp.zeros(n, bool)
@@ -714,8 +867,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 seg = min(seg, budget)
                 if seg <= 0:
                     break
-                steps, state = run_loop_push(fat_rows, consts, state, seg,
-                                             _substeps)
+                steps, state = eng.run_loop(prepared, consts, state, seg,
+                                            _substeps)
                 steps_total = steps_total + steps
                 budget -= seg
                 counts.append(jnp.sum(state.active).astype(jnp.int32))
@@ -735,8 +888,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     else:
                         hit_full = hit_full.at[idx].set(hit_full[idx]
                                                         | state.hit)
-                    consts, state = compact_fn(scale, ray_args, max_dst,
-                                               state, gidx, sub_idx)
+                    consts, state = compact_fn(descriptors, scale, ray_args,
+                                               max_dst, state, gidx, sub_idx)
                     idx = gidx
                     width_now = bucket
             if idx is None:
@@ -759,7 +912,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         width; ``frozen`` feeds ``finalize_lanes``. ``record_frozen=False``
         (shadow rays) keeps only the hit mask — no frozen-state scatters."""
         compact_jit = compact_jits[mode]
-        consts, state = start(scale, ro, rd, max_dst)
+        consts, state = start(descriptors, scale, ro, rd, max_dst)
         n = ro.shape[0]
         frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
         hit_full = jnp.zeros(n, bool)
@@ -808,7 +961,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             else:
                 hit_full = scatter_hit(hit_full, idx, cur_state)
             cur_consts, cur_state = compact_jit(
-                scale, ray_args, max_dst, cur_state, gidx, sub_idx
+                descriptors, scale, ray_args, max_dst, cur_state, gidx,
+                sub_idx
             )
             idx = gidx
             width_now = bucket
@@ -915,16 +1069,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         """Build a TraversalResult for a gathered lane subset. Lanes with a
         carried leaf value (adaptive fill: ``known_k``) substitute it for
         the fetched one (their synthesized state has no valid pointer)."""
-        fat_rows = _make_fat_rows(descriptors)
+        prepared = eng.prep(descriptors)
         c = make_ray_consts(scale, ro_k, rd_k, max_dst)
-        t_min, pp, idxscale, px, py, pz = frozen_k
-        shell = init_state_push(c)._replace(
-            t_min=t_min, pp=pp,
-            idx=(idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
-            scale=(idxscale >> jnp.uint32(8)).astype(jnp.int32),
-            posx=px, posy=py, posz=pz, hit=hit_k,
-        )
-        res = finalize(fat_rows, c, shell, steps_total)
+        shell = eng.thaw(c, frozen_k, hit_k, stack_height)
+        res = eng.finalize(prepared, c, shell, steps_total)
         if known_k is not None:
             res = res._replace(
                 value=jnp.where(known_k & hit_k, known_value_k, res.value)
@@ -992,14 +1140,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             from the corners so finalize needs no extra fetch. Returns
             (frozen_full, hit_full, known_value, refine_mask, refine_count)
             """
-            from .traversal import (
-                PTR_MASK,
-                _exp2_scale,
-                _make_fat_rows,
-                f32_bits,
-                hit_phase_fat,
-                make_ray_consts,
-            )
+            from .traversal import _exp2_scale, f32_bits, make_ray_consts
             from .bits import bits_f32
 
             up4 = up4_l
@@ -1018,13 +1159,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             cp = hi_ids_fn()[lo_in_hi_fn()]
             ro_c2, rd_c2 = _pix_rays(cp, ray_args)
             cc = make_ray_consts(scale, ro_c2, rd_c2, jnp.float32(-1.0))
-            t_c, pp_c, idxscale_c, px_c, py_c, pz_c = frozen_c
+            t_c, pp_c, idxscale_c, px_c, py_c, pz_c = frozen_c[:6]
             scale_c = (idxscale_c >> jnp.uint32(8)).astype(jnp.int32)
             idx_c = (idxscale_c & jnp.uint32(0xFF)).astype(jnp.int32)
-            value_c, _f, _ux, _uy, _d, _l, _up = hit_phase_fat(
-                _make_fat_rows(descriptors), cc, pp_c, idx_c, scale_c,
-                px_c, py_c, pz_c, t_c,
-            )
+            value_c = eng.frozen_values(descriptors, cc, frozen_c)
             if known_c is not None:
                 # hierarchical lower level: analytically filled lanes carry
                 # their value (their synthesized state has no valid pointer)
@@ -1115,7 +1253,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 t_int, zero_u,
                 scale00.astype(jnp.uint32) << jnp.uint32(8),
                 posx, posy, posz,
-            ]
+            ] + [jnp.zeros((), a.dtype) for a in frozen_c[6:]]
             for a, sv in zip(frozen_c, smooth_vals):
                 a00, a01, a10, a11 = up4(a)
                 samp = pick_sample(a00, a01, a10, a11)
@@ -1206,21 +1344,17 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
 
 def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
-                       max_steps: int, rounds: int, stack_height: int = 12):
+                       max_steps: int, rounds: int, stack_height: int = 12,
+                       engine: str = "esvo"):
     """Build (raygen, trace, shade, combine) jitted stages for a pixel count."""
-    key = (B, width, height, render_shadows, max_steps, rounds, stack_height)
+    key = (B, width, height, render_shadows, max_steps, rounds, stack_height,
+           engine)
     if key in _pipeline_cache:
         return _pipeline_cache[key]
 
-    from .traversal import (
-        _NO_VALUE,
-        _make_fat_rows,
-        finalize,
-        init_state_push,
-        make_ray_consts,
-        restart_state_push,
-        run_loop_push,
-    )
+    from .traversal import _NO_VALUE, make_ray_consts
+
+    eng = _ENGINES[engine]
 
     raygen = jax.jit(
         lambda cam_pos, cam_right, cam_up, cam_fwd, fov, aspect: generate_rays(
@@ -1229,9 +1363,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     )
 
     start = jax.jit(
-        lambda scale, ro, rd, max_dst: (
-            lambda c: (c, init_state_push(c, stack_height))
-        )(make_ray_consts(scale, ro, rd, max_dst))
+        lambda descriptors, scale, ro, rd, max_dst: eng.start(
+            descriptors, scale, ro, rd, max_dst, stack_height
+        )
     )
 
     import os as _os
@@ -1244,12 +1378,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         texel alpha + adjacency, record accepted hits, resume the rest."""
         from .traversal import _exp2_scale
 
-        fat_rows = _make_fat_rows(descriptors)
-        steps, state = run_loop_push(fat_rows, consts, state, seg_steps,
-                                     _substeps)
+        prepared = eng.prep(descriptors)
+        steps, state = eng.run_loop(prepared, consts, state, seg_steps,
+                                    _substeps)
         steps_total = steps_total + steps
 
-        res = finalize(fat_rows, consts, state, steps_total)
+        res = eng.finalize(prepared, consts, state, steps_total)
         adj_count = (state.adj_last >> 24).astype(jnp.int32)
         last_value = state.adj_last & _NO_VALUE
         adj_count = jnp.where(state.missed, 0, adj_count)
@@ -1314,13 +1448,14 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     # gather only the ray + resume bookkeeping (~12 rows) and re-descend
     # from the root at the old t_min. The ~depth extra pushes run at the
     # NEW narrow width and cost far less than the avoided gather.
-    def _compact_fn(scale, ro, rd, max_dst, state, acc, done, gidx, sub_idx):
+    def _compact_fn(descriptors, scale, ro, rd, max_dst, state, acc, done,
+                    gidx, sub_idx):
         ro_k = ro[gidx]
         rd_k = rd[gidx]
         md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
         sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
-        sub_state = restart_state_push(
-            sub_consts,
+        sub_state = eng.restart(
+            descriptors, sub_consts,
             t_floor=state.t_min[sub_idx],
             inside=state.inside[sub_idx],
             adj_last=state.adj_last[sub_idx],
@@ -1380,8 +1515,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         plan = list(plan_key)
 
         def fused(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
-            consts = make_ray_consts(scale, ro, rd, max_dst)
-            state = init_state_push(consts, stack_height)
+            consts, state = eng.start(descriptors, scale, ro, rd, max_dst,
+                                      stack_height)
             n = ro.shape[0]
             acc = _make_acc(n)
             done = jnp.zeros(n, bool)
@@ -1415,8 +1550,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     )[0]
                     gidx = sub_idx if idx is None else idx[sub_idx]
                     nc, ns, na, nd = _compact_fn(
-                        scale, ro, rd, max_dst, state, acc, done, gidx,
-                        sub_idx,
+                        descriptors, scale, ro, rd, max_dst, state, acc,
+                        done, gidx, sub_idx,
                     )
                     # scatter current results into the parents first
                     if idx is None:
@@ -1449,7 +1584,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
               tag="primary"):
-        consts, state = start(scale, ro, rd, max_dst)
+        consts, state = start(descriptors, scale, ro, rd, max_dst)
         n = ro.shape[0]
         acc = _make_acc(n)
         done = jnp.zeros(n, bool)
@@ -1494,8 +1629,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             sub_idx = order_unfinished(cur_state, cur_done, bucket)
             gidx = sub_idx if idx is None else idx[sub_idx]
             new_consts, new_state, new_acc, new_done = compact_jit(
-                scale, ro, rd, max_dst, cur_state, cur_acc, cur_done,
-                gidx, sub_idx,
+                descriptors, scale, ro, rd, max_dst, cur_state, cur_acc,
+                cur_done, gidx, sub_idx,
             )
             # scatter current results into the parent before narrowing
             if idx is None:
@@ -1856,7 +1991,8 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
                           cam_fwd, fov_y_rad, aspect, ambient, light_dir,
                           shadow_distance, highlight_pos,
                           max_steps: int = 1000, rounds: int = 4,
-                          opaque: bool = False, stack_height: int = 12):
+                          opaque: bool = False, stack_height: int = 12,
+                          engine: str = "esvo"):
     """Host-orchestrated frame: raygen → deferred primary trace → shading →
     deferred shadow trace → composite. Same output as ``render_frame`` (up
     to the deferred-rounds bound on translucent pass-throughs).
@@ -1890,6 +2026,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             ambient=ambient, light_dir=light_dir,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
             max_steps=max_steps, mark=mark, stack_height=stack_height,
+            engine=engine,
         )
 
     _adaptive_env = os.environ.get("VOXELRS_ADAPTIVE")
@@ -1906,12 +2043,13 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             ambient=ambient, light_dir=light_dir,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
             max_steps=max_steps, rounds=rounds, mark=mark,
-            stack_height=stack_height,
+            stack_height=stack_height, engine=engine,
         )
 
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
      combine_scatter, finish_light, store, *_adap) = _deferred_pipeline(
-        B, width, height, render_shadows, max_steps, rounds, stack_height
+        B, width, height, render_shadows, max_steps, rounds, stack_height,
+        engine,
     )
     store.resolve()  # refresh replay plans from last frame's counts
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
@@ -1961,7 +2099,8 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
                                   render_shadows, cam_pos, cam_right, cam_up,
                                   cam_fwd, fov_y_rad, aspect, ambient,
                                   light_dir, shadow_distance, highlight_pos,
-                                  max_steps, rounds, mark, stack_height=12):
+                                  max_steps, rounds, mark, stack_height=12,
+                                  engine="esvo"):
     """Adaptive thick-ray frame over the alpha-judged (translucent-capable)
     pipeline: quarter-res judged trace, result-level coplanar fill keyed on
     each pixel cell's ACCEPTED surface (value, signed face, leaf scale,
@@ -1975,13 +2114,13 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
      combine_scatter, finish_light, store, pix_rays_j, coarse_rays_j,
      adaptive_merge_j, refine_order_j, merge_refined_res) = (
         _deferred_pipeline(B, width, height, render_shadows, max_steps,
-                           rounds, stack_height))
+                           rounds, stack_height, engine))
     # shape-only helpers shared with the opaque pipeline (bool-mask order,
     # scatter, shadow cell merge)
     (_to, _fl, hit_count_b, hit_order_b, _glo, _pro, _so, scatter_bool,
      _cdo, _cro, _amo, _roo, _mro, shadow_mask1, shadow_cell_merge,
      shadow_combine, *_hier) = _opaque_pipeline(
-        B, width, height, max_steps, stack_height)
+        B, width, height, max_steps, stack_height, engine)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
@@ -2099,7 +2238,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          mat_tex, *, width, height, render_shadows, cam_pos,
                          cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
                          ambient, light_dir, shadow_distance, highlight_pos,
-                         max_steps, mark, stack_height=12):
+                         max_steps, mark, stack_height=12, engine="esvo"):
     """Opaque-world frame: first-hit traversal rounds, one finalize on the
     compacted hit lanes, shadow pass returns only the hit flag. Steady-state
     frames run with a single host sync (the hit-count) plus one batched
@@ -2109,12 +2248,12 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     B = width * height
     (raygen, _t, shade, _c, _hc, _ho, _gl, combine_scatter,
      finish_light, _store_t, *_adap) = _deferred_pipeline(
-        B, width, height, render_shadows, max_steps, 4, stack_height)
+        B, width, height, render_shadows, max_steps, 4, stack_height, engine)
     (trace, finalize_lanes, hit_count, hit_order, gather_lanes, pix_rays_jit,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
      refine_order, merge_refined, shadow_mask1, shadow_cell_merge,
      shadow_combine, adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
-     Bc) = _opaque_pipeline(B, width, height, max_steps, stack_height)
+     Bc) = _opaque_pipeline(B, width, height, max_steps, stack_height, engine)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 

@@ -31,6 +31,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from .bits import (
     EPSILON,
@@ -42,12 +43,15 @@ from .bits import (
 )
 
 MAX_STEPS = 1000
-RELATIVE_BIT = jnp.uint32(1 << 31)
+# NUMPY scalars, NOT jnp scalars: module-level jnp constants get hoisted
+# into jaxpr argument slots whose compile-vs-dispatch bookkeeping miscounts
+# on jax 0.9 (see traversal_csvo.py); numpy scalars inline as HLO literals
+RELATIVE_BIT = _np.uint32(1 << 31)
 # ptr | parent_idx << 28 packing limits the SVO buffer to 2^28 u32 = 1 GiB
 PTR_BITS = 28
-PTR_MASK = jnp.uint32((1 << PTR_BITS) - 1)
+PTR_MASK = _np.uint32((1 << PTR_BITS) - 1)
 STACK_HEIGHT = 12  # supports world depth ≤ 12 (radius 64 chunks)
-_NO_VALUE = jnp.uint32(0x00FFFFFF)
+_NO_VALUE = _np.uint32(0x00FFFFFF)
 
 f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
 

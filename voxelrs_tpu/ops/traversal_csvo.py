@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from typing import NamedTuple
 
@@ -26,10 +27,14 @@ from .bits import EPSILON, MAX_SCALE, copysign_epsilon, f32_bits, find_msb, smoo
 from .traversal import RayConsts, TraversalResult, _exp2_scale
 
 MAX_STEPS = 1000
-INVALID_PTR = jnp.uint32(0xFFFFFFFF)
+# NUMPY scalars, NOT jnp scalars: module-level jnp constants get hoisted
+# into jaxpr argument slots whose compile-vs-dispatch bookkeeping miscounts
+# on jax 0.9 ("Execution supplied N buffers but compiled program expected
+# N+1" at the first post-compaction round); numpy scalars inline as literals.
+INVALID_PTR = _np.uint32(0xFFFFFFFF)
 # ptr | depth << 27 packing limits the CSVO byte buffer to 128 MiB
 DEPTH_SHIFT = 27
-PTR_MASK = jnp.uint32((1 << DEPTH_SHIFT) - 1)
+PTR_MASK = _np.uint32((1 << DEPTH_SHIFT) - 1)
 STACK_HEIGHT = 12
 
 

@@ -148,11 +148,18 @@ class CsvoSerializedChunk:
         self.pos = pos
         self.pos_hash = _hash_pos(pos.x, pos.y, pos.z)
         self.borrowed_chunk = borrowed_chunk
+        # bitmask over block values present (bit 63 = unknown/overflow);
+        # lets the renderer prove a world contains no translucent blocks
+        self.value_mask = ~0
         if voxels is not None:
             buffer, materials, eff = serialize_dense_csvo(voxels, lod)
             self.buffer = buffer
             self.materials = materials
             self.lod = lod if lod != 0 else CHUNK_DEPTH
+            mask = 0
+            for v in np.unique(voxels):
+                mask |= 1 << min(int(v), 63)
+            self.value_mask = mask
         else:
             self.buffer = None
             self.materials = None
@@ -189,6 +196,7 @@ class Csvo:
         self.buffer = RangeBuffer(capacity, dtype=np.uint8)
         self.leaf_info: dict[int, LeafInfo] = {}
         self.root_info: Optional[LeafInfo] = None
+        self.value_mask = 0  # union of serialized leaves' value masks
 
     def clear(self) -> None:
         self.octree.reset()
@@ -197,6 +205,7 @@ class Csvo:
         self.buffer.clear()
         self.leaf_info.clear()
         self.root_info = None
+        self.value_mask = 0
 
     def set_leaf(self, pos: Position, leaf: CsvoSerializedChunk, serialize: bool):
         uid = leaf.pos_hash
@@ -231,6 +240,7 @@ class Csvo:
                 self.child_depth = max(self.child_depth, content.lod)
                 if content.buffer is None:
                     continue
+                self.value_mask |= getattr(content, "value_mask", ~0)
                 materials = content.materials
                 blob = bytearray([content.lod])
                 blob += (len(materials) * 4).to_bytes(4, "little")
