@@ -1,8 +1,10 @@
 """In-game benchmark harness: runs the engine over the reference's config
 matrix and writes results.csv (reference: benchmark-ingame.py:9-121).
 
-Matrix: render_distance {10,20,30,40} x shadows {on,off} x no_lod {on,off},
-1080p, fov 80, the bundled MC benchmark world, N passes each. The camera
+Matrix: svo_format {esvo,csvo} x render_distance {10,20,30,40} x
+shadows {on,off} x no_lod {on,off}, 1080p, fov 80, the bundled MC benchmark
+world, N passes each (the reference's full axis set,
+benchmark-ingame.py:85-95). The camera
 starts inside the world's generated strip (the reference's recorded
 position predates its bundled world snapshot and sits in the void; see
 notes in the repo docs).
@@ -33,7 +35,7 @@ CAM_POS = (-26 * 32 + 16.0, 102.0, 62 * 32 + 24.0)
 CAM_ROT = (-18.0, 90.0, 0.0)
 
 
-def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
+def run_config(world_path, fmt, rd, shadows, no_lod, width, height, sample_s,
                passes):
     rows = []
     for p in range(passes):
@@ -51,6 +53,7 @@ def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
                 width=width,
                 height=height,
                 benchmark_mode=True,
+                svo_format=fmt,
             )
         )
         loaded = game.wait_for_world(timeout=600)
@@ -73,6 +76,7 @@ def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
         m = benchmark.collect()
         rows.append(
             dict(
+                svo_format=fmt,
                 render_distance=rd,
                 shadows=shadows,
                 no_lod=no_lod,
@@ -84,6 +88,15 @@ def run_config(world_path, rd, shadows, no_lod, width, height, sample_s,
                 frame_ms_avg=round(m["frame_time_ms"]["avg"], 2),
                 frame_ms_med=round(m["frame_time_ms"]["med"], 2),
                 svo_mb=round(m["svo_size_mb"], 1),
+                ser_chunk_ms_avg=round(
+                    m["traces"].get("serialize_chunk", {}).get("avg", 0.0)
+                    * 1e3, 3),
+                ser_chunk_ms_med=round(
+                    m["traces"].get("serialize_chunk", {}).get("med", 0.0)
+                    * 1e3, 3),
+                ser_world_ms=round(
+                    m["traces"].get("serialize_world", {}).get("avg", 0.0)
+                    * 1e3, 1),
             )
         )
         game.shutdown()
@@ -98,6 +111,8 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=1)
     ap.add_argument("--sample-seconds", type=float, default=20.0)
     ap.add_argument("--quick", action="store_true", help="small matrix")
+    ap.add_argument("--formats", default="esvo,csvo",
+                    help="comma-separated svo formats to run")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     args = ap.parse_args()
@@ -105,13 +120,20 @@ def main() -> None:
     rds = [10] if args.quick else [10, 20, 30, 40]
     shadow_opts = [True] if args.quick else [True, False]
     lod_opts = [False] if args.quick else [False, True]
+    fmts = args.formats.split(",")
 
     rows = []
-    for rd, sh, nl in itertools.product(rds, shadow_opts, lod_opts):
+    for fmt, rd, sh, nl in itertools.product(fmts, rds, shadow_opts, lod_opts):
         rows += run_config(
-            args.world, rd, sh, nl, args.width, args.height,
+            args.world, fmt, rd, sh, nl, args.width, args.height,
             args.sample_seconds, args.passes,
         )
+        # checkpoint after every config: a long matrix run should not lose
+        # finished rows to a crash or timeout
+        with open(args.out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
 
     with open(args.out, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

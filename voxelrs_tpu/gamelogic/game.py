@@ -43,6 +43,9 @@ class GameArgs:
     height: int = 1080
     benchmark_mode: bool = False
     texture_dir: Optional[str] = None
+    # SVO serialization format: "esvo" | "csvo" (reference: the
+    # use-esvo/use-csvo cargo features, benchmark-ingame.py:10-14)
+    svo_format: str = "esvo"
     workers: int = max(1, (os.cpu_count() or 2) - 1)
     # Catch-up bound for the fixed-step accumulator. The reference clamps the
     # accumulator to 1 s (= 250 steps, game.rs:130) — fine when a physics
@@ -66,6 +69,7 @@ class Game:
             gpu_size_mb=args.gpu_buffer_size_mb,
             benchmark_mode=args.benchmark_mode,
             texture_dir=args.texture_dir,
+            svo_format=args.svo_format,
         )
         rot = [math.radians(r) for r in args.player_euler_rot]
         self.player = Entity(
@@ -199,6 +203,9 @@ def parse_args(argv=None) -> GameArgs:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--svo-format", choices=["esvo", "csvo"], default="esvo",
+                   help="SVO serialization format (the reference's "
+                        "use-esvo/use-csvo cargo features)")
     p.add_argument("--frames", type=int, default=0, help="run N frames then exit")
     a = p.parse_args(argv)
     args = GameArgs(
@@ -214,6 +221,7 @@ def parse_args(argv=None) -> GameArgs:
         width=a.width,
         height=a.height,
         benchmark_mode=a.benchmark,
+        svo_format=a.svo_format,
     )
     args._frames = a.frames  # type: ignore[attr-defined]
     return args
