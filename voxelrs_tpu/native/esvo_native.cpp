@@ -4,7 +4,7 @@
 // Rust construct_octants_with + serialize_octant pipeline,
 // reference: src/world/hds/octree.rs:127-172 + esvo.rs:439-512): dense
 // (32,32,32) voxels -> the exact ESVO u32 block stream, with LOD clamping
-// and the y-first representative pick. Exposed через a plain C ABI for
+// and the y-first representative pick. Exposed through a plain C ABI for
 // ctypes; byte-identical to the numpy serializer (asserted by tests).
 
 #include <cstdint>
