@@ -239,6 +239,17 @@ def _fused_replay_on() -> bool:
     return os.environ.get("VOXELRS_FUSED_REPLAY") == "1"
 
 
+def _compact_packed_on() -> bool:
+    """Packed-gather wavefront compaction (default): compact the FULL
+    traversal state with one wide row gather over the pack_lane_state view
+    (~4-12 ns/lane; bit-exact continuation). VOXELRS_COMPACT_MODE=restart
+    restores restart-based compaction (re-descend from the root at the old
+    t_min — ~stack-depth extra iterations at the new width)."""
+    import os
+
+    return os.environ.get("VOXELRS_COMPACT_MODE", "packed") != "restart"
+
+
 def _compact_on() -> bool:
     """Debug kill-switch for wavefront compaction (VOXELRS_COMPACT=0)."""
     import os
@@ -791,10 +802,18 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     )
 
     def _make_compact_raw(ray_fn):
+        packed = _compact_packed_on()
+
         def f(descriptors, scale, ray_args, max_dst, state, gidx, sub_idx):
             ro_k, rd_k = ray_fn(gidx, ray_args)
             md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
             sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
+            if packed:
+                from .traversal import gather_lane_state
+
+                # bit-exact state continuation: one wide row gather over
+                # the packed (B, W) u32 state view
+                return sub_consts, gather_lane_state(state, sub_idx)
             sub_state = eng.restart(
                 descriptors, sub_consts,
                 t_floor=state.t_min[sub_idx],
@@ -1454,15 +1473,20 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         rd_k = rd[gidx]
         md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
         sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
-        sub_state = eng.restart(
-            descriptors, sub_consts,
-            t_floor=state.t_min[sub_idx],
-            inside=state.inside[sub_idx],
-            adj_last=state.adj_last[sub_idx],
-            missed=state.missed[sub_idx],
-            suppress=state.suppress[sub_idx],
-            stack_height=stack_height,
-        )
+        if _compact_packed_on():
+            from .traversal import gather_lane_state
+
+            sub_state = gather_lane_state(state, sub_idx)
+        else:
+            sub_state = eng.restart(
+                descriptors, sub_consts,
+                t_floor=state.t_min[sub_idx],
+                inside=state.inside[sub_idx],
+                adj_last=state.adj_last[sub_idx],
+                missed=state.missed[sub_idx],
+                suppress=state.suppress[sub_idx],
+                stack_height=stack_height,
+            )
         sub_acc = tuple(a[sub_idx] for a in acc)
         return sub_consts, sub_state, sub_acc, done[sub_idx]
 

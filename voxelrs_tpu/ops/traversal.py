@@ -560,6 +560,60 @@ def _fetch_words(fat_rows, ptr, widxs):
     return outs
 
 
+def _lane_to_u32(a):
+    if a.dtype == jnp.bool_:
+        return a.astype(u32)
+    if a.dtype in (jnp.float32, jnp.int32):
+        return jax.lax.bitcast_convert_type(a, u32)
+    return a.astype(u32)
+
+
+def _lane_from_u32(w, dtype):
+    if dtype == jnp.bool_:
+        return w != 0
+    if dtype in (jnp.float32, jnp.int32):
+        return jax.lax.bitcast_convert_type(w, dtype)
+    return w.astype(dtype)
+
+
+def pack_lane_state(state):
+    """View a lane-state NamedTuple ((B,) scalars + (H, B) stacks) as ONE
+    (B, W) u32 matrix (f32/i32 bit-cast, bools as 0/1, stacks transposed
+    into H columns each).
+
+    Rationale: XLA's gather cost on this hardware is per ROW for widths up
+    to ~108 u32 (docs/PERF.md), so compacting the full wavefront state is
+    ONE wide row gather (~4-12 ns/lane) on this packed view — versus ~W
+    separate element gathers (~1.2 us/lane, the cost that originally
+    motivated restart-based compaction) or a restart's ~stack-depth
+    re-descent iterations at the new width (~56 ns/lane)."""
+    cols = []
+    for a in state:
+        if a.ndim == 1:
+            cols.append(_lane_to_u32(a)[:, None])
+        else:  # (H, B) stack
+            cols.append(_lane_to_u32(a).T)
+    return jnp.concatenate(cols, axis=1)
+
+
+def gather_lane_state(state, idx):
+    """Compact a lane-state NamedTuple to the lanes in ``idx`` via one
+    packed row gather; bit-exact state continuation (unlike a restart,
+    which re-descends and re-tests with ULP-shifted entry points)."""
+    packed = pack_lane_state(state)[idx]
+    out = []
+    col = 0
+    for a in state:
+        if a.ndim == 1:
+            out.append(_lane_from_u32(packed[:, col], a.dtype))
+            col += 1
+        else:
+            h = a.shape[0]
+            out.append(_lane_from_u32(packed[:, col:col + h], a.dtype).T)
+            col += h
+    return type(state)(*out)
+
+
 def init_state_push(c: RayConsts, stack_height: int = STACK_HEIGHT) -> PushState:
     s = init_state(c)
     B = c.rox.shape[0]
