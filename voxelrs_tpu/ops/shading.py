@@ -239,6 +239,28 @@ def _fused_replay_on() -> bool:
     return os.environ.get("VOXELRS_FUSED_REPLAY") == "1"
 
 
+def compact_indices(mask, size: int):
+    """Ascending indices of set lanes, padded with 0 — a drop-in for
+    ``jnp.nonzero(mask, size=size, fill_value=0)[0]`` that runs ~1.45x
+    faster on TPU (scripts and /tmp probes: 17.9 -> 12.3 ms at 2M lanes):
+    per-block counts + tiny block-offset scan + in-block cumsum + one
+    masked scatter, instead of XLA's full-width scan lowering."""
+    blk = 512
+    n = mask.shape[0]
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    m = jnp.pad(mask, (0, pad)) if pad else mask
+    m2 = m.reshape(nb, blk)
+    cnt = m2.sum(axis=1, dtype=jnp.int32)
+    offs = jnp.cumsum(cnt) - cnt
+    within = jnp.cumsum(m2.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(m2, offs[:, None] + within, size)  # OOB -> dropped
+    lane = jnp.arange(nb * blk, dtype=jnp.int32).reshape(nb, blk)
+    out = jnp.zeros(size + 1, jnp.int32).at[pos.ravel()].set(
+        lane.ravel(), mode="drop")
+    return out[:size]
+
+
 def _compact_packed_on() -> bool:
     """Packed-gather wavefront compaction (default): compact the FULL
     traversal state with one wide row gather over the pack_lane_state view
@@ -750,7 +772,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
     eng = _ENGINES[engine]
 
-    _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
+    _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "4"))
 
     # -- ray sources ---------------------------------------------------------
     # bit-identical to ``generate_rays`` so compacted lanes see the exact
@@ -783,16 +805,33 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     # (idx + scale packed into one word; `inside` is not recorded — no
     # consumer of this pipeline reads inside_voxel)
     _freeze = eng.freeze
+    _FROZEN_C = 6 + eng.FROZEN_EXTRA
+
+    from .traversal import _lane_from_u32, _lane_to_u32
+
+    def _freeze_mat(state):
+        """The frozen record as ONE (B, C) u32 matrix: per-compaction
+        bookkeeping becomes a single 2D row gather + scatter instead of C
+        channel-wise gather/scatter pairs (measured ~2x cheaper at the
+        64-131K compaction widths, scripts/segment_cost_probe.py)."""
+        return jnp.stack([_lane_to_u32(a) for a in _freeze(state)], axis=1)
+
+    def _unfreeze_mat(mat, state):
+        """Back to the per-channel tuple (dtypes from a freeze template)."""
+        return tuple(
+            _lane_from_u32(mat[:, i], a.dtype)
+            for i, a in enumerate(_freeze(state))
+        )
 
     def _scatter_frozen(frozen, hit_full, idx, state):
         take = state.hit
-        out = tuple(
-            f.at[idx].set(jnp.where(take, cur, f[idx]))
-            for f, cur in zip(frozen, _freeze(state))
-        )
+        cur = _freeze_mat(state)
+        out = frozen.at[idx].set(jnp.where(take[:, None], cur, frozen[idx]))
         return out, hit_full.at[idx].set(hit_full[idx] | take)
 
     scatter_frozen = jax.jit(_scatter_frozen, donate_argnums=(0, 1))
+    freeze_mat_jit = jax.jit(_freeze_mat)
+    unfreeze_mat_jit = jax.jit(_unfreeze_mat)
 
     scatter_hit = jax.jit(
         lambda hit_full, idx, state: hit_full.at[idx].set(
@@ -808,7 +847,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             ro_k, rd_k = ray_fn(gidx, ray_args)
             md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
             sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
-            if packed:
+            # packed-gather compaction is a row gather over a (src, ~60)
+            # u32 view; row gathers fall off a cliff once the table passes
+            # ~130K rows (scripts/segment_cost_probe.py: ~170 ns/row from a
+            # 518K-row table), where a restart re-descent is cheaper — so
+            # choose by the STATIC source width
+            if packed and state.active.shape[0] <= (1 << 17):
                 from .traversal import gather_lane_state
 
                 # bit-exact state continuation: one wide row gather over
@@ -845,8 +889,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
     active_count = jax.jit(lambda state: jnp.sum(state.active))
     order_active = jax.jit(
-        lambda state, size: jnp.nonzero(state.active, size=size,
-                                        fill_value=0)[0],
+        lambda state, size: compact_indices(state.active, size),
         static_argnums=(1,),
     )
 
@@ -872,7 +915,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             consts, state = eng.start(descriptors, scale, ro, rd, max_dst,
                                       stack_height)
             n = ro.shape[0]
-            frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
+            frozen = jnp.zeros((n, _FROZEN_C), jnp.uint32)
             hit_full = jnp.zeros(n, bool)
             steps_total = jnp.int32(0)
             counts = []
@@ -893,13 +936,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 counts.append(jnp.sum(state.active).astype(jnp.int32))
                 if (bucket is not None and bucket <= (width_now * 3) // 4
                         and _compact_on()):
-                    sub_idx = jnp.nonzero(state.active, size=bucket,
-                                          fill_value=0)[0]
+                    sub_idx = compact_indices(state.active, bucket)
                     gidx = sub_idx if idx is None else idx[sub_idx]
                     if idx is None:
                         hit_full = state.hit
                         if record_frozen:
-                            frozen = _freeze(state)
+                            frozen = _freeze_mat(state)
                     elif record_frozen:
                         frozen, hit_full = _scatter_frozen(
                             frozen, hit_full, idx, state
@@ -914,13 +956,14 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             if idx is None:
                 hit_full = state.hit
                 if record_frozen:
-                    frozen = _freeze(state)
+                    frozen = _freeze_mat(state)
             elif record_frozen:
                 frozen, hit_full = _scatter_frozen(frozen, hit_full, idx,
                                                    state)
             else:
                 hit_full = hit_full.at[idx].set(hit_full[idx] | state.hit)
-            return frozen, hit_full, steps_total, jnp.stack(counts)
+            return (_unfreeze_mat(frozen, state), hit_full, steps_total,
+                    jnp.stack(counts))
 
         _fused_cache[key] = jax.jit(fused)
         return _fused_cache[key]
@@ -933,7 +976,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         compact_jit = compact_jits[mode]
         consts, state = start(descriptors, scale, ro, rd, max_dst)
         n = ro.shape[0]
-        frozen = tuple(jnp.zeros(n, a.dtype) for a in _freeze(state))
+        frozen = jnp.zeros((n, _FROZEN_C), jnp.uint32)
         hit_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
@@ -973,7 +1016,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             if idx is None:
                 hit_full = cur_state.hit
                 if record_frozen:
-                    frozen = _freeze(cur_state)
+                    frozen = freeze_mat_jit(cur_state)
             elif record_frozen:
                 frozen, hit_full = scatter_frozen(frozen, hit_full, idx,
                                                   cur_state)
@@ -1076,11 +1119,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         if idx is None:
             hit_full = cur_state.hit
             if record_frozen:
-                frozen = _freeze(cur_state)
+                frozen = freeze_mat_jit(cur_state)
         elif record_frozen:
             frozen, hit_full = scatter_frozen(frozen, hit_full, idx, cur_state)
         else:
             hit_full = scatter_hit(hit_full, idx, cur_state)
+        frozen = unfreeze_mat_jit(frozen, cur_state)
         return frozen, hit_full, steps_total
 
     def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
@@ -1102,7 +1146,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
 
     hit_count = jax.jit(lambda hit: jnp.sum(hit))
     hit_order = jax.jit(
-        lambda hit, size: jnp.nonzero(hit, size=size, fill_value=0)[0],
+        lambda hit, size: compact_indices(hit, size),
         static_argnums=(1,),
     )
     gather_lanes = jax.jit(
@@ -1309,7 +1353,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         lambda p: (p, *_pix_rays(p, ray_args)))(_coarse_pidx()[idx]))
 
     refine_order = jax.jit(
-        lambda mask, size: jnp.nonzero(mask, size=size, fill_value=0)[0],
+        lambda mask, size: compact_indices(mask, size),
         static_argnums=(1,),
     )
 
@@ -1389,7 +1433,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     import os as _os
 
-    _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "3"))
+    _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "4"))
 
     def round_body(descriptors, consts, state, steps_total, acc, done,
                    mips, mat_tex, seg_steps):
@@ -1473,7 +1517,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         rd_k = rd[gidx]
         md_k = max_dst if jnp.ndim(max_dst) == 0 else max_dst[gidx]
         sub_consts = make_ray_consts(scale, ro_k, rd_k, md_k)
-        if _compact_packed_on():
+        if _compact_packed_on() and state.active.shape[0] <= (1 << 17):
             from .traversal import gather_lane_state
 
             sub_state = gather_lane_state(state, sub_idx)
@@ -1507,9 +1551,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     # cumsum-based compaction indices (argsort is far more expensive);
     # fill_value 0 repeats a finished lane — harmless pad work
     order_unfinished = jax.jit(
-        lambda state, done, size: jnp.nonzero(
-            state.active | (state.hit & ~done), size=size, fill_value=0
-        )[0],
+        lambda state, done, size: compact_indices(
+            state.active | (state.hit & ~done), size
+        ),
         static_argnums=(2,),
     )
 
@@ -1568,10 +1612,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 )
                 if (bucket is not None and bucket <= (width_now * 3) // 4
                         and _compact_on()):
-                    sub_idx = jnp.nonzero(
-                        state.active | (state.hit & ~done), size=bucket,
-                        fill_value=0,
-                    )[0]
+                    sub_idx = compact_indices(
+                        state.active | (state.hit & ~done), bucket
+                    )
                     gidx = sub_idx if idx is None else idx[sub_idx]
                     nc, ns, na, nd = _compact_fn(
                         descriptors, scale, ro, rd, max_dst, state, acc,
@@ -1807,7 +1850,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     # hit-lane compaction for the shade + shadow stages
     hit_count = jax.jit(lambda t: jnp.sum(t != -1.0))
     hit_order = jax.jit(
-        lambda t, size: jnp.nonzero(t != -1.0, size=size, fill_value=0)[0],
+        lambda t, size: compact_indices(t != -1.0, size),
         static_argnums=(1,),
     )
     gather_lanes = jax.jit(
@@ -1986,7 +2029,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     adaptive_merge_j = jax.jit(_adaptive_merge_judged)
 
     refine_order_j = jax.jit(
-        lambda mask, size: jnp.nonzero(mask, size=size, fill_value=0)[0],
+        lambda mask, size: compact_indices(mask, size),
         static_argnums=(1,),
     )
 
