@@ -261,6 +261,42 @@ def compact_indices(mask, size: int):
     return out[:size]
 
 
+def _pack_cols(arrays):
+    """Bit-cast a tuple of (n,) / (n,k) channels into ONE (n, C) u32
+    matrix so compaction bookkeeping moves as row gathers/scatters (cost
+    is per ROW on this hardware for widths <=108, docs/PERF.md) instead
+    of C per-channel passes."""
+    from .traversal import _lane_to_u32
+
+    cols = []
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(_lane_to_u32(a))
+        else:
+            cols.extend(_lane_to_u32(a[:, j]) for j in range(a.shape[1]))
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_cols(mat, templates):
+    """Inverse of ``_pack_cols`` (dtypes/widths from template arrays; the
+    row count comes from ``mat``)."""
+    from .traversal import _lane_from_u32
+
+    out = []
+    col = 0
+    for a in templates:
+        if a.ndim == 1:
+            out.append(_lane_from_u32(mat[:, col], a.dtype))
+            col += 1
+        else:
+            k = a.shape[1]
+            out.append(jnp.stack(
+                [_lane_from_u32(mat[:, col + j], a.dtype) for j in range(k)],
+                axis=1))
+            col += k
+    return tuple(out)
+
+
 def _compact_packed_on() -> bool:
     """Packed-gather wavefront compaction (default): compact the FULL
     traversal state with one wide row gather over the pack_lane_state view
@@ -1531,19 +1567,23 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 suppress=state.suppress[sub_idx],
                 stack_height=stack_height,
             )
-        sub_acc = tuple(a[sub_idx] for a in acc)
+        sub_acc = _unpack_cols(_pack_cols(acc)[sub_idx], acc)
         return sub_consts, sub_state, sub_acc, done[sub_idx]
 
     compact_jit = jax.jit(_compact_fn)
 
-    def _scatter_fn(acc, done, inside, idx, sub_acc, sub_done, sub_inside):
-        acc = tuple(
-            a.at[idx].set(s) if s.ndim == a.ndim else a
-            for a, s in zip(acc, sub_acc)
-        )
-        return acc, done.at[idx].set(sub_done), inside.at[idx].set(sub_inside)
+    # full-width results live as ONE (n, 12+2) u32 matrix; each compaction
+    # scatters the narrowed lanes' rows back in one row scatter (vs 14
+    # channel-wise scatters — ~2x per probe)
+    def _pack_full(acc, done, inside):
+        return _pack_cols(tuple(acc) + (done, inside))
 
-    scatter_jit = jax.jit(_scatter_fn, donate_argnums=(0, 1, 2))
+    def _scatter_fn(matF, idx, sub_acc, sub_done, sub_inside):
+        return matF.at[idx].set(
+            _pack_cols(tuple(sub_acc) + (sub_done, sub_inside)))
+
+    pack_full_jit = jax.jit(_pack_full)
+    scatter_jit = jax.jit(_scatter_fn, donate_argnums=(0,))
 
     unfinished_count = jax.jit(
         lambda state, done: jnp.sum(state.active | (state.hit & ~done))
@@ -1576,6 +1616,11 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             jnp.zeros(n, bool),         # passed through a translucent texel
         )
 
+    _unpack_templates = _make_acc(1) + (jnp.zeros(1, bool),
+                                        jnp.zeros(1, bool))
+    unpack_full_jit = jax.jit(
+        lambda mat: _unpack_cols(mat, _unpack_templates))
+
     def _fused_replay_j(plan_key):
         if plan_key in _fused_cache:
             return _fused_cache[plan_key]
@@ -1588,7 +1633,6 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             n = ro.shape[0]
             acc = _make_acc(n)
             done = jnp.zeros(n, bool)
-            inside_full = jnp.zeros(n, bool)
             steps_total = jnp.int32(0)
             idx = None
             width_now = n
@@ -1622,21 +1666,19 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     )
                     # scatter current results into the parents first
                     if idx is None:
-                        accF, doneF, insideF = acc, done, state.inside
+                        matF = _pack_full(acc, done, state.inside)
                     else:
-                        accF, doneF, insideF = _scatter_fn(
-                            accF, doneF, insideF, idx, acc, done,
-                            state.inside,
-                        )
+                        matF = _scatter_fn(matF, idx, acc, done,
+                                           state.inside)
                     idx = gidx
                     consts, state, acc, done = nc, ns, na, nd
                     width_now = bucket
             if idx is None:
-                accF, doneF, insideF = acc, done, state.inside
+                matF = _pack_full(acc, done, state.inside)
             else:
-                accF, doneF, insideF = _scatter_fn(
-                    accF, doneF, insideF, idx, acc, done, state.inside
-                )
+                matF = _scatter_fn(matF, idx, acc, done, state.inside)
+            unpacked = _unpack_cols(matF, _unpack_templates)
+            accF, insideF = unpacked[:-2], unpacked[-1]
             from .traversal import TraversalResult
 
             res = TraversalResult(
@@ -1655,7 +1697,6 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         n = ro.shape[0]
         acc = _make_acc(n)
         done = jnp.zeros(n, bool)
-        inside_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
         import os
@@ -1687,12 +1728,13 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         plan = store.lookup(tag, n)
 
         idx = None  # current lanes' indices into the full arrays
+        matF = None  # packed full-width results (built at first compaction)
         cur_consts, cur_state, cur_acc, cur_done = consts, state, acc, done
         width_now = n
 
         def do_compact(bucket):
             nonlocal idx, cur_consts, cur_state, cur_acc, cur_done, width_now
-            nonlocal acc, done, inside_full
+            nonlocal matF
             sub_idx = order_unfinished(cur_state, cur_done, bucket)
             gidx = sub_idx if idx is None else idx[sub_idx]
             new_consts, new_state, new_acc, new_done = compact_jit(
@@ -1701,12 +1743,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             )
             # scatter current results into the parent before narrowing
             if idx is None:
-                acc, done, inside_full = (cur_acc, cur_done, cur_state.inside)
+                matF = pack_full_jit(cur_acc, cur_done, cur_state.inside)
             else:
-                acc, done, inside_full = scatter_jit(
-                    acc, done, inside_full, idx, cur_acc, cur_done,
-                    cur_state.inside,
-                )
+                matF = scatter_jit(matF, idx, cur_acc, cur_done,
+                                   cur_state.inside)
             idx = gidx
             cur_consts, cur_state, cur_acc, cur_done = (
                 new_consts, new_state, new_acc, new_done
@@ -1797,12 +1837,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             store.push_pending(tag, n, seg_lens, counts_dev)
 
         if idx is None:
-            acc, done, inside_full = cur_acc, cur_done, cur_state.inside
+            matF = pack_full_jit(cur_acc, cur_done, cur_state.inside)
         else:
-            acc, done, inside_full = scatter_jit(
-                acc, done, inside_full, idx, cur_acc, cur_done,
-                cur_state.inside,
-            )
+            matF = scatter_jit(matF, idx, cur_acc, cur_done,
+                               cur_state.inside)
+        unpacked = unpack_full_jit(matF)
+        acc, inside_full = unpacked[:-2], unpacked[-1]
 
         from .traversal import TraversalResult
 
