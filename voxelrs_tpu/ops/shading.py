@@ -645,6 +645,24 @@ class _EsvoEngine:
         )
 
     @staticmethod
+    def start_floored(descriptors, scale, ro, rd, max_dst, stack_height,
+                      t_floor):
+        """Start a trace with per-lane entry floors (from a conservative
+        coarse-SVO pre-pass): identical to ``start`` + an immediate restart
+        at ``t_floor``. Lanes with an infinite floor (certain miss) begin
+        inactive."""
+        from .traversal import init_state_push, make_ray_consts
+
+        c = make_ray_consts(scale, ro, rd, max_dst)
+        st0 = init_state_push(c, stack_height)
+        st = _EsvoEngine.restart(
+            descriptors, c, t_floor=t_floor, inside=st0.inside,
+            adj_last=st0.adj_last, missed=st0.missed, suppress=st0.suppress,
+            stack_height=stack_height,
+        )
+        return c, st
+
+    @staticmethod
     def run_loop(prepared, c, state, iters, substeps):
         from .traversal import run_loop_push
 
@@ -722,6 +740,24 @@ class _CsvoEngine:
             missed=missed, suppress=suppress, root_ptr=root_ptr,
             total_depth=depth, stack_height=stack_height,
         )
+
+    @staticmethod
+    def start_floored(descriptors, scale, ro, rd, max_dst, stack_height,
+                      t_floor):
+        """See _EsvoEngine.start_floored (the pre-pass coarse world is
+        always an ESVO; only the floored MAIN trace is format-specific)."""
+        from .traversal import make_ray_consts
+        from .traversal_csvo import init_state_csvo
+
+        words, root_ptr, depth = descriptors
+        c = make_ray_consts(scale, ro, rd, max_dst)
+        st0 = init_state_csvo(c, root_ptr, depth, stack_height)
+        st = _CsvoEngine.restart(
+            descriptors, c, t_floor=t_floor, inside=st0.inside,
+            adj_last=st0.adj_last, missed=st0.missed, suppress=st0.suppress,
+            stack_height=stack_height,
+        )
+        return c, st
 
     @staticmethod
     def run_loop(prepared, c, state, iters, substeps):
@@ -1186,9 +1222,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         static_argnums=(1,),
     )
     gather_lanes = jax.jit(
-        lambda idx, *arrays: tuple(
-            a[idx] if a.ndim == 1 else a[idx, :] for a in arrays
-        )
+        # one packed row gather instead of per-channel gather passes
+        lambda idx, *arrays: _unpack_cols(_pack_cols(arrays)[idx], arrays)
     )
 
     scatter_bool = jax.jit(lambda base, idx, v: base.at[idx].set(v))
@@ -1394,10 +1429,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     )
 
     def _merge_refined(frozen_full, hit_full, idx_r, frozen_r, hit_r):
-        frozen_full = tuple(
-            f.at[idx_r].set(r) for f, r in zip(frozen_full, frozen_r)
-        )
-        return frozen_full, hit_full.at[idx_r].set(hit_r)
+        # one row scatter over the packed view instead of C channel passes
+        mat = _pack_cols(frozen_full).at[idx_r].set(_pack_cols(frozen_r))
+        return (_unpack_cols(mat, frozen_full),
+                hit_full.at[idx_r].set(hit_r))
 
     merge_refined = jax.jit(_merge_refined, donate_argnums=(0, 1))
 
@@ -1894,9 +1929,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         static_argnums=(1,),
     )
     gather_lanes = jax.jit(
-        lambda idx, *arrays: tuple(
-            a[idx] if a.ndim == 1 else a[idx, :] for a in arrays
-        )
+        # one packed row gather instead of per-channel gather passes
+        lambda idx, *arrays: _unpack_cols(_pack_cols(arrays)[idx], arrays)
     )
 
     def combine_scatter(idx, rgb_k, alpha_k, hit, rd):
@@ -2075,12 +2109,11 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     def _merge_refined_res(res_full, hit_full, inside_full, idx_r, res_r,
                            inside_r):
-        res_full = tuple(
-            a.at[idx_r].set(r) for a, r in zip(res_full, res_r)
-        )
-        hit_full = hit_full.at[idx_r].set(res_r[0] != -1.0)
-        inside_full = inside_full.at[idx_r].set(inside_r)
-        return res_full, hit_full, inside_full
+        full = tuple(res_full) + (hit_full, inside_full)
+        sub = tuple(res_r) + (res_r[0] != -1.0, inside_r)
+        mat = _pack_cols(full).at[idx_r].set(_pack_cols(sub))
+        out = _unpack_cols(mat, full)
+        return out[:-2], out[-2], out[-1]
 
     merge_refined_res = jax.jit(_merge_refined_res, donate_argnums=(0, 1, 2))
 
