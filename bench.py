@@ -34,15 +34,19 @@ W, H = 1920, 1080
 FRAMES = 5
 
 
-def build_world(radius: int = 4) -> tuple[Esvo, int]:
-    """Procedural terrain region (seed-stable)."""
+def build_world(radius: int = 4):
+    """Procedural terrain region (seed-stable) + its beam-pre-pass
+    envelope (the streaming engine maintains the same envelope through
+    systems/worldsvo.py)."""
     from voxelrs_tpu.gamelogic.worldgen import Generator, default_config
     from voxelrs_tpu.world.chunk import Chunk
+    from voxelrs_tpu.world.heightfield import HeightField, chunk_column_tops
 
     from voxelrs_tpu.systems.chunkloader import ChunkLoader
 
     gen = Generator(1, default_config())
     svo = Esvo()
+    hf = HeightField()
     center = ChunkPos(radius, 2, radius)
     count = 0
     for cx in range(radius * 2):
@@ -59,15 +63,17 @@ def build_world(radius: int = 4) -> tuple[Esvo, int]:
                 if not sc.has_data():
                     continue
                 svo.set_leaf(Position(cx, cy, cz), sc, True)
+                hf.set_chunk((cx, cy, cz), chunk_column_tops(chunk.voxels, lod))
                 count += 1
     svo.serialize()
-    return svo, count
+    return svo, count, hf
 
 
 def main() -> None:
-    world_svo, chunks = build_world()
+    world_svo, chunks, hf = build_world()
     svo = Svo(new_registry(), capacity_mb=64)
     svo.update(world_svo)
+    svo.set_heightfield(hf)
     print(
         f"# world: {chunks} chunks, depth {svo.depth}, "
         f"{svo.stats.used_bytes/1e6:.1f} MB SVO",

@@ -1,0 +1,329 @@
+"""Beam pre-pass: envelope maintenance, floor conservativeness, and
+bit-exactness of floored rendering (ops/beams.py, world/heightfield.py).
+
+The only correctness requirement of the pre-pass is conservativeness:
+floors never exceed the true first-hit distance of ANY ray in their tile,
+and a certain-miss verdict implies every ray of the tile misses. Rendering
+with floors must then be bit-exact (floored starts are restarts, which are
+exact re-descents — ops/traversal.py restart_state_push)."""
+
+import numpy as np
+import pytest
+
+from voxelrs_tpu.gamelogic.content import (GLASS, GRASS, STONE,
+                                           new_registry)
+from voxelrs_tpu.graphics.svo import RenderParams, Svo
+from voxelrs_tpu.world import ChunkPos, Position
+from voxelrs_tpu.world.esvo import Esvo, SerializedChunk
+from voxelrs_tpu.world.heightfield import HeightField, chunk_column_tops
+
+W, H = 128, 96
+
+
+# -- chunk column tops -------------------------------------------------------
+
+
+def test_column_tops_full_detail():
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[0, 5, 0] = STONE           # cell (0, 0): top 6
+    vox[9, 17, 2] = STONE          # cell (1, 0): top 18
+    vox[31, 0, 31] = STONE         # cell (3, 3): top 1
+    tops = chunk_column_tops(vox, 5)
+    expect = np.zeros((4, 4), np.int16)
+    expect[0, 0] = 6
+    expect[1, 0] = 18
+    expect[3, 3] = 1
+    assert (tops == expect).all()
+
+
+def test_column_tops_match_bruteforce_random():
+    rng = np.random.default_rng(3)
+    vox = (rng.random((32, 32, 32)) < 0.05).astype(np.uint32)
+    tops = chunk_column_tops(vox, 5)
+    for cx in range(4):
+        for cz in range(4):
+            sub = vox[cx * 8 : cx * 8 + 8, :, cz * 8 : cz * 8 + 8]
+            ys = np.nonzero(sub.any(axis=(0, 2)))[0]
+            assert tops[cx, cz] == (ys.max() + 1 if len(ys) else 0)
+
+
+@pytest.mark.parametrize("lod", [1, 2, 3, 4])
+def test_column_tops_lod_rounds_up(lod):
+    """A LOD chunk renders whole 2^(5-lod) blocks: tops must cover the
+    rendered block, not just the source voxel."""
+    b = 1 << (5 - lod)
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[3, 3, 3] = STONE  # inside the first block on every axis
+    tops = chunk_column_tops(vox, lod)
+    covered = max(b // 8, 1)  # columns the rendered block spans
+    top = (3 // b + 1) * b  # block containing y=3, rounded UP
+    for cx in range(4):
+        for cz in range(4):
+            if cx < covered and cz < covered:
+                assert tops[cx, cz] == top
+            else:
+                assert tops[cx, cz] == 0
+
+
+# -- heightfield maintenance -------------------------------------------------
+
+
+def test_heightfield_stacking_and_removal():
+    hf = HeightField()
+    t_low = np.full((4, 4), 10, np.int16)
+    t_high = np.zeros((4, 4), np.int16)
+    t_high[2, 1] = 5
+    hf.set_chunk((0, 0, 0), t_low)
+    hf.set_chunk((0, 2, 0), t_high)  # same column stack, higher chunk
+    Hx = hf.exact()
+    assert Hx[2, 1] == 2 * 32 + 5
+    assert Hx[0, 0] == 10
+    hf.remove_chunk((0, 2, 0))
+    assert hf.exact()[2, 1] == 10
+    hf.remove_chunk((0, 0, 0))
+    assert hf.exact().max() == 0
+
+
+def test_heightfield_override_protection():
+    hf = HeightField()
+    a = np.full((4, 4), 7, np.int16)
+    b = np.full((4, 4), 9, np.int16)
+    hf.set_chunk((1, 0, 1), a)
+    hf.set_chunk((1, 0, 1), b)  # b displaces a in the same slot
+    hf.remove_chunk((1, 0, 1), expect=a)  # stale removal: must be a no-op
+    assert hf.exact()[4:8, 4:8].max() == 9
+    hf.remove_chunk((1, 0, 1), expect=b)
+    assert hf.exact().max() == 0
+
+
+def test_heightfield_device_pyramid_is_max():
+    hf = HeightField()
+    rng = np.random.default_rng(5)
+    for cx in range(2):
+        for cz in range(2):
+            hf.set_chunk(
+                (cx, 0, cz),
+                rng.integers(0, 30, (4, 4)).astype(np.int16),
+            )
+    levels, offsets, n, hmax, bounds = hf.device()
+    lv = np.asarray(levels)
+    h0 = lv[offsets[0] : offsets[0] + n * n].reshape(n, n)
+    # level 0 is the 3x3 dilation of the exact field
+    Hx = hf.exact().astype(np.int32)
+    p = np.pad(Hx, 1, mode="edge")
+    d = Hx.copy()
+    for dx in range(3):
+        for dz in range(3):
+            d = np.maximum(d, p[dx : dx + n, dz : dz + n])
+    assert (h0 == d).all()
+    assert hmax == Hx.max()
+    nzx, nzz = np.nonzero(Hx)
+    assert (bounds == [nzx.min() * 8, (nzx.max() + 1) * 8,
+                       nzz.min() * 8, (nzz.max() + 1) * 8]).all()
+    # each pyramid level is the 2x2 max of the previous
+    for li in range(1, len(offsets)):
+        nl = n >> li
+        cur = lv[offsets[li] : offsets[li] + nl * nl].reshape(nl, nl)
+        prev = lv[offsets[li - 1] : offsets[li - 1] + (nl * 2) ** 2]
+        prev = prev.reshape(nl, 2, nl, 2).max(axis=(1, 3))
+        assert (cur == prev).all()
+
+
+# -- world fixtures ----------------------------------------------------------
+
+
+def _terrain_chunk(cx, cz, rng, glass_tower=False):
+    vox = np.zeros((32, 32, 32), np.uint32)
+    x = np.arange(32) + cx * 32
+    z = np.arange(32) + cz * 32
+    hh = (
+        10
+        + 6 * np.sin(x[:, None] * 0.11)
+        + 5 * np.cos(z[None, :] * 0.17)
+    ).astype(np.int32)
+    for ix in range(32):
+        for iz in range(32):
+            h = max(1, hh[ix, iz])
+            vox[ix, : h - 1, iz] = STONE
+            vox[ix, h - 1, iz] = GRASS
+    if glass_tower:
+        vox[12:15, 14:26, 12:15] = GLASS
+    return vox
+
+
+@pytest.fixture(scope="module")
+def beam_scene():
+    """3x3 chunk terrain + glass tower + one floating block, with a
+    matching heightfield."""
+    rng = np.random.default_rng(7)
+    world = Esvo()
+    hf = HeightField()
+    for cx in range(3):
+        for cz in range(3):
+            vox = _terrain_chunk(cx, cz, rng, glass_tower=(cx == cz == 1))
+            if cx == 2 and cz == 0:
+                vox[5, 30, 5] = STONE  # floating block near the top
+            world.set_leaf(
+                Position(cx, 0, cz),
+                SerializedChunk.from_voxels(ChunkPos(cx, 0, cz), vox, 5),
+                True,
+            )
+            hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5))
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=8)
+    svo.update(world)
+    return svo, hf
+
+
+CAMS = {
+    "horizon": ([48.0, 30.0, -20.0], [0.0, -0.12, 1.0]),
+    "down": ([48.0, 70.0, 48.0], [0.01, -1.0, 0.01]),
+    "on-ground": ([40.0, 13.0, 40.0], [0.7, 0.05, 0.7]),
+    "sky": ([48.0, 25.0, 48.0], [0.2, 0.95, 0.1]),
+    "outside": ([-40.0, 50.0, -40.0], [0.6, -0.25, 0.6]),
+    "underground": ([49.0, 4.0, 49.0], [0.8, 0.1, 0.5]),
+    "grazing": ([48.0, 22.5, -10.0], [0.0, -0.004, 1.0]),
+}
+
+
+def _params(cam):
+    pos, fwd = cam
+    fwd = np.asarray(fwd, np.float32)
+    fwd /= np.linalg.norm(fwd)
+    return RenderParams(
+        cam_pos=np.asarray(pos, np.float32), cam_fwd=fwd,
+        aspect_ratio=W / H, fov_y_rad=np.radians(70.0),
+        render_shadows=True, shadow_distance=100.0,
+    )
+
+
+def _floors(svo, params):
+    from voxelrs_tpu.graphics.camera import Camera
+
+    cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01,
+                 1024)
+    cam.position = np.asarray(params.cam_pos, np.float32)
+    cam.forward = np.asarray(params.cam_fwd, np.float32)
+    s, u, f = cam.camera_basis()
+    ctx = svo._beam_floors(cam, s, u, f, params, W, H)
+    return None if ctx is None else ctx.t_floor
+
+
+@pytest.mark.parametrize("cam", sorted(CAMS))
+def test_floors_conservative(beam_scene, cam):
+    """floor <= true first-geometry distance for EVERY pixel; +inf floors
+    only where the pixel provably misses."""
+    import jax.numpy as jnp
+
+    from voxelrs_tpu.ops.shading import generate_rays
+    from voxelrs_tpu.ops.traversal import intersect_octree
+
+    svo, hf = beam_scene
+    svo.set_heightfield(hf)
+    try:
+        params = _params(CAMS[cam])
+        floors = _floors(svo, params)
+        assert floors is not None
+        floors = np.asarray(floors)
+
+        from voxelrs_tpu.graphics.camera import Camera
+
+        c = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01,
+                   1024)
+        c.position = np.asarray(params.cam_pos, np.float32)
+        c.forward = np.asarray(params.cam_fwd, np.float32)
+        s, u, f = c.camera_basis()
+        ro, rd = generate_rays(
+            W, H, jnp.asarray(c.position), jnp.asarray(s), jnp.asarray(u),
+            jnp.asarray(f), jnp.float32(params.fov_y_rad),
+            jnp.float32(params.aspect_ratio),
+        )
+        res = intersect_octree(
+            svo.device_buf, jnp.float32(svo.octree_scale), ro, rd,
+            jnp.float32(-1.0), False, max_steps=640,
+        )
+        t = np.asarray(res.t)
+        hit = t > 0
+        finite = np.isfinite(floors)
+        bad = hit & finite & (floors > t + 1e-3)
+        assert not bad.any(), (
+            f"{cam}: {bad.sum()} pixels floored past their hit "
+            f"(worst overshoot {(floors - t)[bad].max():.3f})"
+        )
+        popped = hit & ~finite
+        assert not popped.any(), (
+            f"{cam}: {popped.sum()} hit pixels declared certain-miss"
+        )
+    finally:
+        svo.set_heightfield(None)
+
+
+@pytest.mark.parametrize("cam", ["horizon", "on-ground", "sky", "down"])
+def test_floored_render_bit_exact(beam_scene, cam):
+    svo, hf = beam_scene
+    params = _params(CAMS[cam])
+    base = np.asarray(svo.render(params, W, H, max_steps=400))
+    base2 = np.asarray(svo.render(params, W, H, max_steps=400))
+    svo.set_heightfield(hf)
+    try:
+        on = np.asarray(svo.render(params, W, H, max_steps=400))
+        on2 = np.asarray(svo.render(params, W, H, max_steps=400))
+    finally:
+        svo.set_heightfield(None)
+    assert (base == base2).all()  # plan replay is deterministic
+    assert (on == base).all(), (
+        f"{cam}: floored render differs on "
+        f"{(on != base).any(-1).sum()} pixels"
+    )
+    assert (on2 == base).all()
+
+
+def test_floored_render_bit_exact_adaptive(beam_scene, monkeypatch):
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    svo, hf = beam_scene
+    params = _params(CAMS["horizon"])
+    base = np.asarray(svo.render(params, W, H, max_steps=400))
+    svo.set_heightfield(hf)
+    try:
+        on = np.asarray(svo.render(params, W, H, max_steps=400))
+    finally:
+        svo.set_heightfield(None)
+    assert (on == base).all()
+
+
+def test_floored_render_bit_exact_opaque(monkeypatch):
+    """Opaque-world pipeline (no translucent blocks) with floors."""
+    rng = np.random.default_rng(11)
+    world = Esvo()
+    hf = HeightField()
+    for cx in range(2):
+        for cz in range(2):
+            vox = _terrain_chunk(cx, cz, rng)
+            world.set_leaf(
+                Position(cx, 0, cz),
+                SerializedChunk.from_voxels(ChunkPos(cx, 0, cz), vox, 5),
+                True,
+            )
+            hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5))
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=8)
+    svo.update(world)
+    params = _params(CAMS["horizon"])
+    base = np.asarray(svo.render(params, W, H, max_steps=400))
+    svo.set_heightfield(hf)
+    on = np.asarray(svo.render(params, W, H, max_steps=400))
+    assert (on == base).all()
+
+
+def test_floors_save_work_on_terrain(beam_scene):
+    """Sanity: the horizon view gets a meaningful fraction of non-trivial
+    floors (the pre-pass actually claims something)."""
+    svo, hf = beam_scene
+    svo.set_heightfield(hf)
+    try:
+        floors = np.asarray(_floors(svo, _params(CAMS["horizon"])))
+    finally:
+        svo.set_heightfield(None)
+    assert np.isinf(floors).mean() > 0.2      # sky tiles elided
+    finite = floors[np.isfinite(floors)]
+    assert (finite > 5.0).mean() > 0.3        # real air-walk skipped

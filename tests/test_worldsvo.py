@@ -163,3 +163,78 @@ def test_serialize_chunk_trace_recorded():
     finally:
         js.stop()
         benchmark.reset_all()
+
+
+def test_heightfield_follows_streaming():
+    """The systems layer keeps the beam-pre-pass envelope in sync through
+    chunk set / shift / remove (world/heightfield.py)."""
+    import time
+
+    from voxelrs_tpu.gamelogic import content
+    from voxelrs_tpu.systems.jobs import JobSystem
+    from voxelrs_tpu.world.chunk import Chunk
+    from voxelrs_tpu.world.heightfield import chunk_column_tops
+    from voxelrs_tpu.world.world import BorrowedChunk
+
+    js = JobSystem(1)
+    try:
+        import voxelrs_tpu.graphics as graphics
+
+        gfx = graphics.Svo(content.new_registry(None), 4.0, np.uint32)
+        svo = Svo(js, gfx, 2)
+        assert gfx.heightfield is svo.heightfield
+
+        rng = np.random.default_rng(13)
+        chunks = {}
+        for pos in [ChunkPos(0, 0, 0), ChunkPos(0, 1, 0), ChunkPos(1, 0, 0),
+                    ChunkPos(-1, 0, 1)]:
+            c = Chunk(pos, 5)
+            for _ in range(40):
+                x, y, z = rng.integers(0, 32, 3)
+                c.set_block(int(x), int(y), int(z), content.STONE)
+            chunks[pos] = np.asarray(c.voxels).copy()
+            svo.set_chunk(BorrowedChunk(c))
+
+        def drain(center):
+            deadline = time.time() + 10
+            while svo.has_pending_jobs() and time.time() < deadline:
+                svo.update(center)
+                time.sleep(0.01)
+            svo.update(center)
+
+        def check(center):
+            expect = {}
+            for pos, vox in chunks.items():
+                if pos not in svo.leaf_ids:
+                    continue
+                sp = svo.coord_space.cnv_chunk_pos(pos)
+                if sp is None:
+                    continue
+                tops = chunk_column_tops(vox, 5).astype(np.int32)
+                tops = np.where(tops > 0, tops + sp.y * 32, 0)
+                key = (sp.x, sp.z)
+                expect[key] = np.maximum(expect.get(key, 0), tops)
+            H = svo.heightfield.exact()
+            for (cx, cz), tops in expect.items():
+                got = H[cx * 4 : cx * 4 + 4, cz * 4 : cz * 4 + 4]
+                assert (got == tops).all(), (cx, cz)
+            # everything else is empty
+            mask = np.zeros_like(H, bool)
+            for (cx, cz) in expect:
+                mask[cx * 4 : cx * 4 + 4, cz * 4 : cz * 4 + 4] = True
+            assert (H[~mask] == 0).all()
+
+        drain(ChunkPos(0, 0, 0))
+        check(ChunkPos(0, 0, 0))
+
+        # shift the coordinate space (center moves one chunk in +x)
+        svo.update(ChunkPos(1, 0, 0))
+        check(ChunkPos(1, 0, 0))
+
+        # remove one chunk
+        svo.remove_chunk(ChunkPos(0, 1, 0))
+        del chunks[ChunkPos(0, 1, 0)]
+        svo.update(ChunkPos(1, 0, 0))
+        check(ChunkPos(1, 0, 0))
+    finally:
+        js.stop()

@@ -88,6 +88,9 @@ class Svo:
         self.root_ptr = 0
         self.octree_scale = np.float32(1.0)
         self.depth = 0
+        # optional terrain envelope for the beam pre-pass (set by the
+        # systems layer / tests via set_heightfield; None = no pre-pass)
+        self.heightfield = None
         cap_bytes = capacity * (4 if self.buffer_dtype == np.uint32 else 1)
         self.capacity_bytes = cap_bytes
         self.stats = Stats(capacity_bytes=cap_bytes)
@@ -216,6 +219,8 @@ class Svo:
         if mode == "deferred":
             from ..ops.shading import render_frame_deferred
 
+            beams = self._beam_floors(cam, s, u, f, params, width, height)
+
             if self.buffer_dtype == np.uint32:
                 engine = "esvo"
                 descriptors = self.device_buf
@@ -240,7 +245,7 @@ class Svo:
                 shadow_distance=jnp.float32(params.shadow_distance),
                 highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
                 opaque=(self.world_value_mask & self.translucent_block_mask) == 0,
-                stack_height=stack_h, engine=engine,
+                stack_height=stack_h, engine=engine, beams=beams,
             )
 
         if mode == "csvo":
@@ -317,6 +322,49 @@ class Svo:
             jnp.float32(params.shadow_distance), jnp.asarray(highlight),
         )
         return img
+
+    def set_heightfield(self, hf) -> None:
+        """Attach a world/heightfield.HeightField — enables the beam
+        pre-pass (conservative per-tile ray-entry floors; bit-exact
+        output). ``None`` disables it."""
+        self.heightfield = hf
+
+    def _beam_floors(self, cam, s, u, f, params, width: int, height: int):
+        """ops.beams.BeamContext for this frame (primary pixel floors +
+        shadow-floor machinery), or None when the pre-pass is
+        unavailable/disabled."""
+        import os
+
+        if (self.heightfield is None or width < 16 or height < 16
+                or os.environ.get("VOXELRS_BEAMS") == "0"):
+            return None
+        dev = self.heightfield.device()
+        if dev is None:
+            return None
+        from ..ops.beams import (CELL, BeamContext, pixel_floors,
+                                 tile_floors)
+
+        levels, offsets, n, hmax, bounds = dev
+        ccx = int(np.floor(cam.position[0] / CELL)) - 2
+        ccz = int(np.floor(cam.position[2] / CELL)) - 2
+        near = self.heightfield.near_window(ccx + 2, ccz + 2).astype(
+            np.float32)
+        tf = tile_floors(
+            levels, offsets=offsets, n=n, hmax=jnp.float32(hmax),
+            bounds=jnp.asarray(bounds), near_h=jnp.asarray(near),
+            near_base=jnp.asarray(np.array([ccx, ccz], np.float32)),
+            cam_pos=jnp.asarray(cam.position, jnp.float32),
+            cam_right=jnp.asarray(s, jnp.float32),
+            cam_up=jnp.asarray(u, jnp.float32),
+            cam_fwd=jnp.asarray(f, jnp.float32),
+            fov_y_rad=jnp.float32(params.fov_y_rad),
+            aspect=jnp.float32(params.aspect_ratio),
+            max_dst=jnp.float32(-1.0), width=width, height=height,
+        )
+        return BeamContext(
+            pixel_floors(tf, width=width, height=height), dev,
+            self.heightfield.device_exact(), width, height,
+        )
 
     # -- picking -------------------------------------------------------------
 

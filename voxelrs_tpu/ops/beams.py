@@ -1,0 +1,463 @@
+"""Beam pre-pass: conservative per-tile ray-entry floors from the terrain
+envelope (world/heightfield.py).
+
+One beam per 8x8 pixel tile marches the 2D column-top envelope (a
+max-pyramid DDA, the "maximum mipmaps" heightfield scheme) instead of the
+full SVO and returns, per tile, a distance t_floor such that NO ray of the
+tile can hit geometry before t_floor — or +inf when the whole tile
+provably misses everything (sky). The main trace then starts every pixel
+ray at its tile's floor via the engines' ``start_floored`` (a bit-exact
+restart, ops/traversal.py), skipping the air-walk iterations that dominate
+terrain frames, and drops certain-miss lanes before the first round.
+
+Soundness argument (checked by tests/test_beams.py):
+- every tile ray stays within angle θ of the tile's center beam, so at
+  parameter t it deviates at most t·sinθ from the beam point, both
+  vertically and horizontally;
+- vertical deviation is subtracted explicitly (the y-margin);
+- horizontal deviation up to one column (8 voxels) is absorbed by testing
+  the 3x3-max dilated envelope, so beam claims are valid for
+  t ≤ T8 = (8 - slack)/sinθ; floors and miss verdicts are clamped to T8;
+- the near field (a 5x5-column box around the camera, exited at t_start)
+  is excluded from the march and covered instead by per-tile slab tests
+  of the center ray against each near column's exact bounding box,
+  inflated by 1 voxel (near deviation is ≤ 0.3 voxel);
+- a ray climbing faster than sinθ whose margin-lowered height exceeds the
+  global envelope maximum can never come back down: certain miss.
+
+No reference counterpart — the reference traces all rays from the root
+(src/graphics/svo.rs); this pass exists because TPU frame cost is gather
+-bound and floors cut gathers/ray ~2-3x on terrain scenes (docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+CELL = 8.0  # envelope column footprint in voxels (world/heightfield.py)
+_EPS_DIR = np.float32(2.0**-23)
+_Y_SLACK = np.float32(0.75)  # absorbs DDA step nudges + fp rounding
+_T_SLACK = np.float32(0.01)
+
+
+def _envelope_march(levels, offsets, n, hmax, rox, roy, roz, dx, dy, dz,
+                    inv_x, inv_z, sin_t, m0, t_start, t_hard, max_iters):
+    """Shared max-pyramid 2D march over the dilated envelope.
+
+    Tests the margin-lowered ray height y_lo(t) = roy + t*(dy - sin_t) - m0
+    (linear in t) against per-cell envelope maxima, descending the pyramid
+    near threats. Origins and margins are per-lane (beams share nothing).
+    Returns the per-lane conservative stop distance: +inf when the march
+    proves no envelope threat up to t_hard; a mid-march t when the
+    iteration budget ran out (still a valid floor)."""
+    B = dx.shape[0]
+    offs = jnp.asarray(np.asarray(offsets, np.int32))
+    max_lvl = len(offsets) - 1
+    slope = dy - sin_t
+
+    def body(carry):
+        it, t, lvl, stop_t, done = carry
+        live = ~done
+        s = CELL * jnp.exp2(lvl.astype(f32))  # cell size in voxels
+        px = rox + t * dx
+        pz = roz + t * dz
+        cx = jnp.floor(px / s)
+        cz = jnp.floor(pz / s)
+        nl = (n >> lvl).astype(i32)
+        cxi = jnp.clip(cx.astype(i32), 0, nl - 1)
+        czi = jnp.clip(cz.astype(i32), 0, nl - 1)
+        hv = levels[offs[lvl] + cxi * nl + czi].astype(f32)
+        # exit of the (virtual, unclamped) cell in xz
+        bx = (cx + (dx > 0)) * s
+        bz = (cz + (dz > 0)) * s
+        t_exit = jnp.minimum((bx - rox) * inv_x, (bz - roz) * inv_z)
+        t_exit = jnp.minimum(jnp.maximum(t_exit, t), t_hard)
+        # y_lo is LINEAR in t: its span minimum sits at the end slope picks
+        y_lo = roy + jnp.where(slope >= 0, t, t_exit) * slope - m0
+        hit = y_lo <= hv
+        stop = live & hit & (lvl == 0)
+        descend = live & hit & (lvl > 0)
+        advance = live & ~hit
+        # floor refinement: the threat starts where y_lo(t) crosses hv, not
+        # at the cell's xz entry — the honest floor for steep descents
+        t_y = (roy - m0 - hv) / jnp.maximum(-slope, _EPS_DIR)
+        stop_val = jnp.where(slope >= 0, t, jnp.maximum(t, t_y))
+        stop_t = jnp.where(stop, stop_val, stop_t)
+        t_next = t_exit * (1.0 + 2.0**-21) + 2.0**-16
+        t = jnp.where(advance, t_next, t)
+        lvl = jnp.where(descend, lvl - 1,
+                        jnp.where(advance, jnp.minimum(lvl + 1, max_lvl),
+                                  lvl))
+        rising = (slope > 0) & (roy + t * slope - m0 > hmax)
+        done = done | stop | (advance & ((t >= t_hard) | rising))
+        return it + 1, t, lvl, stop_t, done
+
+    def cond(carry):
+        it, _t, _l, _s, done = carry
+        return (it < max_iters) & ~jnp.all(done)
+
+    t0 = jnp.broadcast_to(t_start, (B,))
+    lvl0 = jnp.full(B, max_lvl, i32)
+    stop0 = jnp.full(B, jnp.inf, f32)
+    done0 = (t0 >= t_hard) | ((slope > 0) & (roy + t0 * slope - m0 > hmax))
+    _it, t_f, _lvl, stop_t, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, lvl0, stop0, done0))
+
+    stopped = jnp.isfinite(stop_t)
+    exhausted = ~done & ~stopped  # ran out of iterations mid-march
+    return jnp.where(stopped, stop_t, jnp.where(exhausted, t_f, jnp.inf))
+
+
+def _dir_for(px, py, width, height, right, up, fwd, fov_y_rad, aspect):
+    """Pixel-grid direction exactly as ops/shading.generate_rays maps
+    integer pixel coords (px may be fractional for tile centers)."""
+    u = (px / width * 2.0 - 1.0) * aspect * jnp.tan(fov_y_rad * 0.5)
+    v = ((height - 1.0 - py) / height * 2.0 - 1.0) * jnp.tan(fov_y_rad * 0.5)
+    d = u[..., None] * right + v[..., None] * up + fwd
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile", "n", "offsets", "max_iters",
+    ),
+)
+def tile_floors(
+    levels,            # (R,) int32 concatenated dilated max-pyramid
+    offsets,           # static tuple: level start offsets into ``levels``
+    n,                 # static: level-0 columns per axis
+    hmax,              # f32 scalar: global envelope max
+    bounds,            # (4,) f32: occupied extent (x0, x1, z0, z1) voxels
+    near_h,            # (5,5) f32: EXACT envelope window around the camera
+    near_base,         # (2,) f32: column coords (x,z) of near_h[0,0]
+    cam_pos,           # (3,) f32 voxels (SVO space)
+    cam_right, cam_up, cam_fwd,
+    fov_y_rad, aspect,
+    max_dst,           # f32 scalar, <0 = unbounded
+    *, width: int, height: int, tile: int = 8, max_iters: int = 96,
+):
+    """Per-tile conservative entry floors, (nty, ntx) f32; +inf = the whole
+    tile certainly misses all geometry."""
+    ntx = -(-width // tile)
+    nty = -(-height // tile)
+    tx = jnp.arange(ntx, dtype=f32)
+    ty = jnp.arange(nty, dtype=f32)
+    x0 = tx * tile
+    x1 = jnp.minimum(x0 + (tile - 1), width - 1)
+    y0 = ty * tile
+    y1 = jnp.minimum(y0 + (tile - 1), height - 1)
+    gx0, gy0 = jnp.meshgrid(x0, y0)  # (nty, ntx)
+    gx1, gy1 = jnp.meshgrid(x1, y1)
+
+    args = (width, height, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    d_c = _dir_for((gx0 + gx1) * 0.5, (gy0 + gy1) * 0.5, *args)
+    # cone half-angle: min cosine against the 4 extreme (corner) pixel rays
+    cos_t = jnp.full(d_c.shape[:2], 1.0, f32)
+    for cx in (gx0, gx1):
+        for cy in (gy0, gy1):
+            cos_t = jnp.minimum(cos_t, jnp.sum(_dir_for(cx, cy, *args) * d_c, -1))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0)) + 1e-4
+
+    B = ntx * nty
+    d = d_c.reshape(B, 3)
+    sin_t = sin_t.reshape(B)
+    ro = cam_pos.astype(f32)
+
+    dx = jnp.where(jnp.abs(d[:, 0]) < _EPS_DIR,
+                   jnp.where(d[:, 0] < 0, -_EPS_DIR, _EPS_DIR), d[:, 0])
+    dy = d[:, 1]
+    dz = jnp.where(jnp.abs(d[:, 2]) < _EPS_DIR,
+                   jnp.where(d[:, 2] < 0, -_EPS_DIR, _EPS_DIR), d[:, 2])
+    inv_x, inv_z = 1.0 / dx, 1.0 / dz
+
+    # -- per-tile hard stop: exit of the OCCUPIED envelope box ------------
+    # All geometry sits inside bounds x [0, hmax]; a tile ray's hit at t'
+    # puts the center beam inside the deviation-padded box, so the center's
+    # padded-box exit bounds every tile ray's last possible hit. Sky beams
+    # leave the box quickly -> small t_hard -> certain-miss elision.
+    far = jnp.float32(0.0)
+    for cxv in (bounds[0], bounds[1]):
+        for cyv in (0.0, 1.0):
+            for czv in (bounds[2], bounds[3]):
+                corner = jnp.stack([cxv, cyv * (hmax + 1.0), czv])
+                far = jnp.maximum(far, jnp.linalg.norm(corner - ro))
+    dy_safe0 = jnp.where(jnp.abs(d[:, 1]) < _EPS_DIR, _EPS_DIR, d[:, 1])
+    pad_box = sin_t * far + 2.0  # (B,)
+    txa_h = (bounds[0] - pad_box - ro[0]) * inv_x
+    txb_h = (bounds[1] + pad_box - ro[0]) * inv_x
+    tya_h = (-pad_box - ro[1]) / dy_safe0
+    tyb_h = (hmax + pad_box - ro[1]) / dy_safe0
+    tza_h = (bounds[2] - pad_box - ro[2]) * inv_z
+    tzb_h = (bounds[3] + pad_box - ro[2]) * inv_z
+    t_entry_box = jnp.maximum(jnp.maximum(jnp.minimum(txa_h, txb_h),
+                                          jnp.minimum(tya_h, tyb_h)),
+                              jnp.minimum(tza_h, tzb_h))
+    t_exit_box = jnp.minimum(jnp.minimum(jnp.maximum(txa_h, txb_h),
+                                         jnp.maximum(tya_h, tyb_h)),
+                             jnp.maximum(tza_h, tzb_h))
+    t_hard = jnp.where(t_exit_box >= jnp.maximum(t_entry_box, 0.0),
+                       jnp.maximum(t_exit_box, 0.0), 0.0)
+    t_hard = jnp.where(max_dst >= 0.0, jnp.minimum(max_dst, t_hard), t_hard)
+
+    # -- near field: 5x5 exact column boxes, slab-tested per tile ---------
+    # Tile rays deviate from the center beam by up to t*sin(theta); a point
+    # inside the near region is at most d_far (box far-corner distance)
+    # away, so inflating each box by sin_t*d_far + 1 makes the CENTER slab
+    # test conservative for every tile ray.
+    ccx = near_base[0]
+    ccz = near_base[1]
+    nbx0 = ccx * CELL
+    nbz0 = ccz * CELL
+    h_top = jnp.max(near_h) + 1.0
+    d_far = jnp.float32(0.0)
+    for cxv in (nbx0, nbx0 + 5 * CELL):
+        for cyv in (0.0, None):
+            for czv in (nbz0, nbz0 + 5 * CELL):
+                y = h_top if cyv is None else cyv
+                corner = jnp.stack([cxv, y, czv])
+                d_far = jnp.maximum(d_far, jnp.linalg.norm(corner - ro))
+    pad = sin_t * d_far + 1.0  # (B,)
+    dy_safe = jnp.where(jnp.abs(dy) < _EPS_DIR, _EPS_DIR, dy)
+    t_near = jnp.full(B, jnp.inf, f32)
+    for ix in range(5):
+        for iz in range(5):
+            h = near_h[ix, iz]
+            bx0 = (ccx + ix) * CELL
+            bz0 = (ccz + iz) * CELL
+            txa = (bx0 - pad - ro[0]) * inv_x
+            txb = (bx0 + CELL + pad - ro[0]) * inv_x
+            tya = (-pad - ro[1]) / dy_safe
+            tyb = (h + pad - ro[1]) / dy_safe
+            tza = (bz0 - pad - ro[2]) * inv_z
+            tzb = (bz0 + CELL + pad - ro[2]) * inv_z
+            t_in = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
+                                           jnp.minimum(tya, tyb)),
+                               jnp.minimum(tza, tzb))
+            t_out = jnp.minimum(jnp.minimum(jnp.maximum(txa, txb),
+                                            jnp.maximum(tya, tyb)),
+                                jnp.maximum(tza, tzb))
+            hit = (t_out >= jnp.maximum(t_in, 0.0)) & (h > 0.0)
+            t_near = jnp.where(
+                hit, jnp.minimum(t_near, jnp.maximum(t_in, 0.0)), t_near)
+
+    # -- DDA start: near-box exit, backed up by the deviation -------------
+    # Tile rays can leave the near box (in their own parameter) up to
+    # dev/|d_xz| before the center does; starting that much earlier closes
+    # the gap — hits before t0 are then strictly inside the near box and
+    # covered by the padded near tests above.
+    tx_far = (jnp.where(dx > 0, nbx0 + 5 * CELL, nbx0) - ro[0]) * inv_x
+    tz_far = (jnp.where(dz > 0, nbz0 + 5 * CELL, nbz0) - ro[2]) * inv_z
+    t_box = jnp.maximum(jnp.minimum(tx_far, tz_far), 0.0)
+    d_xz = jnp.sqrt(dx * dx + dz * dz)
+    backup = (sin_t * t_box + 2.0) / jnp.maximum(d_xz, _EPS_DIR)
+    t_start = jnp.maximum(t_box - backup, 0.0)
+
+    # -- max-pyramid DDA over the dilated envelope ------------------------
+    beam = _envelope_march(
+        levels, offsets, n, hmax, ro[0], ro[1], ro[2], dx, dy, dz,
+        inv_x, inv_z, sin_t, jnp.full(B, _Y_SLACK, f32), t_start, t_hard,
+        max_iters,
+    )
+    # horizontal-deviation validity: the 1-column dilation covers
+    # t*sin(theta) <= CELL - slack
+    t8 = (CELL - 1.0) / sin_t
+    beam = jnp.where(
+        jnp.isinf(beam) & (t_hard <= t8), beam, jnp.minimum(beam, t8))
+
+    floors = jnp.minimum(beam, t_near)
+    floors = jnp.where(
+        jnp.isfinite(floors),
+        jnp.maximum(floors * (1.0 - 2.0**-18) - _T_SLACK, 0.0),
+        floors,
+    )
+    return floors.reshape(nty, ntx)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile"))
+def pixel_floors(tf, *, width: int, height: int, tile: int = 8):
+    """Broadcast (nty, ntx) tile floors to a flat (H*W,) pixel array in the
+    image's row-major lane order."""
+    up = jnp.repeat(jnp.repeat(tf, tile, axis=0), tile, axis=1)
+    return up[:height, :width].reshape(-1)
+
+
+# -- shadow beams ------------------------------------------------------------
+# Shadow rays share ONE direction (toward the light), so a tile's rays form
+# a PARALLEL beam: deviation from the tile's centroid ray is bounded by the
+# hit-point AABB half-extents — a constant, not t-growing, margin. One
+# envelope march per tile classifies most open-terrain tiles as certainly
+# unshadowed (floor = +inf -> their shadow lanes start inactive) and floors
+# the rest.
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile"))
+def tile_hit_aabbs(pos, hit, *, width: int, height: int, tile: int = 8):
+    """Per-tile AABBs of hit positions from full-frame results.
+
+    pos (B,3) float32 (image row-major), hit (B,) bool. Returns
+    (center (T,3), half (T,3), valid (T,)) with T = ntx*nty."""
+    ntx = -(-width // tile)
+    nty = -(-height // tile)
+    p = jnp.pad(pos.reshape(height, width, 3),
+                ((0, nty * tile - height), (0, ntx * tile - width), (0, 0)))
+    h = jnp.pad(hit.reshape(height, width),
+                ((0, nty * tile - height), (0, ntx * tile - width)))
+    p = p.reshape(nty, tile, ntx, tile, 3)
+    h = h.reshape(nty, tile, ntx, tile)
+    big = jnp.where(h[..., None], p, jnp.inf)
+    small = jnp.where(h[..., None], p, -jnp.inf)
+    mn = jnp.min(big, axis=(1, 3)).reshape(-1, 3)
+    mx = jnp.max(small, axis=(1, 3)).reshape(-1, 3)
+    valid = jnp.any(h, axis=(1, 3)).reshape(-1)
+    center = jnp.where(valid[:, None], (mn + mx) * 0.5, 0.0)
+    half = jnp.where(valid[:, None], (mx - mn) * 0.5, 0.0)
+    return center, half, valid
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile"))
+def tile_hit_aabbs_scatter(pix_idx, pos_k, hit_k, *, width: int, height: int,
+                           tile: int = 8):
+    """Per-tile AABBs from COMPACTED lanes: pix_idx (k,) pixel ids,
+    pos_k (k,3), hit_k (k,)."""
+    ntx = -(-width // tile)
+    nty = -(-height // tile)
+    T = ntx * nty
+    py = pix_idx // width
+    px = pix_idx % width
+    tid = (py // tile) * ntx + (px // tile)
+    big = jnp.where(hit_k[:, None], pos_k, jnp.inf)
+    small = jnp.where(hit_k[:, None], pos_k, -jnp.inf)
+    mn = jnp.full((T, 3), jnp.inf, f32).at[tid].min(big)
+    mx = jnp.full((T, 3), -jnp.inf, f32).at[tid].max(small)
+    valid = (jnp.zeros(T, i32).at[tid].add(hit_k.astype(i32))) > 0
+    center = jnp.where(valid[:, None], (mn + mx) * 0.5, 0.0)
+    half = jnp.where(valid[:, None], (mx - mn) * 0.5, 0.0)
+    return center, half, valid
+
+
+@partial(jax.jit, static_argnames=("n", "offsets", "max_iters"))
+def shadow_tile_floors(
+    levels, h_exact, offsets, n, hmax, bounds,
+    center,            # (T,3) tile hit-AABB centers (voxels)
+    half,              # (T,3) tile hit-AABB half extents
+    valid,             # (T,) tile has any hit
+    light_to,          # (3,) direction TOWARD the light (normalized)
+    shadow_distance,   # f32 scalar
+    *, max_iters: int = 64,
+):
+    """Per-tile conservative shadow-ray floors, (T,) f32.
+
+    +inf = every shadow ray of the tile certainly escapes to the light
+    (unshadowed, no trace needed); 0 = no claim (trace normally). Sound
+    only because voxel geometry is integer-aligned — see the near gate."""
+    d = jnp.broadcast_to(light_to.astype(f32), center.shape)
+    dx = jnp.where(jnp.abs(d[:, 0]) < _EPS_DIR,
+                   jnp.where(d[:, 0] < 0, -_EPS_DIR, _EPS_DIR), d[:, 0])
+    dy = d[:, 1]
+    dz = jnp.where(jnp.abs(d[:, 2]) < _EPS_DIR,
+                   jnp.where(d[:, 2] < 0, -_EPS_DIR, _EPS_DIR), d[:, 2])
+    inv_x, inv_z = 1.0 / dx, 1.0 / dz
+    rox, roy, roz = center[:, 0], center[:, 1], center[:, 2]
+    r_xz = jnp.maximum(half[:, 0], half[:, 2])
+    m0 = half[:, 1] + _Y_SLACK
+
+    # gates: sun above the horizon enough, tile beam thin enough for the
+    # 1-column dilation to absorb its width, and (near gate) nothing in the
+    # 3x3 columns around the tile rises above the lowest origin — with
+    # integer voxel tops that proves the origins sit ON the local surface
+    # and nothing nearby can block before the march's start
+    gate = valid & (dy >= 0.2) & (r_xz <= 3.5) & (half[:, 1] <= 8.0)
+    ccx = jnp.floor(rox / CELL).astype(i32)
+    ccz = jnp.floor(roz / CELL).astype(i32)
+    near_max = jnp.full(center.shape[0], -jnp.inf, f32)
+    for ix in (-1, 0, 1):
+        for iz in (-1, 0, 1):
+            hx = jnp.clip(ccx + ix, 0, n - 1)
+            hz = jnp.clip(ccz + iz, 0, n - 1)
+            near_max = jnp.maximum(near_max, h_exact[hx * n + hz].astype(f32))
+    # Integer voxel tops + origins at-or-above every nearby top => rising
+    # rays can never re-enter nearby geometry. The 1e-4 covers traversal
+    # hit-position rounding on exact top-face hits; side-face hits below a
+    # top fail the gate (their column's H exceeds the origin height).
+    y0_min = roy - half[:, 1]
+    gate = gate & (near_max <= y0_min + 1e-4)
+
+    # march start: exit of the 3x3-column near window, backed up by the
+    # constant beam half-width (parallel rays: deviation does not grow)
+    nbx0 = (ccx - 1).astype(f32) * CELL
+    nbz0 = (ccz - 1).astype(f32) * CELL
+    tx_far = (jnp.where(dx > 0, nbx0 + 3 * CELL, nbx0) - rox) * inv_x
+    tz_far = (jnp.where(dz > 0, nbz0 + 3 * CELL, nbz0) - roz) * inv_z
+    t_box = jnp.maximum(jnp.minimum(tx_far, tz_far), 0.0)
+    d_xz = jnp.sqrt(dx * dx + dz * dz)
+    backup = (r_xz + 2.0) / jnp.maximum(d_xz, _EPS_DIR)
+    t_start = jnp.maximum(t_box - backup, 0.0)
+
+    # hard stop: padded occupied-box exit, capped by the shadow distance
+    pad_box = r_xz + m0 + 2.0
+    dy_safe = jnp.where(jnp.abs(dy) < _EPS_DIR, _EPS_DIR, dy)
+    txa = (bounds[0] - pad_box - rox) * inv_x
+    txb = (bounds[1] + pad_box - rox) * inv_x
+    tya = (-pad_box - roy) / dy_safe
+    tyb = (hmax + pad_box - roy) / dy_safe
+    tza = (bounds[2] - pad_box - roz) * inv_z
+    tzb = (bounds[3] + pad_box - roz) * inv_z
+    t_entry = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
+                                      jnp.minimum(tya, tyb)),
+                          jnp.minimum(tza, tzb))
+    t_exit = jnp.minimum(jnp.minimum(jnp.maximum(txa, txb),
+                                     jnp.maximum(tya, tyb)),
+                         jnp.maximum(tza, tzb))
+    t_hard = jnp.where(t_exit >= jnp.maximum(t_entry, 0.0),
+                       jnp.maximum(t_exit, 0.0), 0.0)
+    t_hard = jnp.minimum(t_hard, shadow_distance + r_xz + m0)
+
+    beam = _envelope_march(
+        levels, offsets, n, hmax, rox, roy, roz, dx, dy, dz, inv_x, inv_z,
+        jnp.zeros_like(dy), m0, t_start, t_hard, max_iters,
+    )
+    floors = jnp.where(
+        jnp.isfinite(beam),
+        jnp.maximum(beam * (1.0 - 2.0**-18) - _T_SLACK, 0.0),
+        beam,
+    )
+    return jnp.where(gate, floors, 0.0)
+
+
+class BeamContext:
+    """Per-frame pre-pass handle handed to the frame drivers: the primary
+    pixel floors plus the device envelope state needed to build shadow
+    floors once hit positions exist (graphics/svo.py constructs one per
+    frame when a heightfield is attached)."""
+
+    def __init__(self, t_floor, dev, h_exact, width: int, height: int,
+                 tile: int = 8):
+        self.t_floor = t_floor
+        self._dev = dev  # (levels, offsets, n, hmax, bounds)
+        self._h_exact = h_exact
+        self._w, self._hh, self._tile = width, height, tile
+
+    def shadow_pixel_floors(self, center, half, valid, light_dir,
+                            shadow_distance):
+        """(H*W,) conservative shadow floors from per-tile hit AABBs
+        (tile_hit_aabbs / tile_hit_aabbs_scatter)."""
+        levels, offsets, n, hmax, bounds = self._dev
+        to_light = -jnp.asarray(light_dir, f32)
+        to_light = to_light / jnp.linalg.norm(to_light)
+        tf = shadow_tile_floors(
+            levels, self._h_exact, offsets=offsets, n=n,
+            hmax=jnp.float32(hmax), bounds=bounds, center=center, half=half,
+            valid=valid, light_to=to_light,
+            shadow_distance=jnp.asarray(shadow_distance, f32),
+        )
+        ntx = -(-self._w // self._tile)
+        return pixel_floors(tf.reshape(-1, ntx), width=self._w,
+                            height=self._hh, tile=self._tile)

@@ -647,16 +647,18 @@ class _EsvoEngine:
     @staticmethod
     def start_floored(descriptors, scale, ro, rd, max_dst, stack_height,
                       t_floor):
-        """Start a trace with per-lane entry floors (from a conservative
-        coarse-SVO pre-pass): identical to ``start`` + an immediate restart
-        at ``t_floor``. Lanes with an infinite floor (certain miss) begin
-        inactive."""
+        """Start a trace with per-lane entry floors (from the conservative
+        beam pre-pass, ops/beams.py): identical to ``start`` + an immediate
+        restart at ``t_floor``. ``t_floor`` is in caller ray units (the
+        units of ``res.t``); +inf floors (certain miss) begin inactive."""
         from .traversal import init_state_push, make_ray_consts
 
         c = make_ray_consts(scale, ro, rd, max_dst)
         st0 = init_state_push(c, stack_height)
         st = _EsvoEngine.restart(
-            descriptors, c, t_floor=t_floor, inside=st0.inside,
+            descriptors, c,
+            t_floor=t_floor * jnp.asarray(scale, jnp.float32),
+            inside=st0.inside,
             adj_last=st0.adj_last, missed=st0.missed, suppress=st0.suppress,
             stack_height=stack_height,
         )
@@ -753,7 +755,9 @@ class _CsvoEngine:
         c = make_ray_consts(scale, ro, rd, max_dst)
         st0 = init_state_csvo(c, root_ptr, depth, stack_height)
         st = _CsvoEngine.restart(
-            descriptors, c, t_floor=t_floor, inside=st0.inside,
+            descriptors, c,
+            t_floor=t_floor * jnp.asarray(scale, jnp.float32),
+            inside=st0.inside,
             adj_last=st0.adj_last, missed=st0.missed, suppress=st0.suppress,
             stack_height=stack_height,
         )
@@ -866,6 +870,9 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     _RAY_FNS = {"pix": _pix_rays, "dir": _dir_rays, "pixsub": _pixsub_rays}
 
     def round_body(descriptors, consts, state, steps_total, seg_steps):
+        if seg_steps == 0:
+            # zero-length round (leading entry of beam-floored plans)
+            return state, steps_total
         prepared = eng.prep(descriptors)
         steps, state = eng.run_loop(prepared, consts, state, seg_steps,
                                     _substeps)
@@ -958,6 +965,11 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             descriptors, scale, ro, rd, max_dst, stack_height
         )
     )
+    start_floored = jax.jit(
+        lambda descriptors, scale, ro, rd, max_dst, tf: eng.start_floored(
+            descriptors, scale, ro, rd, max_dst, stack_height, tf
+        )
+    )
 
     active_count = jax.jit(lambda state: jnp.sum(state.active))
     order_active = jax.jit(
@@ -974,18 +986,24 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     # return as one stacked array for the next frame's plan refresh.
     _fused_cache: dict = {}
 
-    def _fused_replay(mode, plan_key, record_frozen):
-        key = (mode, plan_key, record_frozen)
+    def _fused_replay(mode, plan_key, record_frozen, floored=False):
+        key = (mode, plan_key, record_frozen, floored)
         if key in _fused_cache:
             return _fused_cache[key]
 
         compact_fn = compact_raw[mode]
         plan = list(plan_key)
 
-        def fused(descriptors, scale, ro, rd, max_dst, ray_args):
+        def fused(descriptors, scale, ro, rd, max_dst, ray_args,
+                  t_floor=None):
             prepared = eng.prep(descriptors)
-            consts, state = eng.start(descriptors, scale, ro, rd, max_dst,
-                                      stack_height)
+            if floored:
+                consts, state = eng.start_floored(
+                    descriptors, scale, ro, rd, max_dst, stack_height,
+                    t_floor)
+            else:
+                consts, state = eng.start(descriptors, scale, ro, rd,
+                                          max_dst, stack_height)
             n = ro.shape[0]
             frozen = jnp.zeros((n, _FROZEN_C), jnp.uint32)
             hit_full = jnp.zeros(n, bool)
@@ -999,12 +1017,13 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 segs.append((max_steps - sum(s for s, _ in plan), None))
             for seg, bucket in segs:
                 seg = min(seg, budget)
-                if seg <= 0:
+                if seg <= 0 and budget <= 0:
                     break
-                steps, state = eng.run_loop(prepared, consts, state, seg,
-                                            _substeps)
-                steps_total = steps_total + steps
-                budget -= seg
+                if seg > 0:
+                    steps, state = eng.run_loop(prepared, consts, state, seg,
+                                                _substeps)
+                    steps_total = steps_total + steps
+                    budget -= seg
                 counts.append(jnp.sum(state.active).astype(jnp.int32))
                 if (bucket is not None and bucket <= (width_now * 3) // 4
                         and _compact_on()):
@@ -1041,12 +1060,17 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         return _fused_cache[key]
 
     def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag,
-              record_frozen: bool = True):
+              record_frozen: bool = True, t_floor=None):
         """Opaque deferred trace. Returns (frozen, hit, steps_total) at full
         width; ``frozen`` feeds ``finalize_lanes``. ``record_frozen=False``
         (shadow rays) keeps only the hit mask — no frozen-state scatters."""
         compact_jit = compact_jits[mode]
-        consts, state = start(descriptors, scale, ro, rd, max_dst)
+        if t_floor is None:
+            consts, state = start(descriptors, scale, ro, rd, max_dst)
+        else:
+            consts, state = start_floored(descriptors, scale, ro, rd,
+                                          max_dst, t_floor)
+            tag = (tag, "fl")
         n = ro.shape[0]
         frozen = jnp.zeros((n, _FROZEN_C), jnp.uint32)
         hit_full = jnp.zeros(n, bool)
@@ -1056,6 +1080,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         schedule = [seg0] * 5  # fine early grid: deep worlds need ~40+
         while sum(schedule) < max_steps:  # iterations at interesting widths
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
+        if t_floor is not None:
+            # zero-length first round: drop certain-miss lanes before any
+            # traversal iterations
+            schedule = [0] + schedule
 
         timing = _os.environ.get("VOXELRS_TIMING") == "1"
 
@@ -1141,14 +1169,20 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     plan_rec.append((seg, None))
             store.record(tag, n, plan_rec)
         elif _fused_replay_on():
-            fn = _fused_replay(mode, tuple(plan), record_frozen)
-            frozen, hit_full, steps_total, counts = fn(
-                descriptors, scale, ro, rd, max_dst, ray_args
-            )
+            fn = _fused_replay(mode, tuple(plan), record_frozen,
+                               floored=t_floor is not None)
+            if t_floor is None:
+                frozen, hit_full, steps_total, counts = fn(
+                    descriptors, scale, ro, rd, max_dst, ray_args
+                )
+            else:
+                frozen, hit_full, steps_total, counts = fn(
+                    descriptors, scale, ro, rd, max_dst, ray_args, t_floor
+                )
             seg_lens = []
             for seg, _bucket in plan:
                 seg = min(seg, budget)
-                if seg <= 0:
+                if seg <= 0 and budget <= 0:
                     break
                 budget -= seg
                 seg_lens.append(seg)
@@ -1165,7 +1199,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             counts_dev = []
             for seg, bucket in plan:
                 seg = min(seg, budget)
-                if seg <= 0:
+                if seg <= 0 and budget <= 0:
                     break
                 cur_state, steps_total = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, seg
@@ -1501,6 +1535,11 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             descriptors, scale, ro, rd, max_dst, stack_height
         )
     )
+    start_floored = jax.jit(
+        lambda descriptors, scale, ro, rd, max_dst, tf: eng.start_floored(
+            descriptors, scale, ro, rd, max_dst, stack_height, tf
+        )
+    )
 
     import os as _os
 
@@ -1511,6 +1550,12 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         """One deferred round: run the loop to the next leaf hits, judge
         texel alpha + adjacency, record accepted hits, resume the rest."""
         from .traversal import _exp2_scale
+
+        if seg_steps == 0:
+            # zero-length round: beam-floored traces prepend one so the
+            # plan's first compaction can drop certain-miss lanes before
+            # any traversal work
+            return state, steps_total, acc, done
 
         prepared = eng.prep(descriptors)
         steps, state = eng.run_loop(prepared, consts, state, seg_steps,
@@ -1656,15 +1701,21 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     unpack_full_jit = jax.jit(
         lambda mat: _unpack_cols(mat, _unpack_templates))
 
-    def _fused_replay_j(plan_key):
-        if plan_key in _fused_cache:
-            return _fused_cache[plan_key]
+    def _fused_replay_j(plan_key, floored=False):
+        if (plan_key, floored) in _fused_cache:
+            return _fused_cache[(plan_key, floored)]
 
         plan = list(plan_key)
 
-        def fused(descriptors, scale, ro, rd, max_dst, mips, mat_tex):
-            consts, state = eng.start(descriptors, scale, ro, rd, max_dst,
-                                      stack_height)
+        def fused(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
+                  t_floor=None):
+            if floored:
+                consts, state = eng.start_floored(
+                    descriptors, scale, ro, rd, max_dst, stack_height,
+                    t_floor)
+            else:
+                consts, state = eng.start(descriptors, scale, ro, rd,
+                                          max_dst, stack_height)
             n = ro.shape[0]
             acc = _make_acc(n)
             done = jnp.zeros(n, bool)
@@ -1678,7 +1729,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 segs.append((max_steps - sum(s for s, _ in plan), None))
             for seg, bucket in segs:
                 seg = min(seg, budget)
-                if seg <= 0:
+                if seg <= 0 and budget <= 0:
                     break
                 state, steps_total, acc, done = round_body(
                     descriptors, consts, state, steps_total, acc, done,
@@ -1723,12 +1774,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             )
             return res, accF[6], accF[7], accF[8], jnp.stack(counts)
 
-        _fused_cache[plan_key] = jax.jit(fused)
-        return _fused_cache[plan_key]
+        _fused_cache[(plan_key, floored)] = jax.jit(fused)
+        return _fused_cache[(plan_key, floored)]
 
     def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
-              tag="primary"):
-        consts, state = start(descriptors, scale, ro, rd, max_dst)
+              tag="primary", t_floor=None):
+        if t_floor is None:
+            consts, state = start(descriptors, scale, ro, rd, max_dst)
+        else:
+            consts, state = start_floored(descriptors, scale, ro, rd,
+                                          max_dst, t_floor)
+            tag = (tag, "fl")
         n = ro.shape[0]
         acc = _make_acc(n)
         done = jnp.zeros(n, bool)
@@ -1742,6 +1798,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         schedule = [seg0] * 5  # fine early grid: deep worlds need ~40+
         while sum(schedule) < max_steps:  # iterations at interesting widths
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
+        if t_floor is not None:
+            # zero-length first round: the first plan decision (certain
+            # -miss lane drop) happens before any traversal iterations
+            schedule = [0] + schedule
 
         timing = os.environ.get("VOXELRS_TIMING") == "1"
 
@@ -1823,13 +1883,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     plan_rec.append((seg, None))
             store.record(tag, n, plan_rec)
         elif _fused_replay_on():
-            fn = _fused_replay_j(tuple(plan))
-            res, sc, pl, ps, counts = fn(descriptors, scale, ro, rd, max_dst,
-                                         mips, mat_tex)
+            fn = _fused_replay_j(tuple(plan), floored=t_floor is not None)
+            if t_floor is None:
+                res, sc, pl, ps, counts = fn(descriptors, scale, ro, rd,
+                                             max_dst, mips, mat_tex)
+            else:
+                res, sc, pl, ps, counts = fn(descriptors, scale, ro, rd,
+                                             max_dst, mips, mat_tex, t_floor)
             seg_lens = []
             for seg, _bucket in plan:
                 seg = min(seg, budget)
-                if seg <= 0:
+                if seg <= 0 and budget <= 0:
                     break
                 budget -= seg
                 seg_lens.append(seg)
@@ -1845,7 +1909,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             counts_dev = []
             for seg, bucket in plan:
                 seg = min(seg, budget)
-                if seg <= 0:
+                if seg <= 0 and budget <= 0:
                     break
                 cur_state, steps_total, cur_acc, cur_done = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, cur_acc,
@@ -2132,7 +2196,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
                           shadow_distance, highlight_pos,
                           max_steps: int = 1000, rounds: int = 4,
                           opaque: bool = False, stack_height: int = 12,
-                          engine: str = "esvo"):
+                          engine: str = "esvo", beams=None):
     """Host-orchestrated frame: raygen → deferred primary trace → shading →
     deferred shadow trace → composite. Same output as ``render_frame`` (up
     to the deferred-rounds bound on translucent pass-throughs).
@@ -2166,7 +2230,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             ambient=ambient, light_dir=light_dir,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
             max_steps=max_steps, mark=mark, stack_height=stack_height,
-            engine=engine,
+            engine=engine, beams=beams,
         )
 
     _adaptive_env = os.environ.get("VOXELRS_ADAPTIVE")
@@ -2183,7 +2247,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             ambient=ambient, light_dir=light_dir,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
             max_steps=max_steps, rounds=rounds, mark=mark,
-            stack_height=stack_height, engine=engine,
+            stack_height=stack_height, engine=engine, beams=beams,
         )
 
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
@@ -2196,7 +2260,9 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     mark("raygen", rd)
     res, _sc, _pl, _ps = trace(descriptors, octree_scale, ro, rd,
                                jnp.float32(-1.0), mips, mat_tex,
-                               tag="primary")
+                               tag="primary",
+                               t_floor=None if beams is None
+                               else beams.t_floor)
     mark("primary", res.t)
 
     # compact shading + shadows to the hit lanes
@@ -2215,10 +2281,22 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     )
     mark("shade", color_k)
     if render_shadows:
+        sfl = None
+        if beams is not None:
+            from .beams import tile_hit_aabbs
+
+            if _floor_gather is None:
+                _make_floor_gather()
+            ctr, hlf, vld = tile_hit_aabbs(res.pos, res.t != -1.0,
+                                           width=width, height=height)
+            sfl = beams.shadow_pixel_floors(ctr, hlf, vld, light_dir,
+                                            shadow_distance)
         sres, _ssc, _spl, _sps = trace(descriptors, octree_scale,
                                        shadow_ro_k, shadow_rd_k,
                                        shadow_max_k, mips, mat_tex,
-                                       tag=("shadow", k))
+                                       tag=("shadow", k),
+                                       t_floor=None if sfl is None
+                                       else _floor_gather(sfl, idx))
         shadow_t_k = sres.t
         mark("shadow", shadow_t_k)
     else:
@@ -2232,6 +2310,12 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
 
 
 _shadow_sign = None
+_floor_gather = None
+
+
+def _make_floor_gather():
+    global _floor_gather
+    _floor_gather = jax.jit(lambda tf, i: tf[i])
 
 
 def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
@@ -2240,7 +2324,7 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
                                   cam_fwd, fov_y_rad, aspect, ambient,
                                   light_dir, shadow_distance, highlight_pos,
                                   max_steps, rounds, mark, stack_height=12,
-                                  engine="esvo"):
+                                  engine="esvo", beams=None):
     """Adaptive thick-ray frame over the alpha-judged (translucent-capable)
     pipeline: quarter-res judged trace, result-level coplanar fill keyed on
     each pixel cell's ACCEPTED surface (value, signed face, leaf scale,
@@ -2271,10 +2355,14 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
 
+    t_floor = beams.t_floor if beams is not None else None
     cpidx, ro_c, rd_c = coarse_rays_j(ray_args)
+    if _floor_gather is None:
+        _make_floor_gather()
     res_c, scale_c, plane_c, passed_c = trace(
         descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0), mips,
         mat_tex, tag="coarse",
+        t_floor=None if t_floor is None else _floor_gather(t_floor, cpidx),
     )
     mark("coarse", res_c.t)
 
@@ -2291,6 +2379,7 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     res_r, _sc_r, _pl_r, _ps_r = trace(
         descriptors, octree_scale, ro_r, rd_r, jnp.float32(-1.0), mips,
         mat_tex, tag=("refine", k_r),
+        t_floor=None if t_floor is None else _floor_gather(t_floor, idx_r),
     )
     resf, hit, inside_full = merge_refined_res(
         resf, hit, inside_full, idx_r,
@@ -2334,14 +2423,27 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     mark("shade", color_k)
 
     if render_shadows:
+        sfl = None
+        if beams is not None:
+            from .beams import tile_hit_aabbs
+
+            ctr, hlf, vld = tile_hit_aabbs(resf[3], hit, width=width,
+                                           height=height)
+            sfl = beams.shadow_pixel_floors(ctr, hlf, vld, light_dir,
+                                            shadow_distance)
+
         def shadow_trace(mask, name):
             k2 = store.sticky_scalar(name, hit_count_b(mask), k)
             sidx = hit_order_b(mask, k2)
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
                                              shadow_max_k)
+            tfl = None
+            if sfl is not None:
+                pid = sidx if idx is None else _floor_gather(idx, sidx)
+                tfl = _floor_gather(sfl, pid)
             sres, _a, _b, _c2 = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, mips, mat_tex,
-                tag=(name, k2),
+                tag=(name, k2), t_floor=tfl,
             )
             return sidx, sres.t != -1.0
 
@@ -2378,7 +2480,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          mat_tex, *, width, height, render_shadows, cam_pos,
                          cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
                          ambient, light_dir, shadow_distance, highlight_pos,
-                         max_steps, mark, stack_height=12, engine="esvo"):
+                         max_steps, mark, stack_height=12, engine="esvo",
+                         beams=None):
     """Opaque-world frame: first-hit traversal rounds, one finalize on the
     compacted hit lanes, shadow pass returns only the hit flag. Steady-state
     frames run with a single host sync (the hit-count) plus one batched
@@ -2404,6 +2507,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     mark("raygen", rd)
 
     cam_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    t_floor = beams.t_floor if beams is not None else None
 
     # adaptive ("thick ray") primary pass: quarter-res trace, exact fill of
     # same-leaf interior pixels, full-res re-trace of disagreement pixels
@@ -2427,11 +2531,18 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         # steady), and thin features in the 2-4 px band may drop.
         hierarchy = _os.environ.get("VOXELRS_HIERARCHY") == "1"
         known_c = kval_c = None
+        if t_floor is not None and _floor_gather is None:
+            _make_floor_gather()
+
+        def _fl(pix_idx):
+            return None if t_floor is None else _floor_gather(t_floor,
+                                                              pix_idx)
+
         if hierarchy:
             qpix, ro_q, rd_q = coarse_rays_q(cam_args)
             frozen_q, hit_q, steps1 = trace(
                 descriptors, octree_scale, ro_q, rd_q, jnp.float32(-1.0),
-                "pixsub", (qpix,) + cam_args, "coarse4",
+                "pixsub", (qpix,) + cam_args, "coarse4", t_floor=_fl(qpix),
             )
             mark("coarse4", hit_q)
             (frozen_c, hit_c, known_c, kval_c, ref_c_mask, ref_c_count) = (
@@ -2444,6 +2555,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             frozen_rc, hit_rc, steps1b = trace(
                 descriptors, octree_scale, ro_rc, rd_rc, jnp.float32(-1.0),
                 "pixsub", (cpix_sub,) + cam_args, ("crefine", k_rc),
+                t_floor=_fl(cpix_sub),
             )
             frozen_c, hit_c = merge_refined(frozen_c, hit_c, idx_rc,
                                             frozen_rc, hit_rc)
@@ -2453,7 +2565,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             cpidx, ro_c, rd_c = coarse_rays(cam_args)
             frozen_c, hit_c, steps1 = trace(
                 descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
-                "pixsub", (cpidx,) + cam_args, "coarse",
+                "pixsub", (cpidx,) + cam_args, "coarse", t_floor=_fl(cpidx),
             )
             mark("coarse", hit_c)
 
@@ -2468,14 +2580,17 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         frozen_r, hit_r, steps2 = trace(
             descriptors, octree_scale, ro_r, rd_r, jnp.float32(-1.0),
             "pixsub", (idx_r,) + cam_args, ("refine", k_r),
+            t_floor=_fl(idx_r),
         )
         frozen, hit = merge_refined(frozen, hit, idx_r, frozen_r, hit_r)
         steps_total = steps1 + steps2
         mark("refine", hit)
     else:
+        if t_floor is not None and _floor_gather is None:
+            _make_floor_gather()
         frozen, hit, steps_total = trace(
             descriptors, octree_scale, ro, rd, jnp.float32(-1.0), "pix",
-            cam_args, "primary",
+            cam_args, "primary", t_floor=t_floor,
         )
         mark("primary", hit)
 
@@ -2537,15 +2652,37 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
 
+        sfl = None
+        if beams is not None:
+            if _floor_gather is None:
+                _make_floor_gather()
+            if idx is None:
+                from .beams import tile_hit_aabbs
+
+                ctr, hlf, vld = tile_hit_aabbs(res.pos, hit_k, width=width,
+                                               height=height)
+            else:
+                from .beams import tile_hit_aabbs_scatter
+
+                ctr, hlf, vld = tile_hit_aabbs_scatter(
+                    idx, res.pos, hit_k, width=width, height=height)
+            sfl = beams.shadow_pixel_floors(ctr, hlf, vld, light_dir,
+                                            shadow_distance)
+
         def shadow_trace(mask, name):
             """Trace shadow rays for the masked lanes (sticky bucket)."""
             k2 = store.sticky_scalar(name, hit_count(mask), k)
             sidx = hit_order(mask, k2)
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
             srd2 = jnp.broadcast_to(neg_light, sro2.shape)
+            tfl = None
+            if sfl is not None:
+                pid = sidx if idx is None else _floor_gather(idx, sidx)
+                tfl = _floor_gather(sfl, pid)
             _f, shit2, _s = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, "dir",
                 (sro2, neg_light), (name, k2), record_frozen=False,
+                t_floor=tfl,
             )
             return sidx, shit2
 

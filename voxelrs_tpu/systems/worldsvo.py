@@ -87,6 +87,15 @@ class Svo:
         self.leaf_ids: dict[ChunkPos, LeafId] = {}
         self.has_changed = False
         self.coord_space = SvoCoordSpace(ChunkPos(0, 0, 0), render_distance)
+        # terrain envelope for the renderer's beam pre-pass: per-chunk
+        # column tops (computed in the serializer threads) assembled into a
+        # world heightfield (world/heightfield.py)
+        from ..world.heightfield import HeightField
+
+        self.heightfield = HeightField()
+        self._col_tops: dict[ChunkPos, np.ndarray] = {}
+        if hasattr(graphics_svo, "set_heightfield"):
+            graphics_svo.set_heightfield(self.heightfield)
 
     # -- chunk in/out -----------------------------------------------------------
 
@@ -100,12 +109,15 @@ class Svo:
             # per-chunk serialization trace, recorded only when the chunk
             # produced data (reference: worldsvo.rs:93-98 trace_if has_data)
             from ..gamelogic import benchmark
+            from ..world.heightfield import chunk_column_tops
 
-            return benchmark.trace_if(
+            sc = benchmark.trace_if(
                 "serialize_chunk",
                 lambda: factory(pos, voxels, lod, borrowed_chunk=chunk),
                 lambda sc: sc.has_data(),
             )
+            sc.column_tops = chunk_column_tops(np.asarray(voxels), lod)
+            return sc
 
         self.processor.enqueue(pos, True, produce)
 
@@ -115,6 +127,12 @@ class Svo:
         if leaf_id is not None:
             self.world_svo.remove_leaf(leaf_id)
             self.has_changed = True
+        tops = self._col_tops.pop(pos, None)
+        if tops is not None:
+            svo_pos = self.coord_space.cnv_chunk_pos(pos)
+            if svo_pos is not None:
+                self.heightfield.remove_chunk(
+                    (svo_pos.x, svo_pos.y, svo_pos.z), expect=tops)
 
     def has_pending_jobs(self) -> bool:
         return self.processor.has_pending()
@@ -150,6 +168,16 @@ class Svo:
     def _on_coord_space_change(self) -> None:
         self.has_changed = True
         self.shift_chunks(self.coord_space, self.leaf_ids, self.world_svo)
+        # every chunk's SVO position moved: rebuild the envelope wholesale
+        self._col_tops = {
+            p: t for p, t in self._col_tops.items() if p in self.leaf_ids
+        }
+        rebuilt = {}
+        for p, tops in self._col_tops.items():
+            svo_pos = self.coord_space.cnv_chunk_pos(p)
+            if svo_pos is not None:
+                rebuilt[(svo_pos.x, svo_pos.y, svo_pos.z)] = tops
+        self.heightfield.rebuild(rebuilt)
 
     @staticmethod
     def shift_chunks(coord_space: SvoCoordSpace, leaf_ids: dict, world_svo) -> None:
@@ -195,6 +223,11 @@ class Svo:
             leaf_id, _ = self.world_svo.set_leaf(svo_pos, sc, True)
             self.leaf_ids[result.pos] = leaf_id
             self.has_changed = True
+            tops = getattr(sc, "column_tops", None)
+            if tops is not None:
+                self._col_tops[result.pos] = tops
+                self.heightfield.set_chunk(
+                    (svo_pos.x, svo_pos.y, svo_pos.z), tops)
         return chunks
 
     # -- graphics passthrough with coordinate translation -------------------------
