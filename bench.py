@@ -40,7 +40,9 @@ def build_world(radius: int = 4):
     systems/worldsvo.py)."""
     from voxelrs_tpu.gamelogic.worldgen import Generator, default_config
     from voxelrs_tpu.world.chunk import Chunk
-    from voxelrs_tpu.world.heightfield import HeightField, chunk_column_tops
+    from voxelrs_tpu.world.heightfield import (HeightField,
+                                               chunk_column_tops,
+                                               chunk_voxel_tops)
 
     from voxelrs_tpu.systems.chunkloader import ChunkLoader
 
@@ -63,7 +65,9 @@ def build_world(radius: int = 4):
                 if not sc.has_data():
                     continue
                 svo.set_leaf(Position(cx, cy, cz), sc, True)
-                hf.set_chunk((cx, cy, cz), chunk_column_tops(chunk.voxels, lod))
+                hf.set_chunk((cx, cy, cz),
+                             chunk_column_tops(chunk.voxels, lod),
+                             vtops=chunk_voxel_tops(chunk.voxels, lod))
                 count += 1
     svo.serialize()
     return svo, count, hf

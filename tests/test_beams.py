@@ -15,7 +15,8 @@ from voxelrs_tpu.gamelogic.content import (GLASS, GRASS, STONE,
 from voxelrs_tpu.graphics.svo import RenderParams, Svo
 from voxelrs_tpu.world import ChunkPos, Position
 from voxelrs_tpu.world.esvo import Esvo, SerializedChunk
-from voxelrs_tpu.world.heightfield import HeightField, chunk_column_tops
+from voxelrs_tpu.world.heightfield import (HeightField, chunk_column_tops,
+                                           chunk_voxel_tops)
 
 W, H = 128, 96
 
@@ -105,7 +106,7 @@ def test_heightfield_device_pyramid_is_max():
                 (cx, 0, cz),
                 rng.integers(0, 30, (4, 4)).astype(np.int16),
             )
-    levels, offsets, n, hmax, bounds = hf.device()
+    levels, offsets, n, hmax, bounds, levels_e = hf.device()
     lv = np.asarray(levels)
     h0 = lv[offsets[0] : offsets[0] + n * n].reshape(n, n)
     # level 0 is the 3x3 dilation of the exact field
@@ -120,6 +121,9 @@ def test_heightfield_device_pyramid_is_max():
     nzx, nzz = np.nonzero(Hx)
     assert (bounds == [nzx.min() * 8, (nzx.max() + 1) * 8,
                        nzz.min() * 8, (nzz.max() + 1) * 8]).all()
+    # exact pyramid: level 0 is the UNdilated field
+    lve = np.asarray(levels_e)
+    assert (lve[offsets[0] : offsets[0] + n * n].reshape(n, n) == Hx).all()
     # each pyramid level is the 2x2 max of the previous
     for li in range(1, len(offsets)):
         nl = n >> li
@@ -168,7 +172,8 @@ def beam_scene():
                 SerializedChunk.from_voxels(ChunkPos(cx, 0, cz), vox, 5),
                 True,
             )
-            hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5))
+            hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5),
+                         vtops=chunk_voxel_tops(vox, 5))
     world.serialize()
     svo = Svo(new_registry(), capacity_mb=8)
     svo.update(world)
@@ -327,3 +332,136 @@ def test_floors_save_work_on_terrain(beam_scene):
     assert np.isinf(floors).mean() > 0.2      # sky tiles elided
     finite = floors[np.isfinite(floors)]
     assert (finite > 5.0).mean() > 0.3        # real air-walk skipped
+
+
+@pytest.mark.parametrize("cam", ["horizon", "down", "on-ground"])
+def test_shadow_floors_conservative(beam_scene, cam):
+    """Per-ray shadow floors never exceed the first-geometry distance of
+    the shadow ray; +inf only where the ray misses everything."""
+    import jax.numpy as jnp
+
+    from voxelrs_tpu.ops.shading import FACE_NORMALS, generate_rays
+    from voxelrs_tpu.ops.traversal import intersect_octree
+
+    svo, hf = beam_scene
+    svo.set_heightfield(hf)
+    try:
+        params = _params(CAMS[cam])
+        from voxelrs_tpu.graphics.camera import Camera
+
+        c = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01,
+                   1024)
+        c.position = np.asarray(params.cam_pos, np.float32)
+        c.forward = np.asarray(params.cam_fwd, np.float32)
+        s, u, f = c.camera_basis()
+        ro, rd = generate_rays(
+            W, H, jnp.asarray(c.position), jnp.asarray(s), jnp.asarray(u),
+            jnp.asarray(f), jnp.float32(params.fov_y_rad),
+            jnp.float32(params.aspect_ratio),
+        )
+        res = intersect_octree(
+            svo.device_buf, jnp.float32(svo.octree_scale), ro, rd,
+            jnp.float32(-1.0), False, max_steps=640,
+        )
+        hit = np.asarray(res.t) > 0
+        normal = FACE_NORMALS[jnp.clip(res.face_id, 0, 5)]
+        sro = (res.pos + normal * 0.001)[jnp.asarray(hit)]
+        light = np.array([-1.0, -1.0, -1.0], np.float32) / np.sqrt(3)
+        to_light = jnp.asarray(-light)
+
+        ctx = svo._beam_floors(c, s, u, f, params, W, H)
+        floors = np.asarray(ctx.shadow_ray_floors(
+            sro, jnp.full(sro.shape[0], -1.0, jnp.float32), to_light))
+
+        sres = intersect_octree(
+            svo.device_buf, jnp.float32(svo.octree_scale), sro,
+            jnp.broadcast_to(to_light, sro.shape),
+            jnp.float32(-1.0), False, max_steps=640,
+        )
+        st = np.asarray(sres.t)
+        shit = st > 0
+        fin = np.isfinite(floors)
+        bad = shit & fin & (floors > st + 1e-3)
+        assert not bad.any(), (
+            f"{cam}: {bad.sum()} shadow rays floored past their hit "
+            f"(worst {(floors - st)[bad].max():.3f})"
+        )
+        popped = shit & ~fin
+        assert not popped.any(), (
+            f"{cam}: {popped.sum()} blocked rays declared lit"
+        )
+        if cam == "horizon":
+            # the per-voxel sun map resolves a share of even this cliffy
+            # terrain's shadow rays without tracing (43% of the truly-lit
+            # set here; flat scenes approach 100% — see the flat test)
+            assert np.isinf(floors).mean() > 0.12, (
+                f"only {np.isinf(floors).mean():.1%} elided"
+            )
+    finally:
+        svo.set_heightfield(None)
+
+
+def test_shadow_floors_elide_on_flat_ground():
+    """On flat terrain the per-ray gate passes and open rays resolve as
+    certainly lit (the effectiveness half of the scheme; slopes fall back
+    to floor 0 by design)."""
+    import jax.numpy as jnp
+
+    flat = np.zeros((32, 32, 32), np.uint32)
+    flat[:, :10, :] = STONE
+    vox0 = flat.copy()
+    vox0[14:18, 10:14, 14:18] = STONE  # one block casting shadow
+    world = Esvo()
+    hf = HeightField()
+    for cx in range(2):
+        for cz in range(2):
+            vox = vox0 if cx == cz == 0 else flat
+            world.set_leaf(
+                Position(cx, 0, cz),
+                SerializedChunk.from_voxels(ChunkPos(cx, 0, cz), vox, 5),
+                True,
+            )
+            hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5))
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=8)
+    svo.update(world)
+    svo.set_heightfield(hf)
+
+    # shadow origins on the flat top surface AWAY from the block (the
+    # block's 3x3-column dilation ring rightly gates out its vicinity)
+    xs = np.linspace(34, 62, 15, dtype=np.float32)
+    pts = np.array([[x, 10.001, z] for x in xs for z in xs], np.float32)
+    light = np.array([-1.0, -1.0, -1.0], np.float32) / np.sqrt(3)
+    from voxelrs_tpu.graphics.camera import Camera
+
+    params = RenderParams(
+        cam_pos=np.array([16.0, 30.0, -10.0], np.float32),
+        cam_fwd=np.array([0.0, -0.5, 1.0], np.float32) / np.sqrt(1.25),
+        aspect_ratio=W / H, fov_y_rad=np.radians(70.0),
+        render_shadows=True, shadow_distance=100.0,
+    )
+    cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio, 0.01,
+                 1024)
+    cam.position = params.cam_pos
+    cam.forward = params.cam_fwd
+    s, u, f = cam.camera_basis()
+    bctx = svo._beam_floors(cam, s, u, f, params, W, H)
+    floors = np.asarray(bctx.shadow_ray_floors(
+        jnp.asarray(pts), jnp.full(len(pts), -1.0, jnp.float32),
+        jnp.asarray(-light)))
+    # most of the flat ground resolves as certainly lit; points in the
+    # block's shadow band keep floor 0 or a finite floor
+    assert np.isinf(floors).mean() > 0.5
+
+    from voxelrs_tpu.ops.traversal import intersect_octree
+
+    sres = intersect_octree(
+        svo.device_buf, jnp.float32(svo.octree_scale), jnp.asarray(pts),
+        jnp.broadcast_to(jnp.asarray(-light), (len(pts), 3)),
+        jnp.float32(-1.0), False, max_steps=400,
+    )
+    st = np.asarray(sres.t)
+    shit = st > 0
+    fin = np.isfinite(floors)
+    assert not (shit & ~fin).any()  # no blocked ray declared lit
+    assert not (shit & fin & (floors > st + 1e-3)).any()

@@ -344,7 +344,7 @@ class Svo:
         from ..ops.beams import (CELL, BeamContext, pixel_floors,
                                  tile_floors)
 
-        levels, offsets, n, hmax, bounds = dev
+        levels, offsets, n, hmax, bounds = dev[:5]
         ccx = int(np.floor(cam.position[0] / CELL)) - 2
         ccz = int(np.floor(cam.position[2] / CELL)) - 2
         near = self.heightfield.near_window(ccx + 2, ccz + 2).astype(
@@ -361,9 +361,12 @@ class Svo:
             aspect=jnp.float32(params.aspect_ratio),
             max_dst=jnp.float32(-1.0), width=width, height=height,
         )
+        sun = None
+        if params.render_shadows:
+            sun = self.heightfield.sun_map(params.light_dir)
         return BeamContext(
-            pixel_floors(tf, width=width, height=height), dev,
-            self.heightfield.device_exact(), width, height,
+            pixel_floors(tf, width=width, height=height), dev, width,
+            height, sun=sun,
         )
 
     # -- picking -------------------------------------------------------------

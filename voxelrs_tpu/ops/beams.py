@@ -289,127 +289,60 @@ def pixel_floors(tf, *, width: int, height: int, tile: int = 8):
     return up[:height, :width].reshape(-1)
 
 
-# -- shadow beams ------------------------------------------------------------
-# Shadow rays share ONE direction (toward the light), so a tile's rays form
-# a PARALLEL beam: deviation from the tile's centroid ray is bounded by the
-# hit-point AABB half-extents — a constant, not t-growing, margin. One
-# envelope march per tile classifies most open-terrain tiles as certainly
-# unshadowed (floor = +inf -> their shadow lanes start inactive) and floors
-# the rest.
-
-
-@partial(jax.jit, static_argnames=("width", "height", "tile"))
-def tile_hit_aabbs(pos, hit, *, width: int, height: int, tile: int = 8):
-    """Per-tile AABBs of hit positions from full-frame results.
-
-    pos (B,3) float32 (image row-major), hit (B,) bool. Returns
-    (center (T,3), half (T,3), valid (T,)) with T = ntx*nty."""
-    ntx = -(-width // tile)
-    nty = -(-height // tile)
-    p = jnp.pad(pos.reshape(height, width, 3),
-                ((0, nty * tile - height), (0, ntx * tile - width), (0, 0)))
-    h = jnp.pad(hit.reshape(height, width),
-                ((0, nty * tile - height), (0, ntx * tile - width)))
-    p = p.reshape(nty, tile, ntx, tile, 3)
-    h = h.reshape(nty, tile, ntx, tile)
-    big = jnp.where(h[..., None], p, jnp.inf)
-    small = jnp.where(h[..., None], p, -jnp.inf)
-    mn = jnp.min(big, axis=(1, 3)).reshape(-1, 3)
-    mx = jnp.max(small, axis=(1, 3)).reshape(-1, 3)
-    valid = jnp.any(h, axis=(1, 3)).reshape(-1)
-    center = jnp.where(valid[:, None], (mn + mx) * 0.5, 0.0)
-    half = jnp.where(valid[:, None], (mx - mn) * 0.5, 0.0)
-    return center, half, valid
-
-
-@partial(jax.jit, static_argnames=("width", "height", "tile"))
-def tile_hit_aabbs_scatter(pix_idx, pos_k, hit_k, *, width: int, height: int,
-                           tile: int = 8):
-    """Per-tile AABBs from COMPACTED lanes: pix_idx (k,) pixel ids,
-    pos_k (k,3), hit_k (k,)."""
-    ntx = -(-width // tile)
-    nty = -(-height // tile)
-    T = ntx * nty
-    py = pix_idx // width
-    px = pix_idx % width
-    tid = (py // tile) * ntx + (px // tile)
-    big = jnp.where(hit_k[:, None], pos_k, jnp.inf)
-    small = jnp.where(hit_k[:, None], pos_k, -jnp.inf)
-    mn = jnp.full((T, 3), jnp.inf, f32).at[tid].min(big)
-    mx = jnp.full((T, 3), -jnp.inf, f32).at[tid].max(small)
-    valid = (jnp.zeros(T, i32).at[tid].add(hit_k.astype(i32))) > 0
-    center = jnp.where(valid[:, None], (mn + mx) * 0.5, 0.0)
-    half = jnp.where(valid[:, None], (mx - mn) * 0.5, 0.0)
-    return center, half, valid
+# -- per-ray shadow floors ---------------------------------------------------
+# A shadow ray is a single line (no cone), so its envelope march needs no
+# deviation margin at all and runs over the EXACT pyramid. The subtlety is
+# the origin: it sits ON the geometry surface, where any slack-based test
+# trips immediately. Per-ray gate: if the origin is at-or-above the 3x3-max
+# (dilated) envelope of its own column, nothing within one column can rise
+# above a ray that climbs toward the sun — integer voxel tops make this
+# exact — so the march may start at the ring exit. Gated-out rays (side
+# -face hits below a local top, i.e. exactly the maybe-self-shadowed
+# geometry) keep floor 0 and trace normally.
 
 
 @partial(jax.jit, static_argnames=("n", "offsets", "max_iters"))
-def shadow_tile_floors(
-    levels, h_exact, offsets, n, hmax, bounds,
-    center,            # (T,3) tile hit-AABB centers (voxels)
-    half,              # (T,3) tile hit-AABB half extents
-    valid,             # (T,) tile has any hit
-    light_to,          # (3,) direction TOWARD the light (normalized)
-    shadow_distance,   # f32 scalar
-    *, max_iters: int = 64,
+def shadow_ray_floors(
+    levels_e,          # (R,) i32 EXACT max-pyramid (heightfield.device[5])
+    h3d0,              # (n*n,) i32 DILATED level 0 (3x3 max of exact)
+    offsets, n, hmax, bounds,
+    ro,                # (k,3) shadow-ray origins (voxels, offset off the
+                       # surface by shading's 1e-3 normal push)
+    light_to,          # (3,) shadow-ray direction (toward the light)
+    max_dst,           # (k,) per-ray limit, <0 = unbounded
+    *, max_iters: int = 48,
 ):
-    """Per-tile conservative shadow-ray floors, (T,) f32.
-
-    +inf = every shadow ray of the tile certainly escapes to the light
-    (unshadowed, no trace needed); 0 = no claim (trace normally). Sound
-    only because voxel geometry is integer-aligned — see the near gate."""
-    d = jnp.broadcast_to(light_to.astype(f32), center.shape)
-    dx = jnp.where(jnp.abs(d[:, 0]) < _EPS_DIR,
-                   jnp.where(d[:, 0] < 0, -_EPS_DIR, _EPS_DIR), d[:, 0])
-    dy = d[:, 1]
-    dz = jnp.where(jnp.abs(d[:, 2]) < _EPS_DIR,
-                   jnp.where(d[:, 2] < 0, -_EPS_DIR, _EPS_DIR), d[:, 2])
+    """(k,) conservative per-ray shadow floors: +inf = the ray certainly
+    reaches the light (skip the trace), 0 = no claim."""
+    k = ro.shape[0]
+    d = light_to.astype(f32)
+    dx = jnp.where(jnp.abs(d[0]) < _EPS_DIR,
+                   jnp.where(d[0] < 0, -_EPS_DIR, _EPS_DIR), d[0])
+    dy = d[1]
+    dz = jnp.where(jnp.abs(d[2]) < _EPS_DIR,
+                   jnp.where(d[2] < 0, -_EPS_DIR, _EPS_DIR), d[2])
     inv_x, inv_z = 1.0 / dx, 1.0 / dz
-    rox, roy, roz = center[:, 0], center[:, 1], center[:, 2]
-    r_xz = jnp.maximum(half[:, 0], half[:, 2])
-    m0 = half[:, 1] + _Y_SLACK
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
 
-    # gates: sun above the horizon enough, tile beam thin enough for the
-    # 1-column dilation to absorb its width, and (near gate) nothing in the
-    # 3x3 columns around the tile rises above the lowest origin — with
-    # integer voxel tops that proves the origins sit ON the local surface
-    # and nothing nearby can block before the march's start
-    gate = valid & (dy >= 0.2) & (r_xz <= 3.5) & (half[:, 1] <= 8.0)
-    ccx = jnp.floor(rox / CELL).astype(i32)
-    ccz = jnp.floor(roz / CELL).astype(i32)
-    near_max = jnp.full(center.shape[0], -jnp.inf, f32)
-    for ix in (-1, 0, 1):
-        for iz in (-1, 0, 1):
-            hx = jnp.clip(ccx + ix, 0, n - 1)
-            hz = jnp.clip(ccz + iz, 0, n - 1)
-            near_max = jnp.maximum(near_max, h_exact[hx * n + hz].astype(f32))
-    # Integer voxel tops + origins at-or-above every nearby top => rising
-    # rays can never re-enter nearby geometry. The 1e-4 covers traversal
-    # hit-position rounding on exact top-face hits; side-face hits below a
-    # top fail the gate (their column's H exceeds the origin height).
-    y0_min = roy - half[:, 1]
-    gate = gate & (near_max <= y0_min + 1e-4)
+    ccx = jnp.clip(jnp.floor(rox / CELL).astype(i32), 0, n - 1)
+    ccz = jnp.clip(jnp.floor(roz / CELL).astype(i32), 0, n - 1)
+    near = h3d0[ccx * n + ccz].astype(f32)
+    # 1e-4 < the 1e-3 surface offset: a top-face origin reads exactly its
+    # column top after rounding, and nothing can be hit within the offset
+    gate = (dy >= 0.2) & (roy >= near - 1e-4)
 
-    # march start: exit of the 3x3-column near window, backed up by the
-    # constant beam half-width (parallel rays: deviation does not grow)
-    nbx0 = (ccx - 1).astype(f32) * CELL
-    nbz0 = (ccz - 1).astype(f32) * CELL
-    tx_far = (jnp.where(dx > 0, nbx0 + 3 * CELL, nbx0) - rox) * inv_x
-    tz_far = (jnp.where(dz > 0, nbz0 + 3 * CELL, nbz0) - roz) * inv_z
-    t_box = jnp.maximum(jnp.minimum(tx_far, tz_far), 0.0)
+    # the gate covers at least one full column of horizontal travel
     d_xz = jnp.sqrt(dx * dx + dz * dz)
-    backup = (r_xz + 2.0) / jnp.maximum(d_xz, _EPS_DIR)
-    t_start = jnp.maximum(t_box - backup, 0.0)
+    t_ring = CELL / jnp.maximum(d_xz, _EPS_DIR)
 
-    # hard stop: padded occupied-box exit, capped by the shadow distance
-    pad_box = r_xz + m0 + 2.0
+    # hard stop: exit of the (lightly padded) occupied box
     dy_safe = jnp.where(jnp.abs(dy) < _EPS_DIR, _EPS_DIR, dy)
-    txa = (bounds[0] - pad_box - rox) * inv_x
-    txb = (bounds[1] + pad_box - rox) * inv_x
-    tya = (-pad_box - roy) / dy_safe
-    tyb = (hmax + pad_box - roy) / dy_safe
-    tza = (bounds[2] - pad_box - roz) * inv_z
-    tzb = (bounds[3] + pad_box - roz) * inv_z
+    txa = (bounds[0] - 1.0 - rox) * inv_x
+    txb = (bounds[1] + 1.0 - rox) * inv_x
+    tya = (-1.0 - roy) / dy_safe
+    tyb = (hmax + 1.0 - roy) / dy_safe
+    tza = (bounds[2] - 1.0 - roz) * inv_z
+    tzb = (bounds[3] + 1.0 - roz) * inv_z
     t_entry = jnp.maximum(jnp.maximum(jnp.minimum(txa, txb),
                                       jnp.minimum(tya, tyb)),
                           jnp.minimum(tza, tzb))
@@ -418,11 +351,17 @@ def shadow_tile_floors(
                          jnp.maximum(tza, tzb))
     t_hard = jnp.where(t_exit >= jnp.maximum(t_entry, 0.0),
                        jnp.maximum(t_exit, 0.0), 0.0)
-    t_hard = jnp.minimum(t_hard, shadow_distance + r_xz + m0)
+    t_hard = jnp.where(max_dst >= 0.0,
+                       jnp.minimum(t_hard, max_dst + 1.0), t_hard)
 
     beam = _envelope_march(
-        levels, offsets, n, hmax, rox, roy, roz, dx, dy, dz, inv_x, inv_z,
-        jnp.zeros_like(dy), m0, t_start, t_hard, max_iters,
+        levels_e, offsets, n, hmax,
+        rox, roy, roz,
+        jnp.broadcast_to(dx, (k,)), jnp.broadcast_to(dy, (k,)),
+        jnp.broadcast_to(dz, (k,)),
+        jnp.broadcast_to(inv_x, (k,)), jnp.broadcast_to(inv_z, (k,)),
+        jnp.zeros(k, f32), jnp.full(k, 0.05, f32), t_ring, t_hard,
+        max_iters,
     )
     floors = jnp.where(
         jnp.isfinite(beam),
@@ -432,32 +371,40 @@ def shadow_tile_floors(
     return jnp.where(gate, floors, 0.0)
 
 
+@partial(jax.jit, static_argnames=("n1",))
+def sun_lit_floors(s_map, n1, ro):
+    """(k,) shadow floors from the precomputed per-voxel sun visibility
+    map (world/heightfield.py sun_map): origins at-or-above their column's
+    S value certainly see the light (+inf); everything else traces
+    normally (0). One gather per ray."""
+    cx = jnp.clip(jnp.floor(ro[:, 0]).astype(i32), 0, n1 - 1)
+    cz = jnp.clip(jnp.floor(ro[:, 2]).astype(i32), 0, n1 - 1)
+    lit = ro[:, 1] + 1e-4 >= s_map[cx * n1 + cz]
+    return jnp.where(lit, jnp.inf, 0.0).astype(f32)
+
+
 class BeamContext:
     """Per-frame pre-pass handle handed to the frame drivers: the primary
-    pixel floors plus the device envelope state needed to build shadow
-    floors once hit positions exist (graphics/svo.py constructs one per
+    pixel floors plus the device envelope state needed to floor shadow
+    rays once their origins exist (graphics/svo.py constructs one per
     frame when a heightfield is attached)."""
 
-    def __init__(self, t_floor, dev, h_exact, width: int, height: int,
-                 tile: int = 8):
+    def __init__(self, t_floor, dev, width: int, height: int, sun=None):
         self.t_floor = t_floor
-        self._dev = dev  # (levels, offsets, n, hmax, bounds)
-        self._h_exact = h_exact
-        self._w, self._hh, self._tile = width, height, tile
+        self._dev = dev  # heightfield.device() tuple
+        self._sun = sun  # (s_map (n1*n1,) f32, n1) or None
 
-    def shadow_pixel_floors(self, center, half, valid, light_dir,
-                            shadow_distance):
-        """(H*W,) conservative shadow floors from per-tile hit AABBs
-        (tile_hit_aabbs / tile_hit_aabbs_scatter)."""
-        levels, offsets, n, hmax, bounds = self._dev
-        to_light = -jnp.asarray(light_dir, f32)
-        to_light = to_light / jnp.linalg.norm(to_light)
-        tf = shadow_tile_floors(
-            levels, self._h_exact, offsets=offsets, n=n,
-            hmax=jnp.float32(hmax), bounds=bounds, center=center, half=half,
-            valid=valid, light_to=to_light,
-            shadow_distance=jnp.asarray(shadow_distance, f32),
+    def shadow_ray_floors(self, ro, max_dst, direction):
+        """(k,) conservative floors for shadow rays from origins ``ro``
+        along the constant ``direction`` (toward the light). Prefers the
+        per-voxel sun map (exact on slopes and side faces); falls back to
+        the envelope march (effective on flat ground only)."""
+        if self._sun is not None:
+            s_map, n1 = self._sun
+            return sun_lit_floors(s_map, n1=n1, ro=ro)
+        levels, offsets, n, hmax, bounds, levels_e = self._dev
+        return shadow_ray_floors(
+            levels_e, levels[: n * n], offsets=offsets, n=n,
+            hmax=jnp.float32(hmax), bounds=bounds, ro=ro,
+            light_to=jnp.asarray(direction, f32), max_dst=max_dst,
         )
-        ntx = -(-self._w // self._tile)
-        return pixel_floors(tf.reshape(-1, ntx), width=self._w,
-                            height=self._hh, tile=self._tile)

@@ -2281,22 +2281,15 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
     )
     mark("shade", color_k)
     if render_shadows:
-        sfl = None
+        tfl = None
         if beams is not None:
-            from .beams import tile_hit_aabbs
-
-            if _floor_gather is None:
-                _make_floor_gather()
-            ctr, hlf, vld = tile_hit_aabbs(res.pos, res.t != -1.0,
-                                           width=width, height=height)
-            sfl = beams.shadow_pixel_floors(ctr, hlf, vld, light_dir,
-                                            shadow_distance)
+            tfl = beams.shadow_ray_floors(
+                shadow_ro_k, shadow_max_k,
+                -jnp.asarray(light_dir, jnp.float32))
         sres, _ssc, _spl, _sps = trace(descriptors, octree_scale,
                                        shadow_ro_k, shadow_rd_k,
                                        shadow_max_k, mips, mat_tex,
-                                       tag=("shadow", k),
-                                       t_floor=None if sfl is None
-                                       else _floor_gather(sfl, idx))
+                                       tag=("shadow", k), t_floor=tfl)
         shadow_t_k = sres.t
         mark("shadow", shadow_t_k)
     else:
@@ -2423,24 +2416,15 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     mark("shade", color_k)
 
     if render_shadows:
-        sfl = None
-        if beams is not None:
-            from .beams import tile_hit_aabbs
-
-            ctr, hlf, vld = tile_hit_aabbs(resf[3], hit, width=width,
-                                           height=height)
-            sfl = beams.shadow_pixel_floors(ctr, hlf, vld, light_dir,
-                                            shadow_distance)
-
         def shadow_trace(mask, name):
             k2 = store.sticky_scalar(name, hit_count_b(mask), k)
             sidx = hit_order_b(mask, k2)
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
                                              shadow_max_k)
             tfl = None
-            if sfl is not None:
-                pid = sidx if idx is None else _floor_gather(idx, sidx)
-                tfl = _floor_gather(sfl, pid)
+            if beams is not None:
+                tfl = beams.shadow_ray_floors(
+                    sro2, smax2, -jnp.asarray(light_dir, jnp.float32))
             sres, _a, _b, _c2 = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, mips, mat_tex,
                 tag=(name, k2), t_floor=tfl,
@@ -2652,23 +2636,6 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
 
-        sfl = None
-        if beams is not None:
-            if _floor_gather is None:
-                _make_floor_gather()
-            if idx is None:
-                from .beams import tile_hit_aabbs
-
-                ctr, hlf, vld = tile_hit_aabbs(res.pos, hit_k, width=width,
-                                               height=height)
-            else:
-                from .beams import tile_hit_aabbs_scatter
-
-                ctr, hlf, vld = tile_hit_aabbs_scatter(
-                    idx, res.pos, hit_k, width=width, height=height)
-            sfl = beams.shadow_pixel_floors(ctr, hlf, vld, light_dir,
-                                            shadow_distance)
-
         def shadow_trace(mask, name):
             """Trace shadow rays for the masked lanes (sticky bucket)."""
             k2 = store.sticky_scalar(name, hit_count(mask), k)
@@ -2676,9 +2643,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
             srd2 = jnp.broadcast_to(neg_light, sro2.shape)
             tfl = None
-            if sfl is not None:
-                pid = sidx if idx is None else _floor_gather(idx, sidx)
-                tfl = _floor_gather(sfl, pid)
+            if beams is not None:
+                tfl = beams.shadow_ray_floors(sro2, smax2, neg_light)
             _f, shit2, _s = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, "dir",
                 (sro2, neg_light), (name, k2), record_frozen=False,

@@ -94,6 +94,7 @@ class Svo:
 
         self.heightfield = HeightField()
         self._col_tops: dict[ChunkPos, np.ndarray] = {}
+        self._vox_tops: dict[ChunkPos, np.ndarray] = {}
         if hasattr(graphics_svo, "set_heightfield"):
             graphics_svo.set_heightfield(self.heightfield)
 
@@ -109,14 +110,17 @@ class Svo:
             # per-chunk serialization trace, recorded only when the chunk
             # produced data (reference: worldsvo.rs:93-98 trace_if has_data)
             from ..gamelogic import benchmark
-            from ..world.heightfield import chunk_column_tops
+            from ..world.heightfield import (chunk_column_tops,
+                                             chunk_voxel_tops)
 
             sc = benchmark.trace_if(
                 "serialize_chunk",
                 lambda: factory(pos, voxels, lod, borrowed_chunk=chunk),
                 lambda sc: sc.has_data(),
             )
-            sc.column_tops = chunk_column_tops(np.asarray(voxels), lod)
+            vox = np.asarray(voxels)
+            sc.column_tops = chunk_column_tops(vox, lod)
+            sc.voxel_tops = chunk_voxel_tops(vox, lod)
             return sc
 
         self.processor.enqueue(pos, True, produce)
@@ -128,6 +132,7 @@ class Svo:
             self.world_svo.remove_leaf(leaf_id)
             self.has_changed = True
         tops = self._col_tops.pop(pos, None)
+        self._vox_tops.pop(pos, None)
         if tops is not None:
             svo_pos = self.coord_space.cnv_chunk_pos(pos)
             if svo_pos is not None:
@@ -172,12 +177,24 @@ class Svo:
         self._col_tops = {
             p: t for p, t in self._col_tops.items() if p in self.leaf_ids
         }
+        self._vox_tops = {
+            p: t for p, t in self._vox_tops.items() if p in self.leaf_ids
+        }
         rebuilt = {}
+        vrebuilt = {}
+        complete = True
         for p, tops in self._col_tops.items():
             svo_pos = self.coord_space.cnv_chunk_pos(p)
-            if svo_pos is not None:
-                rebuilt[(svo_pos.x, svo_pos.y, svo_pos.z)] = tops
-        self.heightfield.rebuild(rebuilt)
+            if svo_pos is None:
+                continue
+            key = (svo_pos.x, svo_pos.y, svo_pos.z)
+            rebuilt[key] = tops
+            vt = self._vox_tops.get(p)
+            if vt is None:
+                complete = False
+            else:
+                vrebuilt[key] = vt
+        self.heightfield.rebuild(rebuilt, vrebuilt if complete else None)
 
     @staticmethod
     def shift_chunks(coord_space: SvoCoordSpace, leaf_ids: dict, world_svo) -> None:
@@ -226,8 +243,11 @@ class Svo:
             tops = getattr(sc, "column_tops", None)
             if tops is not None:
                 self._col_tops[result.pos] = tops
+                vt = getattr(sc, "voxel_tops", None)
+                if vt is not None:
+                    self._vox_tops[result.pos] = vt
                 self.heightfield.set_chunk(
-                    (svo_pos.x, svo_pos.y, svo_pos.z), tops)
+                    (svo_pos.x, svo_pos.y, svo_pos.z), tops, vtops=vt)
         return chunks
 
     # -- graphics passthrough with coordinate translation -------------------------

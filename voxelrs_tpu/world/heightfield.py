@@ -28,6 +28,23 @@ CELL = 8
 COLS_PER_CHUNK = 32 // CELL  # 4
 
 
+def chunk_voxel_tops(voxels: np.ndarray, lod: int = 0) -> np.ndarray:
+    """(32,32) int16 per-VOXEL-column geometry tops for one chunk (0 =
+    empty), LOD-rounded like ``chunk_column_tops``. Feeds the sun
+    visibility map (shadow-ray elision needs voxel resolution — the 8-voxel
+    envelope columns quantize slopes away)."""
+    assert voxels.shape == (32, 32, 32)
+    b = 1 << (5 - lod) if 1 <= lod <= 5 else 1
+    occ = voxels.reshape(32 // b, b, 32 // b, b, 32 // b, b) != 0
+    occ = occ.any(axis=(1, 3, 5))
+    nb = occ.shape[0]
+    ys = (np.arange(nb, dtype=np.int16) + 1) * b
+    top_b = (occ * ys[None, :, None]).max(axis=1).astype(np.int16)
+    if b == 1:
+        return top_b
+    return np.repeat(np.repeat(top_b, b, axis=0), b, axis=1)
+
+
 def chunk_column_tops(voxels: np.ndarray, lod: int = 0) -> np.ndarray:
     """(4,4) int16 map of per-column geometry tops for one chunk.
 
@@ -64,14 +81,24 @@ class HeightField:
     plumbing).
     """
 
+    # voxel-resolution mirror is kept only up to this size (rd <= ~20);
+    # larger worlds fall back to envelope-only (no sun map)
+    MAX_N1 = 2048
+    SUN_COOLDOWN = 0.75  # s: don't rebuild the sun map while streaming
+
     def __init__(self) -> None:
         self._tops: dict[tuple[int, int, int], np.ndarray] = {}
+        self._vtops: dict[tuple[int, int, int], np.ndarray] = {}
         # (cx, cz) -> chunk positions stacked in that column
         self._cols: dict[tuple[int, int], set] = {}
         self._n = 0  # columns per axis (4 * chunks per axis)
         self._H: Optional[np.ndarray] = None  # (n, n) int16, exact envelope
+        self._H1: Optional[np.ndarray] = None  # (8n, 8n) int16 voxel tops
         self._dirty = True
         self._device: Optional[tuple] = None
+        self._version = 0
+        self._sun: Optional[tuple] = None  # (version, key, dev, n1)
+        self._sun_last_build = -1e9
 
     # -- host maintenance --------------------------------------------------
 
@@ -79,16 +106,29 @@ class HeightField:
         if n <= self._n:
             return
         old, old_n = self._H, self._n
+        old1 = self._H1
         self._n = n
         self._H = np.zeros((n, n), np.int16)
         if old is not None:
             self._H[:old_n, :old_n] = old
+        if n * CELL <= self.MAX_N1:
+            self._H1 = np.zeros((n * CELL, n * CELL), np.int16)
+            if old1 is not None:
+                self._H1[: old1.shape[0], : old1.shape[1]] = old1
+        else:
+            self._H1 = None
         self._dirty = True
 
-    def set_chunk(self, pos: tuple[int, int, int], tops: np.ndarray) -> None:
-        """Insert/replace the (4,4) top map of the chunk at SVO chunk
-        position ``pos`` and refresh its 4x4 envelope columns."""
+    def set_chunk(self, pos: tuple[int, int, int], tops: np.ndarray,
+                  vtops: Optional[np.ndarray] = None) -> None:
+        """Insert/replace the (4,4) top map (and optional (32,32) voxel
+        top map) of the chunk at SVO chunk position ``pos`` and refresh
+        its envelope columns."""
         self._tops[pos] = tops
+        if vtops is not None:
+            self._vtops[pos] = vtops
+        else:
+            self._vtops.pop(pos, None)
         self._cols.setdefault((pos[0], pos[2]), set()).add(pos)
         self._ensure_size(self._required_n(pos))
         self._refresh_cols(pos[0], pos[2])
@@ -101,6 +141,7 @@ class HeightField:
         if cur is None or (expect is not None and cur is not expect):
             return
         del self._tops[pos]
+        self._vtops.pop(pos, None)
         col = self._cols.get((pos[0], pos[2]))
         if col is not None:
             col.discard(pos)
@@ -108,19 +149,26 @@ class HeightField:
 
     def clear(self) -> None:
         self._tops.clear()
+        self._vtops.clear()
         self._cols.clear()
         if self._H is not None:
             self._H[:] = 0
+        if self._H1 is not None:
+            self._H1[:] = 0
         self._dirty = True
+        self._version += 1
 
-    def rebuild(self, chunks: dict[tuple[int, int, int], np.ndarray]) -> None:
+    def rebuild(self, chunks: dict[tuple[int, int, int], np.ndarray],
+                vchunks: Optional[dict] = None) -> None:
         """Replace the whole envelope (chunk shift / coord-space change)."""
         self._tops = dict(chunks)
+        self._vtops = dict(vchunks) if vchunks is not None else {}
         self._cols = {}
         for pos in self._tops:
             self._cols.setdefault((pos[0], pos[2]), set()).add(pos)
         self._n = 0
         self._H = None
+        self._H1 = None
         for pos in self._tops:
             self._ensure_size(self._required_n(pos))
         if self._H is None:
@@ -139,17 +187,28 @@ class HeightField:
         return p * COLS_PER_CHUNK
 
     def _refresh_cols(self, cx: int, cz: int) -> None:
-        """Recompute the 4x4 envelope columns under chunk column (cx, cz)
-        as the max over that column's loaded chunk stack."""
+        """Recompute the 4x4 envelope columns (and the 32x32 voxel-top
+        block) under chunk column (cx, cz) as the max over that column's
+        loaded chunk stack."""
         acc = np.zeros((COLS_PER_CHUNK, COLS_PER_CHUNK), np.int32)
+        acc1 = np.zeros((32, 32), np.int32)
         for pos in self._cols.get((cx, cz), ()):
             t = self._tops[pos].astype(np.int32)
             acc = np.maximum(acc, np.where(t > 0, t + pos[1] * 32, 0))
+            v = self._vtops.get(pos)
+            if v is not None:
+                v = v.astype(np.int32)
+                acc1 = np.maximum(acc1, np.where(v > 0, v + pos[1] * 32, 0))
         x0, z0 = cx * COLS_PER_CHUNK, cz * COLS_PER_CHUNK
         self._H[x0 : x0 + COLS_PER_CHUNK, z0 : z0 + COLS_PER_CHUNK] = acc.astype(
             np.int16
         )
+        if self._H1 is not None:
+            self._H1[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
+                acc1.astype(np.int16)
+            )
         self._dirty = True
+        self._version += 1
 
     # -- device pyramid ----------------------------------------------------
 
@@ -197,31 +256,107 @@ class HeightField:
         for dx in (0, 1, 2):
             for dz in (0, 1, 2):
                 d = np.maximum(d, p[dx : dx + self._n, dz : dz + self._n])
-        levels = [d]
-        while levels[-1].shape[0] > 1:
-            m = levels[-1]
-            k = m.shape[0] // 2
-            m = m.reshape(k, 2, k, 2).max(axis=(1, 3))
-            levels.append(m)
-        offsets, flat, off = [], [], 0
-        for m in levels:
-            offsets.append(off)
-            flat.append(m.reshape(-1))
-            off += m.size
+        def pyramid(base):
+            levels = [base]
+            while levels[-1].shape[0] > 1:
+                m = levels[-1]
+                k = m.shape[0] // 2
+                levels.append(m.reshape(k, 2, k, 2).max(axis=(1, 3)))
+            offsets, flat, off = [], [], 0
+            for m in levels:
+                offsets.append(off)
+                flat.append(m.reshape(-1))
+                off += m.size
+            return jnp.asarray(np.concatenate(flat)), tuple(offsets)
+
+        lv_d, offsets = pyramid(d)
+        lv_e, _ = pyramid(h)  # exact pyramid: per-ray shadow marches
         self._device = (
-            jnp.asarray(np.concatenate(flat)),
-            tuple(offsets),
+            lv_d,
+            offsets,
             self._n,
             int(h.max()) if h.size else 0,
             bounds,
+            lv_e,
         )
-        # UNdilated flat copy for the shadow beams' exact near gate
-        self._device_exact = jnp.asarray(h.reshape(-1))
         self._dirty = False
         return self._device
 
-    def device_exact(self):
-        """Flat (n*n,) i32 EXACT (undilated) envelope on device; call
-        after ``device()``."""
-        self.device()
-        return self._device_exact
+    # -- sun visibility map ------------------------------------------------
+
+    def sun_map(self, light_dir):
+        """Per-VOXEL-column sun visibility heights: a point at height y in
+        voxel column c certainly sees the light iff y >= S[c] - 1e-4 — the
+        precomputed equivalent of marching every shadow ray over the voxel
+        -top field, built by a conservative max-plus doubling sweep along
+        the (fixed per frame) sun direction.
+
+        Returns (S_dev (n1*n1,) f32, n1) or None when unavailable: world
+        too large for the voxel mirror, missing voxel tops, sun too low,
+        or rebuilt too recently (streaming cooldown — a stale map is
+        UNSOUND, so changes disable it until the world goes quiet)."""
+        import time as _time
+
+        if (self._H1 is None or self._n == 0
+                or len(self._vtops) != len(self._tops)):
+            return None
+        d = -np.asarray(light_dir, np.float64)
+        d = d / max(np.linalg.norm(d), 1e-9)
+        if d[1] < 0.1:
+            return None  # sun at/below the horizon: nothing elidable
+        key = tuple(np.round(d * 64).astype(int))
+        if self._sun is not None and self._sun[0] == self._version \
+                and self._sun[1] == key:
+            return self._sun[2], self._sun[3]
+        now = _time.monotonic()
+        if now - self._sun_last_build < self.SUN_COOLDOWN:
+            return None
+        import jax.numpy as jnp
+
+        n1 = self._H1.shape[0]
+        h1 = self._H1.astype(np.float32)
+        dxz = float(np.hypot(d[0], d[2]))
+        if dxz < 1e-4:
+            s_map = h1  # straight-up sun: only the own column matters
+        else:
+            slope = float(d[1] / dxz)  # ray rise per horizontal voxel
+            v = np.array([d[0], d[2]]) / dxz
+
+            def shift(a, ox, oz):
+                """a evaluated at (x+ox, z+oz), zero-filled."""
+                out = np.zeros_like(a)
+                xs = slice(max(0, -ox), n1 - max(0, ox))
+                zs = slice(max(0, -oz), n1 - max(0, oz))
+                xd = slice(max(0, ox), n1 - max(0, -ox))
+                zd = slice(max(0, oz), n1 - max(0, -oz))
+                out[xs, zs] = a[xd, zd]
+                return out
+
+            hmax = float(h1.max())
+            length = hmax / max(slope, 1e-3) + 2.0
+            k_max = max(1, int(np.ceil(np.log2(max(length, 2.0)))))
+            s_map = h1.copy()
+            off = v.copy()
+            err = 0.75  # origin sits anywhere within its column
+            for _ in range(k_max):
+                o = np.rint(off).astype(int)
+                step_err = float(np.linalg.norm(off - o))
+                dist_c = max(0.0, float(np.linalg.norm(off)) - err - step_err)
+                dist_d = max(0.0, dist_c - 1.0)
+                sh = shift(s_map, int(o[0]), int(o[1]))
+                # plus-shaped dilation covers BOTH the rounding drift of
+                # the integerized path and the L-corner columns a diagonal
+                # step jumps over; dilated terms sit one voxel closer, so
+                # only they pay the extra distance credit
+                dil = np.maximum(
+                    np.maximum(shift(sh, 1, 0), shift(sh, -1, 0)),
+                    np.maximum(shift(sh, 0, 1), shift(sh, 0, -1)))
+                s_map = np.maximum(
+                    s_map, np.maximum(sh - dist_c * slope,
+                                      dil - dist_d * slope))
+                err += step_err
+                off = off * 2.0
+
+        self._sun = (self._version, key, jnp.asarray(s_map.reshape(-1)), n1)
+        self._sun_last_build = _time.monotonic()
+        return self._sun[2], self._sun[3]
