@@ -465,3 +465,35 @@ def test_shadow_floors_elide_on_flat_ground():
     fin = np.isfinite(floors)
     assert not (shit & ~fin).any()  # no blocked ray declared lit
     assert not (shit & fin & (floors > st + 1e-3)).any()
+
+
+def test_floored_render_bit_exact_csvo():
+    """The CSVO engine's floored start matches its unfloored render."""
+    rng = np.random.default_rng(21)
+    from voxelrs_tpu.world.csvo import Csvo, CsvoSerializedChunk
+
+    world = Csvo()
+    hf = HeightField()
+    for cx in range(2):
+        for cz in range(2):
+            vox = _terrain_chunk(cx, cz, rng, glass_tower=(cx == cz == 1))
+            world.set_leaf(
+                Position(cx, 0, cz),
+                CsvoSerializedChunk.from_voxels(ChunkPos(cx, 0, cz), vox, 5),
+                True,
+            )
+            hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5),
+                         vtops=chunk_voxel_tops(vox, 5))
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=8, buffer_dtype=np.uint8)
+    svo.update(world)
+    params = _params(CAMS["horizon"])
+    base = np.asarray(svo.render(params, W, H, max_steps=400))
+    svo.set_heightfield(hf)
+    try:
+        on = np.asarray(svo.render(params, W, H, max_steps=400))
+    finally:
+        svo.set_heightfield(None)
+    assert (on == base).all(), (
+        f"csvo floored render differs on {(on != base).any(-1).sum()} px"
+    )
