@@ -1,0 +1,98 @@
+"""Row-gather work ledger for one bench-scene frame (CPU).
+
+Renders the bench fly-through scene a few times so the wavefront plans
+converge, then walks every pipeline's _PlanStore and prices each stage in
+ROW GATHERS — the unit the TPU frame cost is measured in (docs/PERF.md:
+~4.1 ms per million fast-tier row fetches). Gather counts are platform
+-independent, so a CPU run prices the TPU frame exactly.
+
+  traversal: width x ceil(seg / substeps) per segment (one fat-row gather
+             per fetch phase per lane, needed or not)
+  compact:   bucket-many packed-state row gathers per compaction
+"""
+
+import math
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench as benchmod
+from voxelrs_tpu.gamelogic.content import new_registry
+from voxelrs_tpu.graphics.svo import RenderParams, Svo
+from voxelrs_tpu.ops import shading
+
+W = int(os.environ.get("LEDGER_W", "960"))
+H = int(os.environ.get("LEDGER_H", "540"))
+FRAMES = int(os.environ.get("LEDGER_FRAMES", "3"))
+SUBSTEPS = int(os.environ.get("VOXELRS_SUBSTEPS", "4"))
+MS_PER_M = 4.1e-3  # fast-tier ms per 1e3 row gathers (docs/PERF.md)
+
+
+def main():
+    world_svo, chunks, hf = benchmod.build_world()
+    svo = Svo(new_registry(), capacity_mb=64)
+    svo.update(world_svo)
+    svo.set_heightfield(hf)
+    fwd = np.array([0.55, -0.35, 0.76], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    params = RenderParams(
+        cam_pos=np.array([16.0, 95.0, -20.0], np.float32),
+        cam_fwd=fwd,
+        aspect_ratio=W / H,
+        fov_y_rad=np.radians(80.0),
+        render_shadows=True,
+        shadow_distance=300.0,
+    )
+    for i in range(FRAMES):
+        p = RenderParams(**{**params.__dict__})
+        p.cam_pos = params.cam_pos + np.array([2.0 * i, 0, 1.5 * i],
+                                              np.float32)
+        np.asarray(svo.render(p, W, H))
+        print(f"# frame {i} done", file=sys.stderr, flush=True)
+
+    total_trav = 0
+    total_comp = 0
+    rows = []
+    for key, pipe in shading._pipeline_cache.items():
+        for item in pipe:
+            if isinstance(item, shading._PlanStore):
+                for tag, (n, plan) in sorted(item.plans.items(),
+                                             key=lambda kv: str(kv[0])):
+                    width = n
+                    trav = comp = 0
+                    segs = []
+                    for seg, bucket in plan:
+                        phases = math.ceil(seg / SUBSTEPS) if seg else 0
+                        trav += width * phases
+                        segs.append(f"{seg}@{width}")
+                        if bucket:
+                            comp += bucket
+                            width = bucket
+                    rows.append((str(tag), n, trav, comp,
+                                 " ".join(segs)))
+                    total_trav += trav
+                    total_comp += comp
+    rows.sort(key=lambda r: -r[2])
+    print(f"{'tag':38s} {'n0':>8s} {'trav_gathers':>13s} {'compact':>9s}")
+    for tag, n, trav, comp, segs in rows:
+        print(f"{tag:38s} {n:8d} {trav:13d} {comp:9d}   {segs}")
+    b = W * H
+    print(f"\nTOTAL traversal row-gathers/frame: {total_trav:,} "
+          f"(~{total_trav*MS_PER_M/1e3:.1f} ms fast-tier)")
+    print(f"TOTAL compaction row-gathers/frame: {total_comp:,} "
+          f"(~{total_comp*MS_PER_M/1e3:.1f} ms)")
+    print(f"frame = {b:,} pixels; traversal gathers/pixel = "
+          f"{total_trav/b:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -372,14 +372,21 @@ def shadow_ray_floors(
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_lit_floors(s_map, n1, ro):
-    """(k,) shadow floors from the precomputed per-voxel sun visibility
-    map (world/heightfield.py sun_map): origins at-or-above their column's
-    S value certainly see the light (+inf); everything else traces
-    normally (0). One gather per ray."""
+def sun_lit_mask(s_map, n1, ro):
+    """(k,) bool from the precomputed per-voxel sun visibility map
+    (world/heightfield.py sun_map): True = the origin is at-or-above its
+    column's S value and certainly sees the light. One gather per ray."""
     cx = jnp.clip(jnp.floor(ro[:, 0]).astype(i32), 0, n1 - 1)
     cz = jnp.clip(jnp.floor(ro[:, 2]).astype(i32), 0, n1 - 1)
-    lit = ro[:, 1] + 1e-4 >= s_map[cx * n1 + cz]
+    return ro[:, 1] + 1e-4 >= s_map[cx * n1 + cz]
+
+
+@partial(jax.jit, static_argnames=("n1",))
+def sun_lit_floors(s_map, n1, ro):
+    """(k,) shadow floors (+inf = certainly lit, 0 = trace normally) —
+    the floor-shaped view of ``sun_lit_mask`` for callers without lane
+    compaction."""
+    lit = sun_lit_mask(s_map, n1=n1, ro=ro)
     return jnp.where(lit, jnp.inf, 0.0).astype(f32)
 
 
@@ -393,6 +400,17 @@ class BeamContext:
         self.t_floor = t_floor
         self._dev = dev  # heightfield.device() tuple
         self._sun = sun  # (s_map (n1*n1,) f32, n1) or None
+
+    def sun_lit(self, ro):
+        """(k,) bool — origins that provably see the light per the sun
+        map, or None when no sun map is attached. The frame drivers fold
+        this into the need-shadow mask BEFORE bucket formation, so lit
+        lanes never occupy shadow-bucket width (vs t_floor elision, which
+        only drops them at the trace's first compaction)."""
+        if self._sun is None:
+            return None
+        s_map, n1 = self._sun
+        return sun_lit_mask(s_map, n1=n1, ro=ro)
 
     def shadow_ray_floors(self, ro, max_dst, direction):
         """(k,) conservative floors for shadow rays from origins ``ro``

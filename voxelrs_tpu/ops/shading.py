@@ -2416,13 +2416,24 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     mark("shade", color_k)
 
     if render_shadows:
+        # pre-bucket sun-map elision: provably-lit lanes leave every trace
+        # bucket (their verdict — unblocked — is exactly what the trace
+        # would return, so blocked/need masks and all merge logic stay
+        # bit-identical) and the buckets shrink by the elision rate,
+        # instead of carrying lit lanes to the trace's first compaction
+        lit = None if beams is None else beams.sun_lit(shadow_ro_k)
+
         def shadow_trace(mask, name):
+            if lit is not None:
+                mask = mask & ~lit
             k2 = store.sticky_scalar(name, hit_count_b(mask), k)
             sidx = hit_order_b(mask, k2)
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
                                              shadow_max_k)
             tfl = None
-            if beams is not None:
+            if beams is not None and lit is None:
+                # (with a sun map, remaining lanes' floors are all 0 —
+                # skip the floored-start machinery)
                 tfl = beams.shadow_ray_floors(
                     sro2, smax2, -jnp.asarray(light_dir, jnp.float32))
             sres, _a, _b, _c2 = trace(
@@ -2635,15 +2646,21 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
+        # pre-bucket sun-map elision (see _render_frame_judged): lit lanes
+        # leave every trace bucket; their default verdict (unblocked) is
+        # exactly what tracing would return, so output is bit-identical
+        lit = None if beams is None else beams.sun_lit(shadow_ro_k)
 
         def shadow_trace(mask, name):
             """Trace shadow rays for the masked lanes (sticky bucket)."""
+            if lit is not None:
+                mask = mask & ~lit
             k2 = store.sticky_scalar(name, hit_count(mask), k)
             sidx = hit_order(mask, k2)
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
             srd2 = jnp.broadcast_to(neg_light, sro2.shape)
             tfl = None
-            if beams is not None:
+            if beams is not None and lit is None:
                 tfl = beams.shadow_ray_floors(sro2, smax2, neg_light)
             _f, shit2, _s = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, "dir",
