@@ -34,7 +34,7 @@ W, H = 1920, 1080
 FRAMES = 5
 
 
-def build_world(radius: int = 4):
+def build_world(radius: int = 4, opaque_lut=None):
     """Procedural terrain region (seed-stable) + its beam-pre-pass
     envelope (the streaming engine maintains the same envelope through
     systems/worldsvo.py)."""
@@ -42,6 +42,7 @@ def build_world(radius: int = 4):
     from voxelrs_tpu.world.chunk import Chunk
     from voxelrs_tpu.world.heightfield import (HeightField,
                                                chunk_column_tops,
+                                               chunk_solid_bases,
                                                chunk_voxel_tops)
 
     from voxelrs_tpu.systems.chunkloader import ChunkLoader
@@ -67,15 +68,20 @@ def build_world(radius: int = 4):
                 svo.set_leaf(Position(cx, cy, cz), sc, True)
                 hf.set_chunk((cx, cy, cz),
                              chunk_column_tops(chunk.voxels, lod),
-                             vtops=chunk_voxel_tops(chunk.voxels, lod))
+                             vtops=chunk_voxel_tops(chunk.voxels, lod),
+                             sbase=chunk_solid_bases(chunk.voxels, lod,
+                                                     opaque_lut))
                 count += 1
     svo.serialize()
     return svo, count, hf
 
 
 def main() -> None:
-    world_svo, chunks, hf = build_world()
+    from voxelrs_tpu.world.heightfield import opaque_lut_from_mask
+
     svo = Svo(new_registry(), capacity_mb=64)
+    world_svo, chunks, hf = build_world(
+        opaque_lut=opaque_lut_from_mask(svo.translucent_block_mask))
     svo.update(world_svo)
     svo.set_heightfield(hf)
     print(

@@ -26,23 +26,27 @@ from voxelrs_tpu.ops import beams as beams_mod
 W, H = 480, 270
 
 stats = []
-orig = beams_mod.BeamContext.sun_lit
+orig = beams_mod.BeamContext.sun_verdicts
 
 
-def patched(self, ro):
-    lit = orig(self, ro)
-    if lit is not None:
-        m = np.asarray(lit)
-        stats.append((m.size, int(m.sum())))
-    return lit
+def patched(self, ro, max_dst):
+    v = orig(self, ro, max_dst)
+    if v is not None:
+        lit = np.asarray(v[0])
+        blk = np.asarray(v[1])
+        stats.append((lit.size, int(lit.sum()), int(blk.sum())))
+    return v
 
 
-beams_mod.BeamContext.sun_lit = patched
+beams_mod.BeamContext.sun_verdicts = patched
 
 
 def main():
-    world_svo, chunks, hf = benchmod.build_world()
+    from voxelrs_tpu.world.heightfield import opaque_lut_from_mask
+
     svo = Svo(new_registry(), capacity_mb=64)
+    world_svo, chunks, hf = benchmod.build_world(
+        opaque_lut=opaque_lut_from_mask(svo.translucent_block_mask))
     svo.update(world_svo)
     svo.set_heightfield(hf)
     fwd = np.array([0.55, -0.35, 0.76], np.float32)
@@ -61,10 +65,13 @@ def main():
           f"{hf.sun_map(params.light_dir) is not None}")
     tot = sum(s[0] for s in stats)
     lit = sum(s[1] for s in stats)
-    for i, (n, k) in enumerate(stats):
-        print(f"shade-batch {i}: {n} lanes, {k} lit ({100*k/max(n,1):.1f}%)")
-    print(f"TOTAL: {tot} shade lanes, {lit} provably lit "
-          f"({100*lit/max(tot,1):.1f}%)")
+    blk = sum(s[2] for s in stats)
+    for i, (n, k, b) in enumerate(stats):
+        print(f"shade-batch {i}: {n} lanes, {k} lit ({100*k/max(n,1):.1f}%),"
+              f" {b} blocked ({100*b/max(n,1):.1f}%)")
+    print(f"TOTAL: {tot} shade lanes, {lit} lit ({100*lit/max(tot,1):.1f}%)"
+          f" + {blk} blocked ({100*blk/max(tot,1):.1f}%) = "
+          f"{100*(lit+blk)/max(tot,1):.1f}% certified")
 
 
 if __name__ == "__main__":

@@ -16,9 +16,23 @@ from voxelrs_tpu.graphics.svo import RenderParams, Svo
 from voxelrs_tpu.world import ChunkPos, Position
 from voxelrs_tpu.world.esvo import Esvo, SerializedChunk
 from voxelrs_tpu.world.heightfield import (HeightField, chunk_column_tops,
-                                           chunk_voxel_tops)
+                                           chunk_solid_bases,
+                                           chunk_voxel_tops,
+                                           opaque_lut_from_mask)
 
 W, H = 128, 96
+
+_OPAQUE_LUT = None
+
+
+def _opaque_lut():
+    """Renderer-opaque LUT (glass/water/leaves excluded) for solid-base
+    maps, derived once from the real registry's texture alpha."""
+    global _OPAQUE_LUT
+    if _OPAQUE_LUT is None:
+        svo = Svo(new_registry(), capacity_mb=1)
+        _OPAQUE_LUT = opaque_lut_from_mask(svo.translucent_block_mask)
+    return _OPAQUE_LUT
 
 
 # -- chunk column tops -------------------------------------------------------
@@ -173,7 +187,8 @@ def beam_scene():
                 True,
             )
             hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5),
-                         vtops=chunk_voxel_tops(vox, 5))
+                         vtops=chunk_voxel_tops(vox, 5),
+                         sbase=chunk_solid_bases(vox, 5, _opaque_lut()))
     world.serialize()
     svo = Svo(new_registry(), capacity_mb=8)
     svo.update(world)
@@ -392,9 +407,12 @@ def test_shadow_floors_conservative(beam_scene, cam):
         )
         if cam == "horizon":
             # the per-voxel sun map resolves a share of even this cliffy
-            # terrain's shadow rays without tracing (43% of the truly-lit
-            # set here; flat scenes approach 100% — see the flat test)
-            assert np.isinf(floors).mean() > 0.12, (
+            # terrain's shadow rays without tracing (flat scenes approach
+            # 100% — see the flat test). The exact-sweep rewrite traded
+            # some near-field coverage for soundness (the old doubling
+            # sweep under-covered D<1 neighbors and leaked at skewed sun
+            # angles); the exact near-field kernel recovers it.
+            assert np.isinf(floors).mean() > 0.05, (
                 f"only {np.isinf(floors).mean():.1%} elided"
             )
     finally:
@@ -483,7 +501,8 @@ def test_floored_render_bit_exact_csvo():
                 True,
             )
             hf.set_chunk((cx, 0, cz), chunk_column_tops(vox, 5),
-                         vtops=chunk_voxel_tops(vox, 5))
+                         vtops=chunk_voxel_tops(vox, 5),
+                         sbase=chunk_solid_bases(vox, 5, _opaque_lut()))
     world.serialize()
     svo = Svo(new_registry(), capacity_mb=8, buffer_dtype=np.uint8)
     svo.update(world)
@@ -497,3 +516,112 @@ def test_floored_render_bit_exact_csvo():
     assert (on == base).all(), (
         f"csvo floored render differs on {(on != base).any(-1).sum()} px"
     )
+
+
+# -- sun certificate soundness ------------------------------------------------
+
+
+def test_sun_certificates_sound_random():
+    """Randomized soundness of BOTH sun-map certificates against an exact
+    fine-step ray march over the source voxels: a lit claim (y >= S) must
+    imply the sun ray clears ALL geometry; a blocked claim (y <= B) must
+    imply it passes through renderer-opaque solid within d_len. Terrain
+    spans two vertical chunks (exercises the contiguous-run stacking),
+    with carved caves (run breaks) and glass columns (non-opaque, must
+    not ground a blocked claim)."""
+    rng = np.random.default_rng(11)
+    lut = _opaque_lut()
+    for light in (
+        np.array([-1.0, -1.0, -1.0]),
+        np.array([0.3, -0.8, 0.52]),
+        np.array([-0.9, -0.5, 0.1]),
+    ):
+        light = (light / np.linalg.norm(light)).astype(np.float32)
+        hf = HeightField()
+        occ_any = np.zeros((64, 64, 64), bool)  # [x, y, z] world voxels
+        occ_op = np.zeros((64, 64, 64), bool)
+        ph = rng.uniform(0, 6.28, size=4)
+        for cx in range(2):
+            for cz in range(2):
+                # smooth hills (amplitude ~35, wavelength ~45 voxels) with
+                # +-2 voxel jitter: the regime the sweep targets — ragged
+                # white-noise terrain erodes B to nothing (by design)
+                x = np.arange(32) + cx * 32
+                z = np.arange(32) + cz * 32
+                hh = (30 + 20 * np.sin(x[:, None] * 0.14 + ph[0])
+                      + 16 * np.cos(z[None, :] * 0.11 + ph[1])
+                      + rng.integers(-1, 2, size=(32, 32))).astype(int)
+                hh = np.clip(hh, 2, 62)
+                glass_col = rng.random((32, 32)) < 0.05
+                for cy in range(2):
+                    ys = np.arange(32) + cy * 32
+                    fill = ys[None, :, None] < hh[:, None, :]
+                    vox = np.where(fill, STONE, 0).astype(np.uint32)
+                    vox = np.where(glass_col[:, None, :] & fill, GLASS, vox)
+                    # caves only in the upper half: they exercise the run
+                    # -break logic without eroding every lower-chunk run
+                    pocket = rng.random((32, 32, 32)) < (0.004 * cy)
+                    vox[pocket] = 0
+                    hf.set_chunk(
+                        (cx, cy, cz), chunk_column_tops(vox, 5),
+                        vtops=chunk_voxel_tops(vox, 5),
+                        sbase=chunk_solid_bases(vox, 5, lut))
+                    sl = (slice(cx * 32, cx * 32 + 32),
+                          slice(cy * 32, cy * 32 + 32),
+                          slice(cz * 32, cz * 32 + 32))
+                    occ_any[sl] = vox != 0
+                    occ_op[sl] = lut[vox]
+        sm = hf.sun_map(light)
+        assert sm is not None
+        sb_dev, n1, d_len = sm[0], sm[1], float(sm[2])
+        assert n1 == 64
+
+        # random air points, biased to just-above-the-surface (where
+        # shadow-ray origins live; high air is all trivially lit)
+        pts_u = rng.uniform(0, 64, size=(3000, 3)).astype(np.float32)
+        px = rng.uniform(0, 64, size=6000).astype(np.float32)
+        pz = rng.uniform(0, 64, size=6000).astype(np.float32)
+        tops = occ_any[px.astype(int), :, pz.astype(int)]
+        top_y = 64 - np.argmax(tops[:, ::-1], axis=1)
+        top_y = np.where(tops.any(axis=1), top_y, 0).astype(np.float32)
+        py = top_y + rng.uniform(0.001, 18.0, size=6000).astype(np.float32)
+        pts_s = np.stack([px, np.minimum(py, 63.9), pz], axis=1)
+        pts = np.concatenate([pts_u, pts_s]).astype(np.float32)
+        ix = pts.astype(int)
+        in_air = ~occ_any[ix[:, 0], ix[:, 1], ix[:, 2]]
+        pts = pts[in_air]
+        from voxelrs_tpu.ops.beams import sun_verdict_masks
+
+        lit_d, blk_d = sun_verdict_masks(
+            sb_dev, n1=n1, ro=pts, max_dst=np.full(len(pts), -1.0,
+                                                   np.float32),
+            d_len=np.float32(d_len))
+        lit = np.asarray(lit_d)
+        blk = np.asarray(blk_d)
+
+        d = (-light / np.linalg.norm(light)).astype(np.float64)
+        t_max = 64.0 * 3.0 / max(np.hypot(d[0], d[2]), 1e-6)
+        ts = np.arange(0.02, t_max, 0.05)
+
+        def march(p0s, grid, tmax):
+            """True where the ray from p0 hits an occupied voxel by tmax."""
+            hit = np.zeros(len(p0s), bool)
+            for s in range(0, len(p0s), 400):
+                p = p0s[s:s + 400, None, :] + ts[None, :, None] * d[None, None, :]
+                valid = ((ts[None, :] <= tmax)
+                         & (p >= 0).all(-1) & (p < 64).all(-1))
+                q = np.clip(p.astype(int), 0, 63)
+                occ = grid[q[..., 0], q[..., 1], q[..., 2]]
+                hit[s:s + 400] = (occ & valid).any(axis=1)
+            return hit
+
+        n_lit, n_blk = int(lit.sum()), int(blk.sum())
+        assert n_lit > 50, f"vacuous lit coverage ({n_lit})"
+        assert n_blk > 30, f"vacuous blocked coverage ({n_blk})"
+        hit_any = march(pts[lit], occ_any, np.inf)
+        assert not hit_any.any(), (
+            f"{hit_any.sum()} lit claims hit geometry (light {light})")
+        hit_op = march(pts[blk], occ_op, d_len)
+        assert hit_op.all(), (
+            f"{(~hit_op).sum()}/{n_blk} blocked claims miss all opaque "
+            f"solid (light {light})")

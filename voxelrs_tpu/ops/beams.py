@@ -372,21 +372,36 @@ def shadow_ray_floors(
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_lit_mask(s_map, n1, ro):
-    """(k,) bool from the precomputed per-voxel sun visibility map
-    (world/heightfield.py sun_map): True = the origin is at-or-above its
-    column's S value and certainly sees the light. One gather per ray."""
+def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len):
+    """(lit, blocked) bool masks from the precomputed per-voxel sun
+    certificates (world/heightfield.py sun_map): ``lit`` = origin at-or-
+    above its column's S value, certainly sees the light; ``blocked`` =
+    the origin's height falls inside one of the K distance-ladder bands
+    [lo_k, hi_k] — its sun ray provably passes through opaque solid at
+    that rung (claim gated on the ray being allowed to travel ``d_len``).
+    One (1+2K)-word row gather per ray; row = [S, lo_0..lo_K-1,
+    hi_0..hi_K-1]."""
+    K = (sb_map.shape[1] - 1) // 2
     cx = jnp.clip(jnp.floor(ro[:, 0]).astype(i32), 0, n1 - 1)
     cz = jnp.clip(jnp.floor(ro[:, 2]).astype(i32), 0, n1 - 1)
-    return ro[:, 1] + 1e-4 >= s_map[cx * n1 + cz]
+    row = sb_map[cx * n1 + cz]  # (k, 1+2K)
+    y = ro[:, 1]
+    lit = y + 1e-4 >= row[:, 0]
+    blk = jnp.zeros(ro.shape[0], bool)
+    for j in range(K):
+        blk = blk | ((y >= row[:, 1 + j] + 1e-4)
+                     & (y <= row[:, 1 + K + j] - 1e-4))
+    blk = blk & ((max_dst < 0) | (max_dst >= d_len))
+    return lit, blk & ~lit
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_lit_floors(s_map, n1, ro):
+def sun_lit_floors(sb_map, n1, ro):
     """(k,) shadow floors (+inf = certainly lit, 0 = trace normally) —
-    the floor-shaped view of ``sun_lit_mask`` for callers without lane
-    compaction."""
-    lit = sun_lit_mask(s_map, n1=n1, ro=ro)
+    the floor-shaped lit-only view for callers without lane compaction."""
+    cx = jnp.clip(jnp.floor(ro[:, 0]).astype(i32), 0, n1 - 1)
+    cz = jnp.clip(jnp.floor(ro[:, 2]).astype(i32), 0, n1 - 1)
+    lit = ro[:, 1] + 1e-4 >= sb_map[cx * n1 + cz, 0]
     return jnp.where(lit, jnp.inf, 0.0).astype(f32)
 
 
@@ -399,18 +414,20 @@ class BeamContext:
     def __init__(self, t_floor, dev, width: int, height: int, sun=None):
         self.t_floor = t_floor
         self._dev = dev  # heightfield.device() tuple
-        self._sun = sun  # (s_map (n1*n1,) f32, n1) or None
+        self._sun = sun  # (sb_map (n1*n1, 1+2K) f32, n1, d_len) or None
 
-    def sun_lit(self, ro):
-        """(k,) bool — origins that provably see the light per the sun
-        map, or None when no sun map is attached. The frame drivers fold
-        this into the need-shadow mask BEFORE bucket formation, so lit
-        lanes never occupy shadow-bucket width (vs t_floor elision, which
-        only drops them at the trace's first compaction)."""
+    def sun_verdicts(self, ro, max_dst):
+        """(lit, blocked) bool masks — origins the sun map proves see /
+        don't see the light — or None when no sun map is attached. The
+        frame drivers fold BOTH into the trace masks BEFORE bucket
+        formation (the certified verdicts equal what tracing would
+        return, so output is bit-identical) — vs t_floor elision, which
+        only drops lanes at the trace's first compaction."""
         if self._sun is None:
             return None
-        s_map, n1 = self._sun
-        return sun_lit_mask(s_map, n1=n1, ro=ro)
+        sb_map, n1, d_len = self._sun
+        return sun_verdict_masks(sb_map, n1=n1, ro=ro, max_dst=max_dst,
+                                 d_len=d_len)
 
     def shadow_ray_floors(self, ro, max_dst, direction):
         """(k,) conservative floors for shadow rays from origins ``ro``
@@ -418,8 +435,8 @@ class BeamContext:
         per-voxel sun map (exact on slopes and side faces); falls back to
         the envelope march (effective on flat ground only)."""
         if self._sun is not None:
-            s_map, n1 = self._sun
-            return sun_lit_floors(s_map, n1=n1, ro=ro)
+            sb_map, n1, _d_len = self._sun
+            return sun_lit_floors(sb_map, n1=n1, ro=ro)
         levels, offsets, n, hmax, bounds, levels_e = self._dev
         return shadow_ray_floors(
             levels_e, levels[: n * n], offsets=offsets, n=n,

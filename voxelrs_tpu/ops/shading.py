@@ -2416,16 +2416,20 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     mark("shade", color_k)
 
     if render_shadows:
-        # pre-bucket sun-map elision: provably-lit lanes leave every trace
-        # bucket (their verdict — unblocked — is exactly what the trace
-        # would return, so blocked/need masks and all merge logic stay
-        # bit-identical) and the buckets shrink by the elision rate,
-        # instead of carrying lit lanes to the trace's first compaction
-        lit = None if beams is None else beams.sun_lit(shadow_ro_k)
+        # pre-bucket sun-map elision: certified lanes (provably lit OR
+        # provably blocked) leave every trace bucket — their certified
+        # verdict is exactly what the trace would return, so blocked/need
+        # masks and all merge logic stay bit-identical while the buckets
+        # shrink by the certification rate
+        lit = blk = None
+        if beams is not None:
+            v = beams.sun_verdicts(shadow_ro_k, shadow_max_k)
+            if v is not None:
+                lit, blk = v
 
         def shadow_trace(mask, name):
             if lit is not None:
-                mask = mask & ~lit
+                mask = mask & ~lit & ~blk
             k2 = store.sticky_scalar(name, hit_count_b(mask), k)
             sidx = hit_order_b(mask, k2)
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
@@ -2442,17 +2446,19 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
             )
             return sidx, sres.t != -1.0
 
+        blk0 = (jnp.zeros(k, bool) if blk is None
+                else blk & need_shadow_k)  # certified verdicts pre-filled
         if idx is None:
             sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k),
                                         "jns1_k")
-            blocked = scatter_bool(jnp.zeros(k, bool), sidx1, shit1)
+            blocked = scatter_bool(blk0, sidx1, shit1)
             mask2, reuse, verdict = shadow_cell_merge(need_shadow_k, blocked)
             sidx2, shit2 = shadow_trace(mask2, "jns2_k")
             blocked = scatter_bool(blocked, sidx2, shit2)
             blocked = shadow_combine(reuse, verdict, blocked)
         else:
             sidx, shit = shadow_trace(need_shadow_k, "jns_k")
-            blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit)
+            blocked = scatter_bool(blk0, sidx, shit)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
@@ -2646,15 +2652,20 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
-        # pre-bucket sun-map elision (see _render_frame_judged): lit lanes
-        # leave every trace bucket; their default verdict (unblocked) is
-        # exactly what tracing would return, so output is bit-identical
-        lit = None if beams is None else beams.sun_lit(shadow_ro_k)
+        # pre-bucket sun-map elision (see _render_frame_judged): certified
+        # lanes (provably lit OR provably blocked) leave every trace
+        # bucket; their certified verdict equals what tracing would
+        # return, so output is bit-identical
+        lit = blk = None
+        if beams is not None:
+            v = beams.sun_verdicts(shadow_ro_k, shadow_max_k)
+            if v is not None:
+                lit, blk = v
 
         def shadow_trace(mask, name):
             """Trace shadow rays for the masked lanes (sticky bucket)."""
             if lit is not None:
-                mask = mask & ~lit
+                mask = mask & ~lit & ~blk
             k2 = store.sticky_scalar(name, hit_count(mask), k)
             sidx = hit_order(mask, k2)
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
@@ -2667,23 +2678,36 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                 (sro2, neg_light), (name, k2), record_frozen=False,
                 t_floor=tfl,
             )
+            import os as _dbg_os
+
+            if _dbg_os.environ.get("VOXELRS_SHADOW_STATS") == "1":
+                import numpy as _np  # debug-only sync
+
+                mk = int(_np.asarray(jnp.sum(mask)))
+                sh = _np.asarray(shit2)
+                print(f"    [shadow {name}] bucket={k2} real={mk} "
+                      f"blocked={int(sh.sum())} "
+                      f"({100*sh.mean():.1f}% of bucket)", flush=True)
             return sidx, shit2
 
+        blk0 = (jnp.zeros(k, bool) if blk is None
+                else blk & need_shadow_k)  # certified verdicts pre-filled
         if adaptive and idx is None:
             # two-pass cell reuse: trace the coarse-sample pixels' own rays
             # (bit-identical verdicts), reuse them for interior pixels whose
             # 4 cell corners agree, trace only the disagreeing remainder
             sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k), "ns1_k")
-            blocked = scatter_bool(jnp.zeros(k, bool), sidx1, shit1)
+            blocked = scatter_bool(blk0, sidx1, shit1)
             mask2, reuse, verdict = shadow_cell_merge(need_shadow_k, blocked)
             sidx2, shit2 = shadow_trace(mask2, "ns2_k")
             # pad lanes of both scatters re-trace lane 0's own ray, so the
-            # duplicate writes are value-identical
+            # duplicate writes are value-identical (certified lane 0
+            # included: its certificate equals its traced verdict)
             blocked = scatter_bool(blocked, sidx2, shit2)
             blocked = shadow_combine(reuse, verdict, blocked)
         else:
             sidx, shit2 = shadow_trace(need_shadow_k, "ns_k")
-            blocked = scatter_bool(jnp.zeros(k, bool), sidx, shit2)
+            blocked = scatter_bool(blk0, sidx, shit2)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:

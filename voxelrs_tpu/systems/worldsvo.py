@@ -95,6 +95,7 @@ class Svo:
         self.heightfield = HeightField()
         self._col_tops: dict[ChunkPos, np.ndarray] = {}
         self._vox_tops: dict[ChunkPos, np.ndarray] = {}
+        self._sol_bases: dict[ChunkPos, np.ndarray] = {}
         if hasattr(graphics_svo, "set_heightfield"):
             graphics_svo.set_heightfield(self.heightfield)
 
@@ -105,12 +106,14 @@ class Svo:
         via ``update`` (reference: worldsvo.rs:90-99)."""
         pos, lod, voxels = chunk.pos, chunk.lod, chunk.chunk.voxels
         factory = self._chunk_factory
+        opaque_lut = self._opaque_lut()
 
         def produce():
             # per-chunk serialization trace, recorded only when the chunk
             # produced data (reference: worldsvo.rs:93-98 trace_if has_data)
             from ..gamelogic import benchmark
             from ..world.heightfield import (chunk_column_tops,
+                                             chunk_solid_bases,
                                              chunk_voxel_tops)
 
             sc = benchmark.trace_if(
@@ -121,9 +124,27 @@ class Svo:
             vox = np.asarray(voxels)
             sc.column_tops = chunk_column_tops(vox, lod)
             sc.voxel_tops = chunk_voxel_tops(vox, lod)
+            if opaque_lut is not None:
+                sc.solid_bases = chunk_solid_bases(vox, lod, opaque_lut)
             return sc
 
         self.processor.enqueue(pos, True, produce)
+
+    def _opaque_lut(self):
+        """(256,) bool LUT of renderer-opaque block values for the solid
+        -base maps (certainly-blocked sun certificates), derived from the
+        graphics Svo's texture-alpha analysis; None until textures exist."""
+        mask = getattr(self.graphics_svo, "translucent_block_mask", None)
+        if mask is None:
+            return None
+        cached = getattr(self, "_opaque_lut_cache", None)
+        if cached is not None and cached[0] == mask:
+            return cached[1]
+        from ..world.heightfield import opaque_lut_from_mask
+
+        lut = opaque_lut_from_mask(mask)
+        self._opaque_lut_cache = (mask, lut)
+        return lut
 
     def remove_chunk(self, pos: ChunkPos) -> None:
         self.processor.dequeue(pos)
@@ -133,6 +154,7 @@ class Svo:
             self.has_changed = True
         tops = self._col_tops.pop(pos, None)
         self._vox_tops.pop(pos, None)
+        self._sol_bases.pop(pos, None)
         if tops is not None:
             svo_pos = self.coord_space.cnv_chunk_pos(pos)
             if svo_pos is not None:
@@ -180,8 +202,12 @@ class Svo:
         self._vox_tops = {
             p: t for p, t in self._vox_tops.items() if p in self.leaf_ids
         }
+        self._sol_bases = {
+            p: t for p, t in self._sol_bases.items() if p in self.leaf_ids
+        }
         rebuilt = {}
         vrebuilt = {}
+        srebuilt = {}
         complete = True
         for p, tops in self._col_tops.items():
             svo_pos = self.coord_space.cnv_chunk_pos(p)
@@ -194,7 +220,11 @@ class Svo:
                 complete = False
             else:
                 vrebuilt[key] = vt
-        self.heightfield.rebuild(rebuilt, vrebuilt if complete else None)
+            sb = self._sol_bases.get(p)
+            if sb is not None:
+                srebuilt[key] = sb
+        self.heightfield.rebuild(rebuilt, vrebuilt if complete else None,
+                                 srebuilt)
 
     @staticmethod
     def shift_chunks(coord_space: SvoCoordSpace, leaf_ids: dict, world_svo) -> None:
@@ -246,8 +276,12 @@ class Svo:
                 vt = getattr(sc, "voxel_tops", None)
                 if vt is not None:
                     self._vox_tops[result.pos] = vt
+                sb = getattr(sc, "solid_bases", None)
+                if sb is not None:
+                    self._sol_bases[result.pos] = sb
                 self.heightfield.set_chunk(
-                    (svo_pos.x, svo_pos.y, svo_pos.z), tops, vtops=vt)
+                    (svo_pos.x, svo_pos.y, svo_pos.z), tops, vtops=vt,
+                    sbase=sb)
         return chunks
 
     # -- graphics passthrough with coordinate translation -------------------------

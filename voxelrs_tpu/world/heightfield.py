@@ -45,6 +45,40 @@ def chunk_voxel_tops(voxels: np.ndarray, lod: int = 0) -> np.ndarray:
     return np.repeat(np.repeat(top_b, b, axis=0), b, axis=1)
 
 
+def chunk_solid_bases(voxels: np.ndarray, lod: int = 0,
+                      opaque: Optional[np.ndarray] = None) -> np.ndarray:
+    """(32,32) int16 per-voxel-column CONTIGUOUS OPAQUE run height from the
+    chunk's bottom (y=0): the column is provably solid-opaque for
+    y in [0, run). Feeds the certainly-blocked half of the sun map — a sun
+    ray proven to pass below a column's world run top must hit.
+
+    ``opaque`` is a bool LUT over block values (None = any nonzero).
+    LOD-conservative: at LOD L a rendered 2^(5-L) block counts toward the
+    run only when EVERY source voxel in it is opaque (then whatever
+    representative pick_leaf chooses renders opaque); partially-solid
+    blocks render MORE geometry than the source, so under-counting them
+    only loses coverage, never soundness."""
+    assert voxels.shape == (32, 32, 32)
+    b = 1 << (5 - lod) if 1 <= lod <= 5 else 1
+    op = (voxels != 0) if opaque is None else opaque[voxels]
+    blocks = op.reshape(32 // b, b, 32 // b, b, 32 // b, b).all(axis=(1, 3, 5))
+    run_b = np.cumprod(blocks, axis=1).sum(axis=1)  # (nbx, nbz) blocks
+    run = (run_b * b).astype(np.int16)
+    if b == 1:
+        return run
+    return np.repeat(np.repeat(run, b, axis=0), b, axis=1)
+
+
+def opaque_lut_from_mask(translucent_block_mask: int) -> np.ndarray:
+    """(256,) bool LUT from graphics.Svo.translucent_block_mask: True for
+    block values the renderer treats as fully opaque (bit 63 = overflow
+    values, always translucent there, always non-opaque here)."""
+    lut = np.zeros(256, bool)
+    for v in range(1, 63):
+        lut[v] = not (translucent_block_mask >> v) & 1
+    return lut
+
+
 def chunk_column_tops(voxels: np.ndarray, lod: int = 0) -> np.ndarray:
     """(4,4) int16 map of per-column geometry tops for one chunk.
 
@@ -89,6 +123,11 @@ class HeightField:
     def __init__(self) -> None:
         self._tops: dict[tuple[int, int, int], np.ndarray] = {}
         self._vtops: dict[tuple[int, int, int], np.ndarray] = {}
+        self._sbase: dict[tuple[int, int, int], np.ndarray] = {}
+        # topmost contiguous-opaque run per voxel column, as (top, bottom)
+        # heights — the "skin" a certainly-blocked claim must pierce
+        self._B1: Optional[np.ndarray] = None  # (8n, 8n) int16 run tops
+        self._B1b: Optional[np.ndarray] = None  # (8n, 8n) int16 run bottoms
         # (cx, cz) -> chunk positions stacked in that column
         self._cols: dict[tuple[int, int], set] = {}
         self._n = 0  # columns per axis (4 * chunks per axis)
@@ -112,23 +151,37 @@ class HeightField:
         if old is not None:
             self._H[:old_n, :old_n] = old
         if n * CELL <= self.MAX_N1:
+            oldb, oldbb = self._B1, self._B1b
             self._H1 = np.zeros((n * CELL, n * CELL), np.int16)
+            self._B1 = np.zeros((n * CELL, n * CELL), np.int16)
+            self._B1b = np.zeros((n * CELL, n * CELL), np.int16)
             if old1 is not None:
                 self._H1[: old1.shape[0], : old1.shape[1]] = old1
+            if oldb is not None:
+                self._B1[: oldb.shape[0], : oldb.shape[1]] = oldb
+            if oldbb is not None:
+                self._B1b[: oldbb.shape[0], : oldbb.shape[1]] = oldbb
         else:
             self._H1 = None
+            self._B1 = None
+            self._B1b = None
         self._dirty = True
 
     def set_chunk(self, pos: tuple[int, int, int], tops: np.ndarray,
-                  vtops: Optional[np.ndarray] = None) -> None:
+                  vtops: Optional[np.ndarray] = None,
+                  sbase: Optional[np.ndarray] = None) -> None:
         """Insert/replace the (4,4) top map (and optional (32,32) voxel
-        top map) of the chunk at SVO chunk position ``pos`` and refresh
-        its envelope columns."""
+        top / solid-base maps) of the chunk at SVO chunk position ``pos``
+        and refresh its envelope columns."""
         self._tops[pos] = tops
         if vtops is not None:
             self._vtops[pos] = vtops
         else:
             self._vtops.pop(pos, None)
+        if sbase is not None:
+            self._sbase[pos] = sbase
+        else:
+            self._sbase.pop(pos, None)
         self._cols.setdefault((pos[0], pos[2]), set()).add(pos)
         self._ensure_size(self._required_n(pos))
         self._refresh_cols(pos[0], pos[2])
@@ -142,6 +195,7 @@ class HeightField:
             return
         del self._tops[pos]
         self._vtops.pop(pos, None)
+        self._sbase.pop(pos, None)
         col = self._cols.get((pos[0], pos[2]))
         if col is not None:
             col.discard(pos)
@@ -150,25 +204,34 @@ class HeightField:
     def clear(self) -> None:
         self._tops.clear()
         self._vtops.clear()
+        self._sbase.clear()
         self._cols.clear()
         if self._H is not None:
             self._H[:] = 0
         if self._H1 is not None:
             self._H1[:] = 0
+        if self._B1 is not None:
+            self._B1[:] = 0
+        if self._B1b is not None:
+            self._B1b[:] = 0
         self._dirty = True
         self._version += 1
 
     def rebuild(self, chunks: dict[tuple[int, int, int], np.ndarray],
-                vchunks: Optional[dict] = None) -> None:
+                vchunks: Optional[dict] = None,
+                schunks: Optional[dict] = None) -> None:
         """Replace the whole envelope (chunk shift / coord-space change)."""
         self._tops = dict(chunks)
         self._vtops = dict(vchunks) if vchunks is not None else {}
+        self._sbase = dict(schunks) if schunks is not None else {}
         self._cols = {}
         for pos in self._tops:
             self._cols.setdefault((pos[0], pos[2]), set()).add(pos)
         self._n = 0
         self._H = None
         self._H1 = None
+        self._B1 = None
+        self._B1b = None
         for pos in self._tops:
             self._ensure_size(self._required_n(pos))
         if self._H is None:
@@ -192,13 +255,29 @@ class HeightField:
         loaded chunk stack."""
         acc = np.zeros((COLS_PER_CHUNK, COLS_PER_CHUNK), np.int32)
         acc1 = np.zeros((32, 32), np.int32)
-        for pos in self._cols.get((cx, cz), ()):
+        accb = np.zeros((32, 32), np.int32)
+        accb_bot = np.zeros((32, 32), np.int32)
+        stack = sorted(self._cols.get((cx, cz), ()), key=lambda p: p[1])
+        for pos in stack:
             t = self._tops[pos].astype(np.int32)
             acc = np.maximum(acc, np.where(t > 0, t + pos[1] * 32, 0))
             v = self._vtops.get(pos)
             if v is not None:
                 v = v.astype(np.int32)
                 acc1 = np.maximum(acc1, np.where(v > 0, v + pos[1] * 32, 0))
+            # topmost contiguous opaque run, tracked as (bottom, top):
+            # a chunk whose base meets the current run top extends it; a
+            # chunk starting a fresh run replaces it (higher chunks always
+            # win — the surface skin is what blocked claims pierce).
+            # Missing chunks / missing solid info break continuity.
+            sb = self._sbase.get(pos)
+            if sb is not None:
+                base_y = pos[1] * 32
+                sbi = sb.astype(np.int32)
+                cont = (accb == base_y) & (sbi > 0)
+                start = ~cont & (sbi > 0)
+                accb = np.where(cont | start, base_y + sbi, accb)
+                accb_bot = np.where(start, base_y, accb_bot)
         x0, z0 = cx * COLS_PER_CHUNK, cz * COLS_PER_CHUNK
         self._H[x0 : x0 + COLS_PER_CHUNK, z0 : z0 + COLS_PER_CHUNK] = acc.astype(
             np.int16
@@ -206,6 +285,13 @@ class HeightField:
         if self._H1 is not None:
             self._H1[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
                 acc1.astype(np.int16)
+            )
+        if self._B1 is not None:
+            self._B1[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
+                accb.astype(np.int16)
+            )
+            self._B1b[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
+                accb_bot.astype(np.int16)
             )
         self._dirty = True
         self._version += 1
@@ -285,16 +371,20 @@ class HeightField:
     # -- sun visibility map ------------------------------------------------
 
     def sun_map(self, light_dir):
-        """Per-VOXEL-column sun visibility heights: a point at height y in
-        voxel column c certainly sees the light iff y >= S[c] - 1e-4 — the
-        precomputed equivalent of marching every shadow ray over the voxel
-        -top field, built by a conservative max-plus doubling sweep along
-        the (fixed per frame) sun direction.
+        """Per-VOXEL-column sun visibility certificates: a point at height
+        y in voxel column c CERTAINLY SEES the light iff y >= S[c] - 1e-4,
+        and is CERTAINLY BLOCKED iff y <= B[c] - 1e-4 (B built from the
+        contiguous-opaque column runs, so a claimed ray provably passes
+        through solid). Both are conservative max-plus doubling sweeps
+        along the (fixed per frame) sun direction — the precomputed
+        equivalent of marching every shadow ray over the voxel-top field.
 
-        Returns (S_dev (n1*n1,) f32, n1) or None when unavailable: world
-        too large for the voxel mirror, missing voxel tops, sun too low,
-        or rebuilt too recently (streaming cooldown — a stale map is
-        UNSOUND, so changes disable it until the world goes quiet)."""
+        Returns (SB_dev (n1*n1, 2) f32, n1, d_len) or None when
+        unavailable: world too large for the voxel mirror, missing voxel
+        tops, sun too low, or rebuilt too recently (streaming cooldown — a
+        stale map is UNSOUND, so changes disable it until the world goes
+        quiet). ``d_len`` bounds the distance of any B-claimed blocker;
+        claims only apply to rays allowed to travel that far."""
         import time as _time
 
         if (self._H1 is None or self._n == 0
@@ -307,7 +397,7 @@ class HeightField:
         key = tuple(np.round(d * 64).astype(int))
         if self._sun is not None and self._sun[0] == self._version \
                 and self._sun[1] == key:
-            return self._sun[2], self._sun[3]
+            return self._sun[2], self._sun[3], self._sun[4]
         now = _time.monotonic()
         if now - self._sun_last_build < self.SUN_COOLDOWN:
             return None
@@ -315,6 +405,10 @@ class HeightField:
 
         n1 = self._H1.shape[0]
         h1 = self._H1.astype(np.float32)
+        b1 = (self._B1.astype(np.float32) if self._B1 is not None
+              else np.zeros_like(h1))
+        b_map = np.zeros_like(h1)
+        d_len = np.float32(0.0)
         dxz = float(np.hypot(d[0], d[2]))
         if dxz < 1e-4:
             s_map = h1  # straight-up sun: only the own column matters
@@ -325,6 +419,8 @@ class HeightField:
             def shift(a, ox, oz):
                 """a evaluated at (x+ox, z+oz), zero-filled."""
                 out = np.zeros_like(a)
+                if abs(ox) >= n1 or abs(oz) >= n1:
+                    return out
                 xs = slice(max(0, -ox), n1 - max(0, ox))
                 zs = slice(max(0, -oz), n1 - max(0, oz))
                 xd = slice(max(0, ox), n1 - max(0, -ox))
@@ -334,29 +430,90 @@ class HeightField:
 
             hmax = float(h1.max())
             length = hmax / max(slope, 1e-3) + 2.0
-            k_max = max(1, int(np.ceil(np.log2(max(length, 2.0)))))
-            s_map = h1.copy()
-            off = v.copy()
-            err = 0.75  # origin sits anywhere within its column
-            for _ in range(k_max):
-                o = np.rint(off).astype(int)
-                step_err = float(np.linalg.norm(off - o))
-                dist_c = max(0.0, float(np.linalg.norm(off)) - err - step_err)
-                dist_d = max(0.0, dist_c - 1.0)
-                sh = shift(s_map, int(o[0]), int(o[1]))
-                # plus-shaped dilation covers BOTH the rounding drift of
-                # the integerized path and the L-corner columns a diagonal
-                # step jumps over; dilated terms sit one voxel closer, so
-                # only they pay the extra distance credit
-                dil = np.maximum(
-                    np.maximum(shift(sh, 1, 0), shift(sh, -1, 0)),
-                    np.maximum(shift(sh, 0, 1), shift(sh, 0, -1)))
-                s_map = np.maximum(
-                    s_map, np.maximum(sh - dist_c * slope,
-                                      dil - dist_d * slope))
-                err += step_err
-                off = off * 2.0
+            # Dense exact sweep: S[c] = max over sampled distances D of
+            # (dil3x3(h1)[c + rint(D*v)] - (D - 0.25)*slope). Sampling
+            # every 0.5 voxels puts a sample within 0.25 of every real
+            # crossing; the landing column then deviates by < 1.75 per
+            # axis (0.5 in-column origin + 0.25 sample gap + 0.5
+            # rounding), so ONE 3x3 dilation covers it — unlike the
+            # earlier doubling sweep, whose per-level dilations and
+            # accumulated credits compounded to ~5-8 voxels of slack and
+            # strangled lit coverage to a few percent.
+            def shift_clamp(a, ox, oz):
+                """a evaluated at (x+ox, z+oz), EDGE-CLAMPED: a landing
+                cell one step outside the map must still see its in-bounds
+                3x3 neighbors (zero-fill here silently un-shadowed border
+                columns); cells >=2 outside have no in-bounds neighbors,
+                and the clamped read only over-claims shadow there."""
+                xi = np.clip(np.arange(n1) + ox, 0, n1 - 1)
+                zi = np.clip(np.arange(n1) + oz, 0, n1 - 1)
+                return a[np.ix_(xi, zi)]
 
-        self._sun = (self._version, key, jnp.asarray(s_map.reshape(-1)), n1)
+            hd = h1.copy()
+            for ox in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    if ox or oz:
+                        hd = np.maximum(hd, shift(h1, ox, oz))
+            s_map = hd.copy()  # D -> 0 term (own 3x3 neighborhood)
+            seen = {(0, 0)}
+            D = 0.25
+            while D <= length:
+                o = (int(np.rint(v[0] * D)), int(np.rint(v[1] * D)))
+                if o not in seen:  # later D, same cell: smaller term
+                    seen.add(o)
+                    s_map = np.maximum(
+                        s_map,
+                        shift_clamp(hd, o[0], o[1]) - (D - 0.25) * slope)
+                D += 0.5
+
+            if b1.any():
+                # certainly-BLOCKED distance ladder: at horizontal travel
+                # Dh the ray's height is EXACTLY y + Dh*slope (no drift in
+                # height — only the landing COLUMN is uncertain, by the
+                # origin's in-column position [<=0.71] plus the offset
+                # rounding [<=0.71], all within a 5x5 neighborhood). A
+                # claim at rung Dh therefore needs the ray height to sit
+                # >=1 voxel inside the topmost contiguous-opaque run of
+                # EVERY 3x3 neighbor of the landing column (per-axis
+                # deviation is provably < 1): 3x3-eroded run top above,
+                # 3x3-dilated run bottom below. Rungs grow by
+                # ~sqrt2 so the (typically tens-of-voxels wide) window of
+                # distances where a blocked ray is inside the terrain skin
+                # contains a rung. Single-hop tests: no error accumulation,
+                # and rays that duck UNDER hollow mountain interiors (the
+                # SVO only holds surface-straddling chunks) are simply not
+                # claimed at those rungs.
+                bb1 = self._B1b.astype(np.float32)
+                rungs = []
+                dh = 1.0
+                while dh <= length and len(rungs) < 20:
+                    rungs.append(dh)
+                    dh = max(dh + 1.0, round(dh * 1.45))
+                los, his = [], []
+                for dh in rungs:
+                    ox = int(np.rint(v[0] * dh))
+                    oz = int(np.rint(v[1] * dh))
+                    top_s = shift(b1, ox, oz)
+                    bot_s = shift(bb1, ox, oz)
+                    # empty neighbors (top 0) kill the claim via ero-1<0
+                    ero = top_s
+                    dil = bot_s
+                    for ddx in (-1, 0, 1):
+                        for ddz in (-1, 0, 1):
+                            if ddx or ddz:
+                                ero = np.minimum(ero, shift(top_s, ddx, ddz))
+                                dil = np.maximum(dil, shift(bot_s, ddx, ddz))
+                    rise = dh * slope
+                    his.append(ero - rise - 1.0)  # claim: y <= hi
+                    los.append(dil - rise + 1.0)  # claim: y >= lo
+                b_map = np.stack(los + his, axis=2)  # (n1, n1, 2K)
+                d_len = np.float32(rungs[-1] / dxz + 4.0)
+
+        if b_map.ndim == 2:  # no bands available
+            b_map = np.zeros((n1, n1, 0), np.float32)
+        sb = np.concatenate(
+            [s_map.reshape(n1 * n1, 1), b_map.reshape(n1 * n1, -1)], axis=1)
+        self._sun = (self._version, key, jnp.asarray(sb), n1,
+                     jnp.float32(d_len))
         self._sun_last_build = _time.monotonic()
-        return self._sun[2], self._sun[3]
+        return self._sun[2], self._sun[3], self._sun[4]
