@@ -372,36 +372,93 @@ def shadow_ray_floors(
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len):
+def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len, d):
     """(lit, blocked) bool masks from the precomputed per-voxel sun
-    certificates (world/heightfield.py sun_map): ``lit`` = origin at-or-
-    above its column's S value, certainly sees the light; ``blocked`` =
-    the origin's height falls inside one of the K distance-ladder bands
-    [lo_k, hi_k] — its sun ray provably passes through opaque solid at
-    that rung (claim gated on the ray being allowed to travel ``d_len``).
-    One (1+2K)-word row gather per ray; row = [S, lo_0..lo_K-1,
-    hi_0..hi_K-1]."""
-    K = (sb_map.shape[1] - 1) // 2
-    cx = jnp.clip(jnp.floor(ro[:, 0]).astype(i32), 0, n1 - 1)
-    cz = jnp.clip(jnp.floor(ro[:, 2]).astype(i32), 0, n1 - 1)
-    row = sb_map[cx * n1 + cz]  # (k, 1+2K)
+    certificates (world/heightfield.py sun_map). One row gather per ray;
+    row = [S_far, 25 near voxel tops, 25 near run tops, 25 near run
+    bottoms, K band los, K band his].
+
+    ``lit`` — the ray certainly reaches the light: it clears the far
+    field (y >= S_far, a dense conservative sweep over crossings >= 3
+    columns out) AND, per EXACT window tests against the 5x5 neighbor
+    columns from the origin's true position, stays at-or-above every
+    near column's voxel top while over it (column-top model: solid up to
+    the top — only over-shades).
+
+    ``blocked`` — the ray certainly hits opaque solid: either an exact
+    near window pierces a neighbor column's topmost contiguous-opaque
+    run >= 1 voxel deep (step shadows), or the origin's height falls in
+    a distance-ladder band (a downstream skin crossing, gated on the ray
+    being allowed to travel ``d_len``)."""
+    W = sb_map.shape[1]
+    K = (W - 76) // 2
+    cx = jnp.floor(ro[:, 0])
+    cz = jnp.floor(ro[:, 2])
+    ci = jnp.clip(cx.astype(i32), 0, n1 - 1) * n1 + jnp.clip(
+        cz.astype(i32), 0, n1 - 1)
+    row = sb_map[ci]  # (k, W)
     y = ro[:, 1]
+    rox, roz = ro[:, 0], ro[:, 2]
+
+    dx = jnp.where(jnp.abs(d[0]) < _EPS_DIR,
+                   jnp.where(d[0] < 0, -_EPS_DIR, _EPS_DIR), d[0])
+    dy = d[1]  # >= 0.1 (heightfield gates the map on sun elevation)
+    dz = jnp.where(jnp.abs(d[2]) < _EPS_DIR,
+                   jnp.where(d[2] < 0, -_EPS_DIR, _EPS_DIR), d[2])
+    inv_x, inv_z = 1.0 / dx, 1.0 / dz
+
     lit = y + 1e-4 >= row[:, 0]
     blk = jnp.zeros(ro.shape[0], bool)
+    i = 0
+    for ddx in (-2, -1, 0, 1, 2):
+        for ddz in (-2, -1, 0, 1, 2):
+            h = row[:, 1 + i]
+            bt = row[:, 26 + i]
+            bb = row[:, 51 + i]
+            x0 = cx + ddx
+            z0 = cz + ddz
+            txa = (x0 - rox) * inv_x
+            txb = (x0 + 1.0 - rox) * inv_x
+            tza = (z0 - roz) * inv_z
+            tzb = (z0 + 1.0 - roz) * inv_z
+            t_in = jnp.maximum(jnp.minimum(txa, txb), jnp.minimum(tza, tzb))
+            t_out = jnp.minimum(jnp.maximum(txa, txb),
+                                jnp.maximum(tza, tzb))
+            t_lo = jnp.maximum(t_in, 0.0)
+            over = t_out > t_lo
+            h_at = y + t_lo * dy  # rising ray: window minimum height
+            # conservative margin, scaled with t_lo: window math is exact
+            # at t_lo=0 (top-face origins sit 0.001 above their own top
+            # and must keep their claim) but accrues float32 error with
+            # distance, and a ray whose true entry height is a hair below
+            # the top grazes the voxel corner for a t-span the trace
+            # resolves — borderline lanes must fall back to tracing
+            lit = lit & ~(over & (h_at < h + 5e-4 + 1e-3 * t_lo))
+            # first moment the ray is >= bb+1 inside the window; a hit is
+            # certain if that moment exists and still sits <= bt-1
+            t_c = jnp.maximum(t_lo, (bb + 1.0 - y) / dy)
+            h_c = y + t_c * dy
+            # t_c must sit clearly inside the window: within ~1e-3 float
+            # error of t_out the true crossing may graze past the column
+            hit = (over & (bt > 0.5) & (t_c < t_out - 1e-2)
+                   & (h_c <= bt - 1.0))
+            hit = hit & ((max_dst < 0) | (t_c <= max_dst - 1.0))
+            blk = blk | hit
+            i += 1
     for j in range(K):
-        blk = blk | ((y >= row[:, 1 + j] + 1e-4)
-                     & (y <= row[:, 1 + K + j] - 1e-4))
-    blk = blk & ((max_dst < 0) | (max_dst >= d_len))
+        band = ((y >= row[:, 76 + j] + 1e-4)
+                & (y <= row[:, 76 + K + j] - 1e-4))
+        band = band & ((max_dst < 0) | (max_dst >= d_len))
+        blk = blk | band
     return lit, blk & ~lit
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_lit_floors(sb_map, n1, ro):
+def sun_lit_floors(sb_map, n1, ro, max_dst, d_len, d):
     """(k,) shadow floors (+inf = certainly lit, 0 = trace normally) —
     the floor-shaped lit-only view for callers without lane compaction."""
-    cx = jnp.clip(jnp.floor(ro[:, 0]).astype(i32), 0, n1 - 1)
-    cz = jnp.clip(jnp.floor(ro[:, 2]).astype(i32), 0, n1 - 1)
-    lit = ro[:, 1] + 1e-4 >= sb_map[cx * n1 + cz, 0]
+    lit, _blk = sun_verdict_masks(sb_map, n1=n1, ro=ro, max_dst=max_dst,
+                                  d_len=d_len, d=d)
     return jnp.where(lit, jnp.inf, 0.0).astype(f32)
 
 
@@ -414,7 +471,8 @@ class BeamContext:
     def __init__(self, t_floor, dev, width: int, height: int, sun=None):
         self.t_floor = t_floor
         self._dev = dev  # heightfield.device() tuple
-        self._sun = sun  # (sb_map (n1*n1, 1+2K) f32, n1, d_len) or None
+        # (sb_map (n1*n1, 76+2K) f32, n1, d_len, d) or None
+        self._sun = sun
 
     def sun_verdicts(self, ro, max_dst):
         """(lit, blocked) bool masks — origins the sun map proves see /
@@ -425,9 +483,9 @@ class BeamContext:
         only drops lanes at the trace's first compaction."""
         if self._sun is None:
             return None
-        sb_map, n1, d_len = self._sun
+        sb_map, n1, d_len, d = self._sun
         return sun_verdict_masks(sb_map, n1=n1, ro=ro, max_dst=max_dst,
-                                 d_len=d_len)
+                                 d_len=d_len, d=d)
 
     def shadow_ray_floors(self, ro, max_dst, direction):
         """(k,) conservative floors for shadow rays from origins ``ro``
@@ -435,8 +493,9 @@ class BeamContext:
         per-voxel sun map (exact on slopes and side faces); falls back to
         the envelope march (effective on flat ground only)."""
         if self._sun is not None:
-            sb_map, n1, _d_len = self._sun
-            return sun_lit_floors(sb_map, n1=n1, ro=ro)
+            sb_map, n1, d_len, d = self._sun
+            return sun_lit_floors(sb_map, n1=n1, ro=ro, max_dst=max_dst,
+                                  d_len=d_len, d=d)
         levels, offsets, n, hmax, bounds, levels_e = self._dev
         return shadow_ray_floors(
             levels_e, levels[: n * n], offsets=offsets, n=n,

@@ -105,6 +105,19 @@ def chunk_column_tops(voxels: np.ndarray, lod: int = 0) -> np.ndarray:
     return np.repeat(np.repeat(top_b, r, axis=0), r, axis=1)
 
 
+def _shift0(a: np.ndarray, ox: int, oz: int, n1: int) -> np.ndarray:
+    """``a`` evaluated at (x+ox, z+oz), zero-filled outside the map."""
+    out = np.zeros_like(a)
+    if abs(ox) >= n1 or abs(oz) >= n1:
+        return out
+    xs = slice(max(0, -ox), n1 - max(0, ox))
+    zs = slice(max(0, -oz), n1 - max(0, oz))
+    xd = slice(max(0, ox), n1 - max(0, -ox))
+    zd = slice(max(0, oz), n1 - max(0, -oz))
+    out[xs, zs] = a[xd, zd]
+    return out
+
+
 class HeightField:
     """World-space column-top envelope over the SVO coordinate space.
 
@@ -379,12 +392,16 @@ class HeightField:
         along the (fixed per frame) sun direction — the precomputed
         equivalent of marching every shadow ray over the voxel-top field.
 
-        Returns (SB_dev (n1*n1, 2) f32, n1, d_len) or None when
+        Returns (SB_dev (n1*n1, 1+75+2K) f32, n1, d_len, d) or None when
         unavailable: world too large for the voxel mirror, missing voxel
         tops, sun too low, or rebuilt too recently (streaming cooldown — a
         stale map is UNSOUND, so changes disable it until the world goes
-        quiet). ``d_len`` bounds the distance of any B-claimed blocker;
-        claims only apply to rays allowed to travel that far."""
+        quiet). Row layout: [S_far, 25 near voxel tops, 25 near run tops,
+        25 near run bottoms, K band los, K band his]; the near planes are
+        the 5x5 neighborhood in (dx,dz) row-major order for the verdict
+        kernel's exact window tests. ``d_len`` bounds the distance of any
+        band-claimed blocker; ``d`` is the unit direction toward the sun
+        the maps were built for."""
         import time as _time
 
         if (self._H1 is None or self._n == 0
@@ -397,7 +414,7 @@ class HeightField:
         key = tuple(np.round(d * 64).astype(int))
         if self._sun is not None and self._sun[0] == self._version \
                 and self._sun[1] == key:
-            return self._sun[2], self._sun[3], self._sun[4]
+            return self._sun[2], self._sun[3], self._sun[4], self._sun[5]
         now = _time.monotonic()
         if now - self._sun_last_build < self.SUN_COOLDOWN:
             return None
@@ -411,7 +428,9 @@ class HeightField:
         d_len = np.float32(0.0)
         dxz = float(np.hypot(d[0], d[2]))
         if dxz < 1e-4:
-            s_map = h1  # straight-up sun: only the own column matters
+            # straight-up sun: every crossing is within the kernel's
+            # exact 5x5 near field — no far claims needed
+            s_map = np.full_like(h1, -1e9)
         else:
             slope = float(d[1] / dxz)  # ray rise per horizontal voxel
             v = np.array([d[0], d[2]]) / dxz
@@ -454,16 +473,22 @@ class HeightField:
                 for oz in (-1, 0, 1):
                     if ox or oz:
                         hd = np.maximum(hd, shift(h1, ox, oz))
-            s_map = hd.copy()  # D -> 0 term (own 3x3 neighborhood)
-            seen = {(0, 0)}
+            # FAR field only: samples landing >= 2 cells out (their 3x3
+            # covers every crossing >= 3 cells out). Crossings within the
+            # 5x5 are resolved EXACTLY by the verdict kernel's per-column
+            # window tests (ops/beams.py) from the origin's true position
+            # — the near field is where blunt dilation cost most.
+            s_map = np.full_like(h1, -1e9)
+            seen = set()
             D = 0.25
             while D <= length:
                 o = (int(np.rint(v[0] * D)), int(np.rint(v[1] * D)))
                 if o not in seen:  # later D, same cell: smaller term
                     seen.add(o)
-                    s_map = np.maximum(
-                        s_map,
-                        shift_clamp(hd, o[0], o[1]) - (D - 0.25) * slope)
+                    if max(abs(o[0]), abs(o[1])) >= 2:
+                        s_map = np.maximum(
+                            s_map,
+                            shift_clamp(hd, o[0], o[1]) - (D - 0.25) * slope)
                 D += 0.5
 
             if b1.any():
@@ -485,8 +510,8 @@ class HeightField:
                 # claimed at those rungs.
                 bb1 = self._B1b.astype(np.float32)
                 rungs = []
-                dh = 1.0
-                while dh <= length and len(rungs) < 20:
+                dh = 3.0  # closer blockers are kernel-exact (5x5 windows)
+                while dh <= length and len(rungs) < 12:
                     rungs.append(dh)
                     dh = max(dh + 1.0, round(dh * 1.45))
                 los, his = [], []
@@ -511,9 +536,26 @@ class HeightField:
 
         if b_map.ndim == 2:  # no bands available
             b_map = np.zeros((n1, n1, 0), np.float32)
+
+        # near-field planes for the kernel's EXACT per-column window
+        # tests: the 5x5 neighborhood's voxel tops (lit) and topmost-run
+        # top/bottom (blocked), gathered with the same row. Out-of-map
+        # neighbors read 0: no geometry (lit passes), no run (no claim).
+        near = []
+        for src in (h1, self._B1.astype(np.float32)
+                    if self._B1 is not None else np.zeros_like(h1),
+                    self._B1b.astype(np.float32)
+                    if self._B1b is not None else np.zeros_like(h1)):
+            for ddx in (-2, -1, 0, 1, 2):
+                for ddz in (-2, -1, 0, 1, 2):
+                    near.append(np.asarray(
+                        _shift0(src, ddx, ddz, n1), np.float32).reshape(-1))
         sb = np.concatenate(
-            [s_map.reshape(n1 * n1, 1), b_map.reshape(n1 * n1, -1)], axis=1)
+            [s_map.reshape(n1 * n1, 1),
+             np.stack(near, axis=1),
+             b_map.reshape(n1 * n1, -1)], axis=1)
         self._sun = (self._version, key, jnp.asarray(sb), n1,
-                     jnp.float32(d_len))
+                     jnp.float32(d_len),
+                     jnp.asarray(d.astype(np.float32)))
         self._sun_last_build = _time.monotonic()
-        return self._sun[2], self._sun[3], self._sun[4]
+        return self._sun[2], self._sun[3], self._sun[4], self._sun[5]
