@@ -1,6 +1,7 @@
 """Texture sampling tests (GL textureLod semantics: CLAMP_TO_EDGE,
 NEAREST mag, LINEAR_MIPMAP_LINEAR min)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,3 +76,26 @@ def test_single_channel_stack():
     )
     assert out.shape == (1,)
     assert float(out[0]) == 1.0
+
+
+@pytest.mark.parametrize("mode", ["nearest", "linear"])
+def test_footprint_mode_bit_exact(mode):
+    """footprint=True (one quad-row gather per bilinear sample) must be
+    BIT-identical to the four-gather path: same texels (incl. the
+    uv-edge clamp windows), same lerp order."""
+    rng = np.random.default_rng(11)
+    mips = build_mip_chain(
+        jnp.asarray(rng.random((3, 16, 16, 4)).astype(np.float32)), 5
+    )
+    B = 4096
+    layer = jnp.asarray(rng.integers(0, 3, B).astype(np.int32))
+    # bias uv toward the edges/corners where the clamp windows live
+    uv_u = rng.random((B, 2))
+    uv_e = np.clip(rng.normal(0.5, 0.7, (B, 2)), 0.0, 1.0)
+    uv = jnp.asarray(np.where(rng.random((B, 1)) < 0.5, uv_u, uv_e)
+                     .astype(np.float32))
+    lod = jnp.asarray((rng.random(B) * 5.5 - 0.5).astype(np.float32))
+    a = np.asarray(sample_texture_lod(mips, layer, uv, lod, mip_mode=mode))
+    b = np.asarray(sample_texture_lod(mips, layer, uv, lod, mip_mode=mode,
+                                      footprint=True))
+    assert (a == b).all(), f"{(a != b).sum()} mismatching components"
