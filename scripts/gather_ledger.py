@@ -65,8 +65,12 @@ def main():
     for key, pipe in shading._pipeline_cache.items():
         for item in pipe:
             if isinstance(item, shading._PlanStore):
-                for tag, (n, plan) in sorted(item.plans.items(),
-                                             key=lambda kv: str(kv[0])):
+                for tag, entry in sorted(item.plans.items(),
+                                         key=lambda kv: str(kv[0])):
+                    if not (isinstance(entry, tuple) and len(entry) == 2
+                            and isinstance(entry[1], (list, tuple))):
+                        continue  # sticky-scalar entries are plain ints
+                    n, plan = entry
                     width = n
                     trav = comp = 0
                     segs = []

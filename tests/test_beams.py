@@ -573,7 +573,8 @@ def test_sun_certificates_sound_random():
                     occ_op[sl] = lut[vox]
         sm = hf.sun_map(light)
         assert sm is not None
-        sb_dev, n1, d_len, d_dev = sm[0], sm[1], float(sm[2]), sm[3]
+        sb_dev, n1, d_len, d_dev, origin_dev = (
+            sm[0], sm[1], float(sm[2]), sm[3], sm[4])
         assert n1 == 64
 
         # random air points, biased to just-above-the-surface (where
@@ -595,7 +596,7 @@ def test_sun_certificates_sound_random():
         lit_d, blk_d = sun_verdict_masks(
             sb_dev, n1=n1, ro=pts, max_dst=np.full(len(pts), -1.0,
                                                    np.float32),
-            d_len=np.float32(d_len), d=d_dev)
+            d_len=np.float32(d_len), d=d_dev, origin=origin_dev)
         lit = np.asarray(lit_d)
         blk = np.asarray(blk_d)
 
@@ -637,3 +638,119 @@ def test_sun_certificates_sound_random():
             assert refined.all(), (
                 f"{(~refined).sum()}/{n_blk} blocked claims miss all "
                 f"opaque solid (light {light})")
+
+
+def test_sun_map_windowed_sound():
+    """A camera-centered window smaller than the world: in-window points
+    get SOUND claims (verified against the FULL world occupancy — the
+    assembly extension must see the tall ridge outside the window toward
+    the sun), out-of-window points get no claims at all."""
+    rng = np.random.default_rng(23)
+    lut = _opaque_lut()
+    light = np.array([-1.0, -1.0, -1.0], np.float32)
+    light /= np.linalg.norm(light)
+    hf = HeightField()
+    hf.SUN_WINDOW = 64  # world is 4x4 chunks = 128 voxels
+    occ_any = np.zeros((128, 64, 128), bool)
+    occ_op = np.zeros((128, 64, 128), bool)
+    for cx in range(4):
+        for cz in range(4):
+            x = np.arange(32) + cx * 32
+            z = np.arange(32) + cz * 32
+            hh = (14 + 8 * np.sin(x[:, None] * 0.13)
+                  + 7 * np.cos(z[None, :] * 0.09)
+                  + rng.integers(-1, 2, size=(32, 32))).astype(int)
+            # tall ridge along world x in [100, 112): DOWN-SUN (the sun
+            # direction is +x+z from any origin) of the window the test
+            # centers at (48, 48) -> origin (0,0)..(64,64); the ridge lies
+            # OUTSIDE that window and must still kill far-lit claims for
+            # rays that would cross it
+            ridge = (x[:, None] >= 100) & (x[:, None] < 112)
+            hh = np.where(ridge, 60, hh)
+            hh = np.clip(hh, 2, 62)
+            for cy in range(2):
+                ys = np.arange(32) + cy * 32
+                fill = ys[None, :, None] < hh[:, None, :]
+                vox = np.where(fill, STONE, 0).astype(np.uint32)
+                hf.set_chunk(
+                    (cx, cy, cz), chunk_column_tops(vox, 5),
+                    vtops=chunk_voxel_tops(vox, 5),
+                    sbase=chunk_solid_bases(vox, 5, lut))
+                sl = (slice(cx * 32, cx * 32 + 32),
+                      slice(cy * 32, cy * 32 + 32),
+                      slice(cz * 32, cz * 32 + 32))
+                occ_any[sl] = vox != 0
+                occ_op[sl] = lut[vox]
+
+    sm = hf.sun_map(light, center=(48.0, 30.0, 48.0))
+    assert sm is not None
+    sb_dev, n1, d_len, d_dev, origin_dev = (
+        sm[0], sm[1], float(sm[2]), sm[3], sm[4])
+    assert n1 == 64
+    origin = np.asarray(origin_dev)
+    assert 0 <= origin[0] <= 64 and 0 <= origin[1] <= 64  # window < world
+
+    from voxelrs_tpu.ops.beams import sun_verdict_masks
+
+    # random air points across the WHOLE world (in- and out-of-window)
+    px = rng.uniform(0, 128, size=4000).astype(np.float32)
+    pz = rng.uniform(0, 128, size=4000).astype(np.float32)
+    tops = occ_any[px.astype(int), :, pz.astype(int)]
+    top_y = 64 - np.argmax(tops[:, ::-1], axis=1)
+    top_y = np.where(tops.any(axis=1), top_y, 0).astype(np.float32)
+    py = np.minimum(top_y + rng.uniform(0.001, 14.0, size=4000), 63.9)
+    pts = np.stack([px, py.astype(np.float32), pz], axis=1)
+    ix = pts.astype(int)
+    pts = pts[~occ_any[ix[:, 0], ix[:, 1], ix[:, 2]]]
+
+    lit_d, blk_d = sun_verdict_masks(
+        sb_dev, n1=n1, ro=pts,
+        max_dst=np.full(len(pts), -1.0, np.float32),
+        d_len=np.float32(d_len), d=d_dev, origin=origin_dev)
+    lit = np.asarray(lit_d)
+    blk = np.asarray(blk_d)
+
+    # the kernel allows a 0.125 tolerance band (boundary-face origins)
+    inw = ((pts[:, 0] >= origin[0] - 0.125)
+           & (pts[:, 0] < origin[0] + n1 + 0.125)
+           & (pts[:, 2] >= origin[1] - 0.125)
+           & (pts[:, 2] < origin[1] + n1 + 0.125))
+    assert not lit[~inw].any() and not blk[~inw].any(), \
+        "claims escaped the window"
+    assert lit[inw].sum() > 40, f"vacuous windowed lit ({lit.sum()})"
+
+    d = (-light / np.linalg.norm(light)).astype(np.float64)
+    t_max = 128.0 * 3.0 / max(np.hypot(d[0], d[2]), 1e-6)
+    ts = np.arange(0.02, t_max, 0.05)
+
+    def march(p0s, grid, tmax):
+        hit = np.zeros(len(p0s), bool)
+        for s in range(0, len(p0s), 400):
+            p = p0s[s:s + 400, None, :] + ts[None, :, None] * d[None, None, :]
+            valid = ((ts[None, :] <= tmax)
+                     & (p[..., [0, 2]] >= 0).all(-1) & (p[..., 1] >= 0)
+                     & (p[..., [0, 2]] < 128).all(-1) & (p[..., 1] < 64))
+            q = np.clip(p.astype(int), 0,
+                        np.array([127, 63, 127]))
+            occ = grid[q[..., 0], q[..., 1], q[..., 2]]
+            hit[s:s + 400] = (occ & valid).any(axis=1)
+        return hit
+
+    hit_any = march(pts[lit], occ_any, np.inf)
+    assert not hit_any.any(), (
+        f"{hit_any.sum()} windowed lit claims hit geometry (ridge?)")
+    if blk.any():
+        hit_op = march(pts[blk], occ_op, d_len)
+        if not hit_op.all():
+            miss = pts[blk][~hit_op]
+            fine = np.arange(0.005, float(ts[-1]), 0.005)
+            refined = np.zeros(len(miss), bool)
+            for i, p0 in enumerate(miss):
+                p = p0[None, :] + fine[:, None] * d[None, :]
+                ok = ((fine <= d_len) & (p[:, 0] >= 0) & (p[:, 0] < 128)
+                      & (p[:, 1] >= 0) & (p[:, 1] < 64)
+                      & (p[:, 2] >= 0) & (p[:, 2] < 128))
+                q = np.clip(p.astype(int), 0, np.array([127, 63, 127]))
+                refined[i] = (occ_op[q[:, 0], q[:, 1], q[:, 2]] & ok).any()
+            assert refined.all(), (
+                f"{(~refined).sum()} windowed blocked claims miss solid")

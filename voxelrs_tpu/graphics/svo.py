@@ -363,7 +363,8 @@ class Svo:
         )
         sun = None
         if params.render_shadows:
-            sun = self.heightfield.sun_map(params.light_dir)
+            sun = self.heightfield.sun_map(params.light_dir,
+                                           center=params.cam_pos)
         return BeamContext(
             pixel_floors(tf, width=width, height=height), dev, width,
             height, sun=sun,

@@ -372,11 +372,14 @@ def shadow_ray_floors(
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len, d):
+def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len, d, origin):
     """(lit, blocked) bool masks from the precomputed per-voxel sun
     certificates (world/heightfield.py sun_map). One row gather per ray;
     row = [S_far, 25 near voxel tops, 25 near run tops, 25 near run
-    bottoms, K band los, K band his].
+    bottoms, K band los, K band his], u16 quarter-voxel fixed point
+    (value = raw * 0.25 - 1, conservative per-plane rounding). ``origin``
+    is the window's (x, z) voxel offset: rays originating outside the
+    n1-wide window get no claims and simply trace.
 
     ``lit`` — the ray certainly reaches the light: it clears the far
     field (y >= S_far, a dense conservative sweep over crossings >= 3
@@ -392,13 +395,22 @@ def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len, d):
     being allowed to travel ``d_len``)."""
     W = sb_map.shape[1]
     K = (W - 76) // 2
-    cx = jnp.floor(ro[:, 0])
-    cz = jnp.floor(ro[:, 2])
-    ci = jnp.clip(cx.astype(i32), 0, n1 - 1) * n1 + jnp.clip(
-        cz.astype(i32), 0, n1 - 1)
-    row = sb_map[ci]  # (k, W)
+    rox = ro[:, 0] - origin[0]  # window coords (exact: origin is a
+    roz = ro[:, 2] - origin[1]  # 32-aligned integer within f32 range)
+    cx = jnp.floor(rox)
+    cz = jnp.floor(roz)
+    # tolerance band: shadow origins on boundary faces sit a normal
+    # offset (0.001) outside the window; their window tests run against
+    # the CLAMPED cell's row (planes stay aligned), and the <=0.125
+    # deviation stays inside the far sweep's 3x3-dilation and the band
+    # ladder's +-1 deviation budgets
+    inw = ((rox >= -0.125) & (rox < n1 + 0.125)
+           & (roz >= -0.125) & (roz < n1 + 0.125))
+    ccx = jnp.clip(cx, 0.0, float(n1 - 1))
+    ccz = jnp.clip(cz, 0.0, float(n1 - 1))
+    ci = ccx.astype(i32) * n1 + ccz.astype(i32)
+    row = sb_map[ci].astype(f32) * 0.25 - 1.0  # (k, W) decoded
     y = ro[:, 1]
-    rox, roz = ro[:, 0], ro[:, 2]
 
     dx = jnp.where(jnp.abs(d[0]) < _EPS_DIR,
                    jnp.where(d[0] < 0, -_EPS_DIR, _EPS_DIR), d[0])
@@ -415,8 +427,8 @@ def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len, d):
             h = row[:, 1 + i]
             bt = row[:, 26 + i]
             bb = row[:, 51 + i]
-            x0 = cx + ddx
-            z0 = cz + ddz
+            x0 = ccx + ddx  # windows around the CLAMPED cell: the row's
+            z0 = ccz + ddz  # near planes are for those columns
             txa = (x0 - rox) * inv_x
             txb = (x0 + 1.0 - rox) * inv_x
             tza = (z0 - roz) * inv_z
@@ -450,15 +462,15 @@ def sun_verdict_masks(sb_map, n1, ro, max_dst, d_len, d):
                 & (y <= row[:, 76 + K + j] - 1e-4))
         band = band & ((max_dst < 0) | (max_dst >= d_len))
         blk = blk | band
-    return lit, blk & ~lit
+    return lit & inw, blk & inw & ~lit
 
 
 @partial(jax.jit, static_argnames=("n1",))
-def sun_lit_floors(sb_map, n1, ro, max_dst, d_len, d):
+def sun_lit_floors(sb_map, n1, ro, max_dst, d_len, d, origin):
     """(k,) shadow floors (+inf = certainly lit, 0 = trace normally) —
     the floor-shaped lit-only view for callers without lane compaction."""
     lit, _blk = sun_verdict_masks(sb_map, n1=n1, ro=ro, max_dst=max_dst,
-                                  d_len=d_len, d=d)
+                                  d_len=d_len, d=d, origin=origin)
     return jnp.where(lit, jnp.inf, 0.0).astype(f32)
 
 
@@ -471,7 +483,7 @@ class BeamContext:
     def __init__(self, t_floor, dev, width: int, height: int, sun=None):
         self.t_floor = t_floor
         self._dev = dev  # heightfield.device() tuple
-        # (sb_map (n1*n1, 76+2K) f32, n1, d_len, d) or None
+        # (sb_map (n1*n1, 76+2K) u16, n1, d_len, d, origin) or None
         self._sun = sun
 
     def sun_verdicts(self, ro, max_dst):
@@ -483,9 +495,9 @@ class BeamContext:
         only drops lanes at the trace's first compaction."""
         if self._sun is None:
             return None
-        sb_map, n1, d_len, d = self._sun
+        sb_map, n1, d_len, d, origin = self._sun
         return sun_verdict_masks(sb_map, n1=n1, ro=ro, max_dst=max_dst,
-                                 d_len=d_len, d=d)
+                                 d_len=d_len, d=d, origin=origin)
 
     def shadow_ray_floors(self, ro, max_dst, direction):
         """(k,) conservative floors for shadow rays from origins ``ro``
@@ -493,9 +505,9 @@ class BeamContext:
         per-voxel sun map (exact on slopes and side faces); falls back to
         the envelope march (effective on flat ground only)."""
         if self._sun is not None:
-            sb_map, n1, d_len, d = self._sun
+            sb_map, n1, d_len, d, origin = self._sun
             return sun_lit_floors(sb_map, n1=n1, ro=ro, max_dst=max_dst,
-                                  d_len=d_len, d=d)
+                                  d_len=d_len, d=d, origin=origin)
         levels, offsets, n, hmax, bounds, levels_e = self._dev
         return shadow_ray_floors(
             levels_e, levels[: n * n], offsets=offsets, n=n,

@@ -49,6 +49,9 @@ class NopStorage:
         return bool(self._pending)
 
 
+_ANVIL_CACHE: dict = {}
+
+
 class MinecraftStorage:
     """Loads chunks from a Minecraft Anvil world directory
     (reference: storage.rs:58-160): 2×2 MC chunks (16-block columns) map to
@@ -65,7 +68,14 @@ class MinecraftStorage:
                 f"--mc-world path {path!r} is not a directory; expected a "
                 "Minecraft Anvil world folder containing r.X.Z.mca files"
             )
-        self.world = AnvilWorld(path)
+        # AnvilWorld is read-only after construction (decoded sections are
+        # memoized); share one instance per path so sequential Game
+        # instances in the same process (the benchmark matrix) don't
+        # re-parse and re-decode the world per config
+        key = os.path.realpath(path)
+        if key not in _ANVIL_CACHE:
+            _ANVIL_CACHE[key] = AnvilWorld(path)
+        self.world = _ANVIL_CACHE[key]
         self.processor: ChunkProcessor[LoadResult] = ChunkProcessor(job_system)
         self.slot_pool = slot_pool or ChunkSlotPool()
 

@@ -105,17 +105,26 @@ def chunk_column_tops(voxels: np.ndarray, lod: int = 0) -> np.ndarray:
     return np.repeat(np.repeat(top_b, r, axis=0), r, axis=1)
 
 
-def _shift0(a: np.ndarray, ox: int, oz: int, n1: int) -> np.ndarray:
-    """``a`` evaluated at (x+ox, z+oz), zero-filled outside the map."""
-    out = np.zeros_like(a)
-    if abs(ox) >= n1 or abs(oz) >= n1:
-        return out
-    xs = slice(max(0, -ox), n1 - max(0, ox))
-    zs = slice(max(0, -oz), n1 - max(0, oz))
-    xd = slice(max(0, ox), n1 - max(0, -ox))
-    zd = slice(max(0, oz), n1 - max(0, -oz))
-    out[xs, zs] = a[xd, zd]
-    return out
+def _enc_int(a: np.ndarray) -> np.ndarray:
+    """u16 quarter-voxel encoding (value = raw*0.25 - 1) of an INTEGER-
+    valued plane — (v+1)*4 is an exact f32 product for any world height,
+    so no rounding direction is needed."""
+    return ((a + np.float32(1.0)) * np.float32(4.0)).astype(np.uint16)
+
+
+def _enc_up(a: np.ndarray) -> np.ndarray:
+    """Conservative-UP u16 quarter encoding of a float plane: the decoded
+    value is >= the source (the 1e-3 nudge absorbs f32 product rounding),
+    for thresholds that gate LIT claims (kill more when in doubt)."""
+    q = np.ceil((a + np.float32(1.0)) * np.float32(4.0) + np.float32(1e-3))
+    return np.clip(q, 0.0, 65535.0).astype(np.uint16)
+
+
+def _enc_dn(a: np.ndarray) -> np.ndarray:
+    """Conservative-DOWN u16 quarter encoding (decoded <= source), for
+    bounds that gate BLOCKED claims (claim less when in doubt)."""
+    q = np.floor((a + np.float32(1.0)) * np.float32(4.0) - np.float32(1e-3))
+    return np.clip(q, 0.0, 65535.0).astype(np.uint16)
 
 
 class HeightField:
@@ -128,28 +137,25 @@ class HeightField:
     plumbing).
     """
 
-    # voxel-resolution mirror is kept only up to this size (rd <= ~20);
-    # larger worlds fall back to envelope-only (no sun map)
-    MAX_N1 = 2048
+    # sun-map window: the per-voxel certificate table covers at most this
+    # many voxel columns per axis, centered on the camera; worlds that fit
+    # get full coverage, larger worlds get a sliding window (out-of-window
+    # shadow rays simply trace — no soundness impact)
+    SUN_WINDOW = 1024
     SUN_COOLDOWN = 0.75  # s: don't rebuild the sun map while streaming
 
     def __init__(self) -> None:
         self._tops: dict[tuple[int, int, int], np.ndarray] = {}
         self._vtops: dict[tuple[int, int, int], np.ndarray] = {}
         self._sbase: dict[tuple[int, int, int], np.ndarray] = {}
-        # topmost contiguous-opaque run per voxel column, as (top, bottom)
-        # heights — the "skin" a certainly-blocked claim must pierce
-        self._B1: Optional[np.ndarray] = None  # (8n, 8n) int16 run tops
-        self._B1b: Optional[np.ndarray] = None  # (8n, 8n) int16 run bottoms
         # (cx, cz) -> chunk positions stacked in that column
         self._cols: dict[tuple[int, int], set] = {}
         self._n = 0  # columns per axis (4 * chunks per axis)
         self._H: Optional[np.ndarray] = None  # (n, n) int16, exact envelope
-        self._H1: Optional[np.ndarray] = None  # (8n, 8n) int16 voxel tops
         self._dirty = True
         self._device: Optional[tuple] = None
         self._version = 0
-        self._sun: Optional[tuple] = None  # (version, key, dev, n1)
+        self._sun: Optional[tuple] = None  # (version, key, origin, dev, ...)
         self._sun_last_build = -1e9
 
     # -- host maintenance --------------------------------------------------
@@ -158,26 +164,10 @@ class HeightField:
         if n <= self._n:
             return
         old, old_n = self._H, self._n
-        old1 = self._H1
         self._n = n
         self._H = np.zeros((n, n), np.int16)
         if old is not None:
             self._H[:old_n, :old_n] = old
-        if n * CELL <= self.MAX_N1:
-            oldb, oldbb = self._B1, self._B1b
-            self._H1 = np.zeros((n * CELL, n * CELL), np.int16)
-            self._B1 = np.zeros((n * CELL, n * CELL), np.int16)
-            self._B1b = np.zeros((n * CELL, n * CELL), np.int16)
-            if old1 is not None:
-                self._H1[: old1.shape[0], : old1.shape[1]] = old1
-            if oldb is not None:
-                self._B1[: oldb.shape[0], : oldb.shape[1]] = oldb
-            if oldbb is not None:
-                self._B1b[: oldbb.shape[0], : oldbb.shape[1]] = oldbb
-        else:
-            self._H1 = None
-            self._B1 = None
-            self._B1b = None
         self._dirty = True
 
     def set_chunk(self, pos: tuple[int, int, int], tops: np.ndarray,
@@ -221,12 +211,6 @@ class HeightField:
         self._cols.clear()
         if self._H is not None:
             self._H[:] = 0
-        if self._H1 is not None:
-            self._H1[:] = 0
-        if self._B1 is not None:
-            self._B1[:] = 0
-        if self._B1b is not None:
-            self._B1b[:] = 0
         self._dirty = True
         self._version += 1
 
@@ -242,9 +226,6 @@ class HeightField:
             self._cols.setdefault((pos[0], pos[2]), set()).add(pos)
         self._n = 0
         self._H = None
-        self._H1 = None
-        self._B1 = None
-        self._B1b = None
         for pos in self._tops:
             self._ensure_size(self._required_n(pos))
         if self._H is None:
@@ -263,26 +244,37 @@ class HeightField:
         return p * COLS_PER_CHUNK
 
     def _refresh_cols(self, cx: int, cz: int) -> None:
-        """Recompute the 4x4 envelope columns (and the 32x32 voxel-top
-        block) under chunk column (cx, cz) as the max over that column's
-        loaded chunk stack."""
+        """Recompute the 4x4 envelope columns under chunk column (cx, cz)
+        as the max over that column's loaded chunk stack."""
         acc = np.zeros((COLS_PER_CHUNK, COLS_PER_CHUNK), np.int32)
-        acc1 = np.zeros((32, 32), np.int32)
-        accb = np.zeros((32, 32), np.int32)
-        accb_bot = np.zeros((32, 32), np.int32)
         stack = sorted(self._cols.get((cx, cz), ()), key=lambda p: p[1])
         for pos in stack:
             t = self._tops[pos].astype(np.int32)
             acc = np.maximum(acc, np.where(t > 0, t + pos[1] * 32, 0))
+        x0, z0 = cx * COLS_PER_CHUNK, cz * COLS_PER_CHUNK
+        self._H[x0 : x0 + COLS_PER_CHUNK, z0 : z0 + COLS_PER_CHUNK] = acc.astype(
+            np.int16
+        )
+        self._dirty = True
+        self._version += 1
+
+    def _stack_column(self, cx: int, cz: int):
+        """(vox_tops, run_top, run_bottom) (32,32) int32 world-height maps
+        of chunk column (cx, cz), combined over its loaded chunk stack.
+
+        run_top/run_bottom track the topmost contiguous opaque run per
+        voxel column — the "skin" a certainly-blocked claim must pierce: a
+        chunk whose solid base meets the current run top extends it; a
+        chunk starting a fresh run replaces it (higher chunks always win).
+        Missing chunks / missing solid info break continuity."""
+        acc1 = np.zeros((32, 32), np.int32)
+        accb = np.zeros((32, 32), np.int32)
+        accb_bot = np.zeros((32, 32), np.int32)
+        for pos in sorted(self._cols.get((cx, cz), ()), key=lambda p: p[1]):
             v = self._vtops.get(pos)
             if v is not None:
                 v = v.astype(np.int32)
                 acc1 = np.maximum(acc1, np.where(v > 0, v + pos[1] * 32, 0))
-            # topmost contiguous opaque run, tracked as (bottom, top):
-            # a chunk whose base meets the current run top extends it; a
-            # chunk starting a fresh run replaces it (higher chunks always
-            # win — the surface skin is what blocked claims pierce).
-            # Missing chunks / missing solid info break continuity.
             sb = self._sbase.get(pos)
             if sb is not None:
                 base_y = pos[1] * 32
@@ -291,23 +283,36 @@ class HeightField:
                 start = ~cont & (sbi > 0)
                 accb = np.where(cont | start, base_y + sbi, accb)
                 accb_bot = np.where(start, base_y, accb_bot)
-        x0, z0 = cx * COLS_PER_CHUNK, cz * COLS_PER_CHUNK
-        self._H[x0 : x0 + COLS_PER_CHUNK, z0 : z0 + COLS_PER_CHUNK] = acc.astype(
-            np.int16
-        )
-        if self._H1 is not None:
-            self._H1[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
-                acc1.astype(np.int16)
-            )
-        if self._B1 is not None:
-            self._B1[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
-                accb.astype(np.int16)
-            )
-            self._B1b[cx * 32 : cx * 32 + 32, cz * 32 : cz * 32 + 32] = (
-                accb_bot.astype(np.int16)
-            )
-        self._dirty = True
-        self._version += 1
+        return acc1, accb, accb_bot
+
+    def _window_fields(self, ox: int, oz: int, nx: int, nz: int):
+        """Assemble (vox_tops, run_top, run_bottom) float32 (nx, nz) maps
+        for the voxel window [ox, ox+nx) x [oz, oz+nz) from the per-chunk
+        dicts. ``ox``/``oz`` are voxel coordinates aligned to 32 (may be
+        negative for sun-direction extensions past the world origin).
+        Columns with no loaded chunks — outside the world grid or simply
+        not streamed in — are truly empty FOR THE TRACE (the SVO renders
+        loaded chunks only), so they correctly read 0."""
+        h1 = np.zeros((nx, nz), np.float32)
+        b1 = np.zeros((nx, nz), np.float32)
+        bb1 = np.zeros((nx, nz), np.float32)
+        c0x, c1x = ox >> 5, (ox + nx - 1) >> 5
+        c0z, c1z = oz >> 5, (oz + nz - 1) >> 5
+        for (cx, cz) in self._cols:
+            if not (c0x <= cx <= c1x and c0z <= cz <= c1z):
+                continue
+            a1, ab, abb = self._stack_column(cx, cz)
+            xs = cx * 32 - ox
+            zs = cz * 32 - oz
+            x0, x1 = max(0, xs), min(nx, xs + 32)
+            z0, z1 = max(0, zs), min(nz, zs + 32)
+            if x0 >= x1 or z0 >= z1:
+                continue
+            sl = np.s_[x0 - xs : x1 - xs, z0 - zs : z1 - zs]
+            h1[x0:x1, z0:z1] = a1[sl]
+            b1[x0:x1, z0:z1] = ab[sl]
+            bb1[x0:x1, z0:z1] = abb[sl]
+        return h1, b1, bb1
 
     # -- device pyramid ----------------------------------------------------
 
@@ -383,102 +388,148 @@ class HeightField:
 
     # -- sun visibility map ------------------------------------------------
 
-    def sun_map(self, light_dir):
-        """Per-VOXEL-column sun visibility certificates: a point at height
-        y in voxel column c CERTAINLY SEES the light iff y >= S[c] - 1e-4,
-        and is CERTAINLY BLOCKED iff y <= B[c] - 1e-4 (B built from the
-        contiguous-opaque column runs, so a claimed ray provably passes
-        through solid). Both are conservative max-plus doubling sweeps
-        along the (fixed per frame) sun direction — the precomputed
-        equivalent of marching every shadow ray over the voxel-top field.
+    def sun_map(self, light_dir, center=None):
+        """Per-VOXEL-column sun visibility certificates over a (possibly
+        camera-centered) window: conservative precomputed equivalents of
+        marching every shadow ray over the voxel-top field, built fresh
+        from the per-chunk dicts each (cooldown-gated) rebuild.
 
-        Returns (SB_dev (n1*n1, 1+75+2K) f32, n1, d_len, d) or None when
-        unavailable: world too large for the voxel mirror, missing voxel
-        tops, sun too low, or rebuilt too recently (streaming cooldown — a
-        stale map is UNSOUND, so changes disable it until the world goes
-        quiet). Row layout: [S_far, 25 near voxel tops, 25 near run tops,
+        Returns (SB_dev (n1*n1, 1+75+2K) u16, n1, d_len, d, origin) or
+        None when unavailable: missing voxel tops, sun too low, or rebuilt
+        too recently (streaming cooldown — a stale map is UNSOUND, so
+        changes disable it until the world goes quiet). Rows are u16
+        quarter-voxel fixed point (value = raw * 0.25 - 1), each plane
+        rounded toward its conservative side; integer-valued planes encode
+        exactly. Row layout: [S_far, 25 near voxel tops, 25 near run tops,
         25 near run bottoms, K band los, K band his]; the near planes are
         the 5x5 neighborhood in (dx,dz) row-major order for the verdict
         kernel's exact window tests. ``d_len`` bounds the distance of any
-        band-claimed blocker; ``d`` is the unit direction toward the sun
-        the maps were built for."""
+        band-claimed blocker; ``d`` is the unit direction toward the sun;
+        ``origin`` is the window's (x, z) voxel offset — rays originating
+        outside the window get no claims and simply trace. Worlds up to
+        SUN_WINDOW voxels per axis are fully covered at origin 0."""
         import time as _time
 
-        if (self._H1 is None or self._n == 0
-                or len(self._vtops) != len(self._tops)):
+        if self._n == 0 or len(self._vtops) != len(self._tops):
             return None
         d = -np.asarray(light_dir, np.float64)
         d = d / max(np.linalg.norm(d), 1e-9)
         if d[1] < 0.1:
             return None  # sun at/below the horizon: nothing elidable
         key = tuple(np.round(d * 64).astype(int))
+
+        # window geometry: worlds that fit SUN_WINDOW get full coverage at
+        # origin 0; larger worlds get a 32-aligned window centered on the
+        # camera, re-centered (cooldown-gated) when it drifts past the
+        # window's inner half
+        span = self._n * CELL
+        n1 = min(span, self.SUN_WINDOW)
+        if n1 >= span:
+            origin = (0, 0)
+        else:
+            if center is not None:
+                cx_c, cz_c = float(center[0]), float(center[2])
+            else:
+                nz = np.nonzero(self._H)
+                cx_c = (float(nz[0].mean()) + 0.5) * CELL if len(nz[0]) \
+                    else span / 2
+                cz_c = (float(nz[1].mean()) + 0.5) * CELL if len(nz[0]) \
+                    else span / 2
+            ox = int(np.clip(((cx_c - n1 / 2) // 32) * 32, 0, span - n1))
+            oz = int(np.clip(((cz_c - n1 / 2) // 32) * 32, 0, span - n1))
+            origin = (ox, oz)
         if self._sun is not None and self._sun[0] == self._version \
                 and self._sun[1] == key:
-            return self._sun[2], self._sun[3], self._sun[4], self._sun[5]
+            c_ox, c_oz = self._sun[2]
+            drift = max(abs(origin[0] - c_ox), abs(origin[1] - c_oz))
+            if drift <= n1 // 4:
+                return self._sun[3:]
         now = _time.monotonic()
         if now - self._sun_last_build < self.SUN_COOLDOWN:
             return None
         import jax.numpy as jnp
 
-        n1 = self._H1.shape[0]
-        h1 = self._H1.astype(np.float32)
-        b1 = (self._B1.astype(np.float32) if self._B1 is not None
-              else np.zeros_like(h1))
-        b_map = np.zeros_like(h1)
-        d_len = np.float32(0.0)
+        ox, oz = origin
+        hmax_glob = float(self._H.max())
         dxz = float(np.hypot(d[0], d[2]))
+        slope = float(d[1] / max(dxz, 1e-9))
+        v = (np.array([d[0], d[2]]) / dxz if dxz >= 1e-4
+             else np.zeros(2))
+
+        # assembled field: the core window plus a 3-cell margin all around
+        # (near planes + 3x3 morphology) plus a sun-direction extension
+        # covering the whole far sweep, so every sampled cell reads REAL
+        # loaded-chunk data (beyond the sweep, the analytic hmax cap rules)
         if dxz < 1e-4:
-            # straight-up sun: every crossing is within the kernel's
-            # exact 5x5 near field — no far claims needed
-            s_map = np.full_like(h1, -1e9)
+            length = len_rungs = 0.0  # straight-up: 5x5 near field rules
         else:
-            slope = float(d[1] / dxz)  # ray rise per horizontal voxel
-            v = np.array([d[0], d[2]]) / dxz
+            # LIT sweep only spans the height band that exists: origins
+            # below the window's lowest surface are under terrain (their
+            # own-column near test denies lit anyway), so the sweep may
+            # stop once a ray from (lowest surface - 4) clears the global
+            # max — the analytic cap term rules beyond. The BLOCKED rung
+            # ladder keeps the full hmax reach (its deep-valley claims
+            # are exactly about low origins, and rungs are cheap).
+            ec = self._H[ox >> 3 : (ox + n1 + 7) >> 3,
+                         oz >> 3 : (oz + n1 + 7) >> 3]
+            pos = ec[ec > 0]
+            hmin_w = float(pos.min()) if pos.size else 0.0
+            hmin_floor = max(0.0, hmin_w - 4.0)
+            length = min((hmax_glob - hmin_floor) / max(slope, 1e-3) + 2.0,
+                         768.0)
+            len_rungs = min(hmax_glob / max(slope, 1e-3) + 2.0, 768.0)
+        ext = max(length, len_rungs) + 1.0
+        ext_x_lo = 3 + int(np.ceil(max(0.0, -v[0] * ext)))
+        ext_x_hi = 3 + int(np.ceil(max(0.0, v[0] * ext)))
+        ext_z_lo = 3 + int(np.ceil(max(0.0, -v[1] * ext)))
+        ext_z_hi = 3 + int(np.ceil(max(0.0, v[1] * ext)))
+        ax0, az0 = ox - ext_x_lo, oz - ext_z_lo
+        anx = n1 + ext_x_lo + ext_x_hi
+        anz = n1 + ext_z_lo + ext_z_hi
+        h1a, b1a, bb1a = self._window_fields(ax0, az0, anx, anz)
+        cx0, cz0 = ext_x_lo, ext_z_lo  # core origin within the assembly
+        core = np.s_[cx0 : cx0 + n1, cz0 : cz0 + n1]
+        h1 = h1a[core]
 
-            def shift(a, ox, oz):
-                """a evaluated at (x+ox, z+oz), zero-filled."""
-                out = np.zeros_like(a)
-                if abs(ox) >= n1 or abs(oz) >= n1:
-                    return out
-                xs = slice(max(0, -ox), n1 - max(0, ox))
-                zs = slice(max(0, -oz), n1 - max(0, oz))
-                xd = slice(max(0, ox), n1 - max(0, -ox))
-                zd = slice(max(0, oz), n1 - max(0, -oz))
-                out[xs, zs] = a[xd, zd]
+        def shift_a(a, sx, sz):
+            """assembled array shifted by (sx, sz), zero-filled (beyond
+            the assembly nothing is loaded, so zero is the truth)."""
+            out = np.zeros_like(a)
+            nx_, nz_ = a.shape
+            if abs(sx) >= nx_ or abs(sz) >= nz_:
                 return out
+            xs = slice(max(0, -sx), nx_ - max(0, sx))
+            zs = slice(max(0, -sz), nz_ - max(0, sz))
+            xd = slice(max(0, sx), nx_ - max(0, -sx))
+            zd = slice(max(0, sz), nz_ - max(0, -sz))
+            out[xs, zs] = a[xd, zd]
+            return out
 
-            hmax = float(h1.max())
-            length = hmax / max(slope, 1e-3) + 2.0
-            # Dense exact sweep: S[c] = max over sampled distances D of
-            # (dil3x3(h1)[c + rint(D*v)] - (D - 0.25)*slope). Sampling
+        b_map = None
+        d_len = np.float32(0.0)
+        s_map = np.full_like(h1, -1e9)
+        if dxz >= 1e-4:
+            # Dense exact far sweep: S[c] = max over sampled distances D
+            # of (dil3x3(h1)[c + rint(D*v)] - (D - 0.25)*slope). Sampling
             # every 0.5 voxels puts a sample within 0.25 of every real
             # crossing; the landing column then deviates by < 1.75 per
             # axis (0.5 in-column origin + 0.25 sample gap + 0.5
-            # rounding), so ONE 3x3 dilation covers it — unlike the
-            # earlier doubling sweep, whose per-level dilations and
-            # accumulated credits compounded to ~5-8 voxels of slack and
-            # strangled lit coverage to a few percent.
-            def shift_clamp(a, ox, oz):
-                """a evaluated at (x+ox, z+oz), EDGE-CLAMPED: a landing
-                cell one step outside the map must still see its in-bounds
-                3x3 neighbors (zero-fill here silently un-shadowed border
-                columns); cells >=2 outside have no in-bounds neighbors,
-                and the clamped read only over-claims shadow there."""
-                xi = np.clip(np.arange(n1) + ox, 0, n1 - 1)
-                zi = np.clip(np.arange(n1) + oz, 0, n1 - 1)
-                return a[np.ix_(xi, zi)]
-
-            hd = h1.copy()
-            for ox in (-1, 0, 1):
-                for oz in (-1, 0, 1):
-                    if ox or oz:
-                        hd = np.maximum(hd, shift(h1, ox, oz))
-            # FAR field only: samples landing >= 2 cells out (their 3x3
-            # covers every crossing >= 3 cells out). Crossings within the
-            # 5x5 are resolved EXACTLY by the verdict kernel's per-column
-            # window tests (ops/beams.py) from the origin's true position
-            # — the near field is where blunt dilation cost most.
-            s_map = np.full_like(h1, -1e9)
+            # rounding), so ONE 3x3 dilation covers it. FAR field only:
+            # samples landing >= 2 cells out (their 3x3 covers every
+            # crossing >= 3 columns out); crossings within the 5x5 are
+            # resolved EXACTLY by the verdict kernel's per-column window
+            # tests (ops/beams.py) from the origin's true position.
+            # Beyond the sampled length, the analytic cap rules: a ray at
+            # y >= hmax_glob - length*slope is above ALL loaded terrain
+            # once it has travelled that far.
+            hda = h1a.copy()
+            for sx in (-1, 0, 1):
+                for sz in (-1, 0, 1):
+                    if sx or sz:
+                        np.maximum(hda, shift_a(h1a, sx, sz), out=hda)
+            cap = hmax_glob - length * slope
+            s_map = np.full_like(h1, min(cap, 1e4))
+            buf = np.empty_like(s_map)
             seen = set()
             D = 0.25
             while D <= length:
@@ -486,76 +537,79 @@ class HeightField:
                 if o not in seen:  # later D, same cell: smaller term
                     seen.add(o)
                     if max(abs(o[0]), abs(o[1])) >= 2:
-                        s_map = np.maximum(
-                            s_map,
-                            shift_clamp(hd, o[0], o[1]) - (D - 0.25) * slope)
+                        view = hda[cx0 + o[0] : cx0 + o[0] + n1,
+                                   cz0 + o[1] : cz0 + o[1] + n1]
+                        np.subtract(view, np.float32((D - 0.25) * slope),
+                                    out=buf)
+                        np.maximum(s_map, buf, out=s_map)
                 D += 0.5
 
-            if b1.any():
+            if b1a.any():
                 # certainly-BLOCKED distance ladder: at horizontal travel
                 # Dh the ray's height is EXACTLY y + Dh*slope (no drift in
                 # height — only the landing COLUMN is uncertain, by the
                 # origin's in-column position [<=0.71] plus the offset
-                # rounding [<=0.71], all within a 5x5 neighborhood). A
+                # rounding [<=0.71], all within a 3x3 neighborhood). A
                 # claim at rung Dh therefore needs the ray height to sit
                 # >=1 voxel inside the topmost contiguous-opaque run of
-                # EVERY 3x3 neighbor of the landing column (per-axis
-                # deviation is provably < 1): 3x3-eroded run top above,
-                # 3x3-dilated run bottom below. Rungs grow by
+                # EVERY 3x3 neighbor of the landing column: 3x3-eroded run
+                # top above, 3x3-dilated run bottom below. Rungs grow by
                 # ~sqrt2 so the (typically tens-of-voxels wide) window of
                 # distances where a blocked ray is inside the terrain skin
                 # contains a rung. Single-hop tests: no error accumulation,
                 # and rays that duck UNDER hollow mountain interiors (the
                 # SVO only holds surface-straddling chunks) are simply not
                 # claimed at those rungs.
-                bb1 = self._B1b.astype(np.float32)
                 rungs = []
                 dh = 3.0  # closer blockers are kernel-exact (5x5 windows)
-                while dh <= length and len(rungs) < 12:
+                while dh <= len_rungs and len(rungs) < 12:
                     rungs.append(dh)
                     dh = max(dh + 1.0, round(dh * 1.45))
                 los, his = [], []
                 for dh in rungs:
-                    ox = int(np.rint(v[0] * dh))
-                    oz = int(np.rint(v[1] * dh))
-                    top_s = shift(b1, ox, oz)
-                    bot_s = shift(bb1, ox, oz)
+                    sx = int(np.rint(v[0] * dh))
+                    sz = int(np.rint(v[1] * dh))
+                    top_s = shift_a(b1a, sx, sz)
+                    bot_s = shift_a(bb1a, sx, sz)
                     # empty neighbors (top 0) kill the claim via ero-1<0
-                    ero = top_s
-                    dil = bot_s
+                    # (COPIES: the in-place min/max below must not mutate
+                    # the arrays still being shifted)
+                    ero = top_s.copy()
+                    dil = bot_s.copy()
                     for ddx in (-1, 0, 1):
                         for ddz in (-1, 0, 1):
                             if ddx or ddz:
-                                ero = np.minimum(ero, shift(top_s, ddx, ddz))
-                                dil = np.maximum(dil, shift(bot_s, ddx, ddz))
+                                np.minimum(ero, shift_a(top_s, ddx, ddz),
+                                           out=ero)
+                                np.maximum(dil, shift_a(bot_s, ddx, ddz),
+                                           out=dil)
                     rise = dh * slope
-                    his.append(ero - rise - 1.0)  # claim: y <= hi
-                    los.append(dil - rise + 1.0)  # claim: y >= lo
-                b_map = np.stack(los + his, axis=2)  # (n1, n1, 2K)
-                d_len = np.float32(rungs[-1] / dxz + 4.0)
+                    his.append(ero[core] - rise - 1.0)  # claim: y <= hi
+                    los.append(dil[core] - rise + 1.0)  # claim: y >= lo
+                if rungs:
+                    b_map = (los, his)
+                    d_len = np.float32(rungs[-1] / dxz + 4.0)
 
-        if b_map.ndim == 2:  # no bands available
-            b_map = np.zeros((n1, n1, 0), np.float32)
-
-        # near-field planes for the kernel's EXACT per-column window
-        # tests: the 5x5 neighborhood's voxel tops (lit) and topmost-run
-        # top/bottom (blocked), gathered with the same row. Out-of-map
-        # neighbors read 0: no geometry (lit passes), no run (no claim).
-        near = []
-        for src in (h1, self._B1.astype(np.float32)
-                    if self._B1 is not None else np.zeros_like(h1),
-                    self._B1b.astype(np.float32)
-                    if self._B1b is not None else np.zeros_like(h1)):
+        # assemble the encoded u16 table column-directly (no full-size
+        # float intermediate): [S_far | 25 near voxel tops | 25 near run
+        # tops | 25 near run bottoms | K band los | K band his]
+        K = len(b_map[0]) if b_map is not None else 0
+        sb = np.empty((n1 * n1, 76 + 2 * K), np.uint16)
+        sb[:, 0] = _enc_up(s_map.reshape(-1))
+        i = 0
+        for src, enc in ((h1a, _enc_int), (b1a, _enc_int), (bb1a, _enc_int)):
             for ddx in (-2, -1, 0, 1, 2):
                 for ddz in (-2, -1, 0, 1, 2):
-                    near.append(np.asarray(
-                        _shift0(src, ddx, ddz, n1), np.float32).reshape(-1))
-        sb = np.concatenate(
-            [s_map.reshape(n1 * n1, 1),
-             np.stack(near, axis=1),
-             b_map.reshape(n1 * n1, -1)], axis=1)
-        self._sun = (self._version, key, jnp.asarray(sb), n1,
+                    sb[:, 1 + i] = enc(
+                        src[cx0 + ddx : cx0 + ddx + n1,
+                            cz0 + ddz : cz0 + ddz + n1]).reshape(-1)
+                    i += 1
+        for j in range(K):
+            sb[:, 76 + j] = _enc_up(b_map[0][j].reshape(-1))
+            sb[:, 76 + K + j] = _enc_dn(b_map[1][j].reshape(-1))
+        self._sun = (self._version, key, origin, jnp.asarray(sb), n1,
                      jnp.float32(d_len),
-                     jnp.asarray(d.astype(np.float32)))
+                     jnp.asarray(d.astype(np.float32)),
+                     jnp.asarray(np.array(origin, np.float32)))
         self._sun_last_build = _time.monotonic()
-        return self._sun[2], self._sun[3], self._sun[4], self._sun[5]
+        return self._sun[3:]
