@@ -60,3 +60,42 @@ def test_native_speed():
     print(f"\nnative {native_us:.0f} us/chunk vs numpy {numpy_us:.0f} us/chunk "
           f"(reference Rust fill_with: 53381 ns)")
     assert native_us < numpy_us
+
+@pytest.mark.parametrize("lod", [1, 2, 3, 4, 5, 0])
+def test_csvo_native_matches_python(lod):
+    from voxelrs_tpu.native import serialize_csvo_native
+    from voxelrs_tpu.world.csvo import serialize_dense_csvo
+
+    rng = np.random.default_rng(17)
+    extra = {"random": (rng.random((32, 32, 32)) < 0.2).astype(np.uint32) * 7}
+    for name, vox in {**cases(), **extra}.items():
+        ref_nodes, ref_mats, ref_cut = serialize_dense_csvo(vox, lod)
+        native = serialize_csvo_native(vox, lod)
+        assert native is not None, "native csvo unavailable"
+        nodes, mats, cut = native
+        assert cut == ref_cut, (name, lod)
+        if ref_nodes is None:
+            assert nodes is None, (name, lod)
+            continue
+        np.testing.assert_array_equal(nodes, ref_nodes,
+                                      err_msg=f"{name} lod={lod}")
+        assert list(mats) == list(ref_mats), (name, lod)
+
+
+def test_csvo_native_speed():
+    from voxelrs_tpu.native import serialize_csvo_native
+    from voxelrs_tpu.world.csvo import serialize_dense_csvo
+
+    vox = cases()["terrain"]
+    serialize_csvo_native(vox, 5)  # warm (builds the .so on first use)
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        serialize_csvo_native(vox, 5)
+    native_us = (time.perf_counter() - t0) / n * 1e6
+    t0 = time.perf_counter()
+    for _ in range(5):
+        serialize_dense_csvo(vox, 5)
+    py_us = (time.perf_counter() - t0) / 5 * 1e6
+    print(f"\ncsvo native {native_us:.0f} us/chunk vs python {py_us:.0f} us")
+    assert native_us < py_us

@@ -17,16 +17,13 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "esvo_native.cpp")
-_SO = os.path.join(_HERE, "_esvo_native.so")
 
 _lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_failed = False
+_libs: dict = {}
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO]
+def _build(src: str, so: str) -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -35,32 +32,57 @@ def _build() -> bool:
         return False
 
 
-def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _failed
-    if _lib is not None or _failed:
-        return _lib
+def _get(name: str, configure) -> Optional[ctypes.CDLL]:
+    """Load (building on demand) the shared object for ``name``
+    (<name>.cpp -> _<name>.so); ``configure(lib)`` declares prototypes."""
+    if name in _libs:
+        return _libs[name]
     with _lock:
-        if _lib is not None or _failed:
-            return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                _failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-            lib.esvo_serialize_chunk.restype = ctypes.c_uint32
-            lib.esvo_serialize_chunk.argtypes = [
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.c_uint32,
-                ctypes.POINTER(ctypes.c_uint8),
-            ]
-            _lib = lib
-        except OSError as e:
-            print(f"native load failed ({e}); using numpy serializer")
-            _failed = True
-    return _lib
+        if name in _libs:
+            return _libs[name]
+        src = os.path.join(_HERE, f"{name}.cpp")
+        so = os.path.join(_HERE, f"_{name}.so")
+        lib = None
+        if (os.path.exists(so)
+                and os.path.getmtime(so) >= os.path.getmtime(src)) \
+                or _build(src, so):
+            try:
+                lib = ctypes.CDLL(so)
+                configure(lib)
+            except OSError as e:
+                print(f"native load failed ({e}); using numpy serializer")
+                lib = None
+        _libs[name] = lib
+    return lib
+
+
+def _cfg_esvo(lib):
+    lib.esvo_serialize_chunk.restype = ctypes.c_uint32
+    lib.esvo_serialize_chunk.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+
+
+def _cfg_csvo(lib):
+    lib.csvo_serialize_chunk.restype = ctypes.c_uint32
+    lib.csvo_serialize_chunk.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    return _get("esvo_native", _cfg_esvo)
 
 
 def serialize_chunk_native(voxels: np.ndarray, lod: int):
@@ -84,3 +106,35 @@ def serialize_chunk_native(voxels: np.ndarray, lod: int):
     if n == 0xFFFFFFFF:
         return None  # overflow — let the numpy path handle it
     return out[:n].copy(), (int(meta[0]), int(meta[1]), int(meta[2]))
+
+
+def serialize_csvo_native(voxels: np.ndarray, lod: int):
+    """Native CSVO chunk serialization; returns (node_bytes u8 array,
+    materials list[int], effective_cut) with node_bytes None for an empty
+    chunk, or None when the native library is unavailable/overflowed."""
+    lib = _get("csvo_native", _cfg_csvo)
+    if lib is None:
+        return None
+    vox = np.ascontiguousarray(voxels, dtype=np.uint32)
+    # worst case: full chunk => 4681 internal/leaf nodes; internal nodes
+    # pay <= 2 + 8*4 bytes, leaves 1 — 64K is comfortably above
+    node_cap = 1 << 17
+    out = np.empty(node_cap, np.uint8)
+    mats = np.empty(32768, np.uint32)
+    mat_len = np.zeros(1, np.uint32)
+    cut = np.zeros(1, np.uint8)
+    n = lib.csvo_serialize_chunk(
+        vox.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(lod),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        node_cap,
+        mats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        32768,
+        mat_len.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if n == 0xFFFFFFFF:
+        return None  # overflow — numpy path handles it
+    if n == 0:
+        return None, None, int(cut[0])
+    return out[:n].copy(), mats[: int(mat_len[0])].copy(), int(cut[0])

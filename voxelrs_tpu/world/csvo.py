@@ -152,7 +152,13 @@ class CsvoSerializedChunk:
         # lets the renderer prove a world contains no translucent blocks
         self.value_mask = ~0
         if voxels is not None:
-            buffer, materials, eff = serialize_dense_csvo(voxels, lod)
+            from ..native import serialize_csvo_native
+
+            native = serialize_csvo_native(voxels, lod)
+            if native is not None:
+                buffer, materials, _eff = native
+            else:
+                buffer, materials, _eff = serialize_dense_csvo(voxels, lod)
             self.buffer = buffer
             self.materials = materials
             self.lod = lod if lod != 0 else CHUNK_DEPTH
@@ -244,8 +250,8 @@ class Csvo:
                 materials = content.materials
                 blob = bytearray([content.lod])
                 blob += (len(materials) * 4).to_bytes(4, "little")
-                for mat in materials:
-                    blob += int(mat).to_bytes(4, "little")
+                blob += np.asarray(materials, np.uint32).astype(
+                    "<u4").tobytes()
                 blob += content.buffer.tobytes()
                 offset = self.buffer.insert(uid, np.frombuffer(bytes(blob), np.uint8))
                 self.leaf_info[uid] = LeafInfo(offset)
