@@ -97,10 +97,10 @@ def main():
     print(f"frame = {b:,} pixels; traversal gathers/pixel = "
           f"{total_trav/b:.2f}")
 
-    # shade/finalize pricing from the sticky buckets: shade = 1 footprint
-    # texel gather (slow tier, the pair atlas has ~200K rows) + 1 material
-    # row (fast) per hit lane; finalize = 2 fat-row value fetches per lane
-    MS_SLOW = 12.2e-3
+    # shade/finalize pricing from the sticky buckets: shade = 3 fast-tier
+    # row gathers per hit lane (material row + color footprint + normal
+    # footprint over the raw T-layer atlas, which sits under the ~48K-row
+    # cliff); finalize = 2 fat-row value fetches per lane
     ks = []
     for key, pipe in shading._pipeline_cache.items():
         for item in pipe:
@@ -111,11 +111,10 @@ def main():
                         ks.append((name, v))
     k_hits = max((v for n, v in ks if n == "hits_k"), default=0)
     if k_hits:
-        shade_ms = k_hits * (MS_SLOW + MS_PER_M) / 1e3
+        shade_ms = k_hits * 3 * MS_PER_M / 1e3
         fin_ms = k_hits * 2 * MS_PER_M / 1e3
         print(f"hit bucket k = {k_hits:,}: shade ~{shade_ms:.1f} ms "
-              f"(1 slow texel + 1 fast material gather/lane), "
-              f"finalize ~{fin_ms:.1f} ms")
+              f"(3 fast gathers/lane), finalize ~{fin_ms:.1f} ms")
         tot = (total_trav + total_comp) * MS_PER_M / 1e3 + shade_ms + fin_ms
         print(f"MODELED device gather total: ~{tot:.1f} ms/frame")
 

@@ -114,13 +114,13 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
     specular).
 
     Gather-lean formulation (measured on v5e — gather count dominates):
-    - ONE material row gather: [spec_pow, spec_strength, tex0..tex5].
-    - Color + normal-map texels ride the SAME gathers via a paired atlas
-      built in-graph — each (block, face-slot) pairs its color and normal
-      layers into 8-channel texels, so one sample serves both maps — and
-      the sampler's footprint mode packs each bilinear 2x2 window into a
-      single 32-channel row: TWO row gathers per lane end to end
-      (material + texels) vs 18 for the naive formulation."""
+    - ONE material row gather: [spec_pow, spec_strength, tex0..tex5] —
+      both texture layer ids ride it.
+    - The sampler's footprint mode packs each bilinear 2x2 window into a
+      single 16-channel row of the raw T-layer atlas, which stays under
+      the fast-gather row-count cliff: THREE fast row gathers per lane
+      end to end (material + color texels + normal texels) vs 18 slow
+      ones for the naive formulation."""
     V = mat_params.shape[0]
     T = mips[0].shape[0]
     value = jnp.clip(res.value.astype(jnp.int32), 0, V - 1)
@@ -135,27 +135,24 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
     spec_pow = jnp.maximum(mrow[:, 0], 1e-6)
     spec_strength = mrow[:, 1]
     slot_onehot = slot[:, None] == jnp.arange(3)[None, :]
+    clayer = jnp.sum(jnp.where(slot_onehot, mrow[:, 2:5], 0.0), axis=1)
     nlayer = jnp.sum(jnp.where(slot_onehot, mrow[:, 5:8], 0.0), axis=1)
 
-    # paired 8-channel atlas: (value, slot) -> [color RGBA | normal RGBA]
-    cl = jnp.clip(mat_tex[:, 0:3], 0, T - 1).reshape(-1)
-    nl = jnp.clip(mat_tex[:, 3:6], 0, T - 1).reshape(-1)
-    pair_mips = tuple(
-        jnp.concatenate([m[cl], m[nl]], axis=-1) for m in mips
-    )
-    # LINEAR_MIPMAP_NEAREST by default: 4 paired gathers instead of 8 —
-    # gathers dominate shading cost on TPU, and nearest-mip stays within
-    # the render-correctness budget (VOXELRS_TRILINEAR=1 restores the GL
-    # reference's LINEAR_MIPMAP_LINEAR exactly)
+    # LINEAR_MIPMAP_NEAREST by default: nearest-mip stays within the
+    # render-correctness budget (VOXELRS_TRILINEAR=1 restores the GL
+    # reference's LINEAR_MIPMAP_LINEAR exactly). Color and normal sample
+    # the RAW T-layer footprint atlas separately: two FAST-tier row
+    # gathers (the 25-layer table stays under the ~48K-row gather cliff,
+    # where the old 39-pid paired atlas paid the 3x slow tier), with both
+    # layer ids riding the material row gathered above. XLA CSEs the
+    # atlas construction across the two calls.
     import os as _os
 
     mip_mode = "linear" if _os.environ.get("VOXELRS_TRILINEAR") == "1" else "nearest"
-    pid = value * 3 + slot
-    # footprint mode: the full 2x2 bilinear window arrives in ONE row
-    # gather (nearest-mip: 4 gathers -> 1; trilinear: 8 -> 2), bit-exact
-    tex8 = sample_texture_lod(pair_mips, pid, res.uv, res.lod,
-                              mip_mode=mip_mode, footprint=True)
-    color, ntex = tex8[:, 0:4], tex8[:, 4:8]
+    color = sample_texture_lod(mips, clayer.astype(jnp.int32), res.uv,
+                               res.lod, mip_mode=mip_mode, footprint=True)
+    ntex = sample_texture_lod(mips, nlayer.astype(jnp.int32), res.uv,
+                              res.lod, mip_mode=mip_mode, footprint=True)
 
     # block highlight outline
     same_block = jnp.all(
