@@ -21,6 +21,10 @@ import numpy as np
 
 TEX_SIZE = 32
 MIP_LEVELS = 6
+# max unique (color, normal) layer pairs for the paired shading atlas:
+# 24 padded 33x33 footprint levels stay under the ~48K-row fast-gather
+# tier on the target hardware
+PAIR_CAP = 24
 
 
 def _hash01(ix: np.ndarray, iy: np.ndarray, salt: int) -> np.ndarray:
@@ -173,4 +177,20 @@ class VoxelRegistry:
                 lookup(m.tex_side_normal),
                 lookup(m.tex_bottom_normal),
             )
+
+        # dedup (color, normal) layer pairs into columns 6:9 so shading can
+        # sample ONE (<=PAIR_CAP)-layer paired footprint atlas per lane
+        # (ops/shading.py surface_shading); registries with more unique
+        # pairs keep the 6-column shape and shading falls back to two
+        # raw-atlas gathers — still fast-tier, one gather more
+        T = stack.shape[0]
+        pair_id: dict[tuple[int, int], int] = {}
+        pids = np.zeros((mat_tex.shape[0], 3), np.int32)
+        for block in range(mat_tex.shape[0]):
+            for slot in range(3):
+                key = (int(np.clip(mat_tex[block, slot], 0, T - 1)),
+                       int(np.clip(mat_tex[block, 3 + slot], 0, T - 1)))
+                pids[block, slot] = pair_id.setdefault(key, len(pair_id))
+        if len(pair_id) <= PAIR_CAP:
+            mat_tex = np.concatenate([mat_tex, pids], axis=1)
         return mips, jnp.asarray(mat_params), jnp.asarray(mat_tex)

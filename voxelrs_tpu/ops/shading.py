@@ -140,19 +140,40 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
 
     # LINEAR_MIPMAP_NEAREST by default: nearest-mip stays within the
     # render-correctness budget (VOXELRS_TRILINEAR=1 restores the GL
-    # reference's LINEAR_MIPMAP_LINEAR exactly). Color and normal sample
-    # the RAW T-layer footprint atlas separately: two FAST-tier row
-    # gathers (the 25-layer table stays under the ~48K-row gather cliff,
-    # where the old 39-pid paired atlas paid the 3x slow tier), with both
-    # layer ids riding the material row gathered above. XLA CSEs the
-    # atlas construction across the two calls.
+    # reference's LINEAR_MIPMAP_LINEAR exactly). Texel fetch strategy, in
+    # both cases FAST-tier (tables under the ~48K-row gather cliff, where
+    # the old 39-pid paired atlas paid the 3x slow tier):
+    # - registry published deduped (color,normal) pair ids (mat_tex cols
+    #   6:9, <= PAIR_CAP unique pairs): ONE 8-channel paired footprint
+    #   gather per lane, pair id riding the material row;
+    # - otherwise: color + normal sample the raw T-layer footprint atlas
+    #   separately (two gathers; XLA CSEs the atlas construction).
     import os as _os
 
     mip_mode = "linear" if _os.environ.get("VOXELRS_TRILINEAR") == "1" else "nearest"
-    color = sample_texture_lod(mips, clayer.astype(jnp.int32), res.uv,
-                               res.lod, mip_mode=mip_mode, footprint=True)
-    ntex = sample_texture_lod(mips, nlayer.astype(jnp.int32), res.uv,
-                              res.lod, mip_mode=mip_mode, footprint=True)
+    if mat_tex.shape[1] >= 9:
+        from ..graphics.registry import PAIR_CAP
+
+        pid = jnp.sum(jnp.where(slot_onehot, mrow[:, 8:11], 0.0),
+                      axis=1).astype(jnp.int32)
+        pslot = mat_tex[:, 6:9].reshape(-1)
+        cl_u = jnp.zeros(PAIR_CAP, jnp.int32).at[pslot].set(
+            jnp.clip(mat_tex[:, 0:3], 0, T - 1).reshape(-1))
+        nl_u = jnp.zeros(PAIR_CAP, jnp.int32).at[pslot].set(
+            jnp.clip(mat_tex[:, 3:6], 0, T - 1).reshape(-1))
+        pair_mips = tuple(
+            jnp.concatenate([m[cl_u], m[nl_u]], axis=-1) for m in mips
+        )
+        tex8 = sample_texture_lod(pair_mips, pid, res.uv, res.lod,
+                                  mip_mode=mip_mode, footprint=True)
+        color, ntex = tex8[:, 0:4], tex8[:, 4:8]
+    else:
+        color = sample_texture_lod(mips, clayer.astype(jnp.int32), res.uv,
+                                   res.lod, mip_mode=mip_mode,
+                                   footprint=True)
+        ntex = sample_texture_lod(mips, nlayer.astype(jnp.int32), res.uv,
+                                  res.lod, mip_mode=mip_mode,
+                                  footprint=True)
 
     # block highlight outline
     same_block = jnp.all(
