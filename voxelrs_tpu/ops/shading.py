@@ -639,10 +639,12 @@ class _EsvoEngine:
     """ESVO push-driven engine bound into the deferred pipelines.
 
     ``descriptors`` is the (N,) u32 SVO buffer. The frozen record is
-    (t_min, pp, idx|scale<<8, posx, posy, posz)."""
+    (t_min, pp, idx|scale<<8, posx, posy, posz, child_ptr) — child_ptr
+    (the hit node's resolved block pointer) halves finalize's value
+    fetches."""
 
     name = "esvo"
-    FROZEN_EXTRA = 0  # channels beyond the 6 shared ones
+    FROZEN_EXTRA = 1  # channels beyond the 6 shared ones
 
     @staticmethod
     def prep(descriptors):
@@ -704,18 +706,18 @@ class _EsvoEngine:
         idxscale = (state.idx.astype(jnp.uint32)
                     | (state.scale.astype(jnp.uint32) << 8))
         return (state.t_min, state.pp, idxscale,
-                state.posx, state.posy, state.posz)
+                state.posx, state.posy, state.posz, state.child_ptr)
 
     @staticmethod
     def thaw(c, frozen, hit, stack_height):
         from .traversal import init_state_push
 
-        t_min, pp, idxscale, px, py, pz = frozen
+        t_min, pp, idxscale, px, py, pz, cp = frozen
         return init_state_push(c, stack_height)._replace(
             t_min=t_min, pp=pp,
             idx=(idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
             scale=(idxscale >> jnp.uint32(8)).astype(jnp.int32),
-            posx=px, posy=py, posz=pz, hit=hit,
+            posx=px, posy=py, posz=pz, hit=hit, child_ptr=cp,
         )
 
     @staticmethod
@@ -723,12 +725,12 @@ class _EsvoEngine:
         """Leaf values for frozen hit lanes (adaptive-merge corner fetch)."""
         from .traversal import _make_fat_rows, hit_phase_fat
 
-        t, pp, idxscale, px, py, pz = frozen
+        t, pp, idxscale, px, py, pz, cp = frozen
         value, *_rest = hit_phase_fat(
             _make_fat_rows(descriptors), c, pp,
             (idxscale & jnp.uint32(0xFF)).astype(jnp.int32),
             (idxscale >> jnp.uint32(8)).astype(jnp.int32),
-            px, py, pz, t,
+            px, py, pz, t, child_ptr=cp,
         )
         return value
 

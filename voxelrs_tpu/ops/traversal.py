@@ -239,15 +239,22 @@ def hit_phase(rows, c: RayConsts, pp, idx, scale, posx, posy, posz, t_min,
 
 
 def hit_phase_fat(fat_rows, c: RayConsts, pp, idx, scale, posx, posy, posz,
-                  t_min):
-    """``hit_phase`` with the two value fetches routed through the fat-row
-    view (the 12-wide view's row count sits in the slow gather tier)."""
-    ptr = pp & PTR_MASK
+                  t_min, child_ptr=None):
+    """``hit_phase`` with the value fetches routed through the fat-row
+    view (the 12-wide view's row count sits in the slow gather tier).
+    ``child_ptr`` — the hit node's resolved block pointer, carried live in
+    PushState and in the frozen record — skips the parent-pointer fetch:
+    ONE row gather per lane instead of two (values bit-identical: it IS
+    the pointer the skipped fetch would resolve)."""
     pidx = (pp >> PTR_BITS).astype(i32)
     octant_idx = (idx ^ c.octant_mask).astype(u32)
 
-    (raw,) = _fetch_words(fat_rows, ptr, [4 + pidx])
-    next_ptr = _resolve_ptr(raw, ptr, pidx.astype(u32))
+    if child_ptr is None:
+        ptr = pp & PTR_MASK
+        (raw,) = _fetch_words(fat_rows, ptr, [4 + pidx])
+        next_ptr = _resolve_ptr(raw, ptr, pidx.astype(u32))
+    else:
+        next_ptr = child_ptr
     (leaf_value,) = _fetch_words(fat_rows, next_ptr,
                                  [4 + octant_idx.astype(i32)])
     return (leaf_value,) + _hit_geometry(c, octant_idx, scale, posx, posy,
@@ -928,6 +935,7 @@ def finalize(fat_rows, c: RayConsts, state: State, steps_used) -> TraversalResul
     leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase_fat(
         fat_rows, c, state.pp, state.idx, state.scale, state.posx, state.posy,
         state.posz, state.t_min,
+        child_ptr=getattr(state, "child_ptr", None),
     )
     scale_exp2 = _exp2_scale(state.scale)
     hit = state.hit
