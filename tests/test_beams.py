@@ -754,3 +754,52 @@ def test_sun_map_windowed_sound():
                 refined[i] = (occ_op[q[:, 0], q[:, 1], q[:, 2]] & ok).any()
             assert refined.all(), (
                 f"{(~refined).sum()} windowed blocked claims miss solid")
+
+
+def test_sun_map_async_attach_and_stale_discard():
+    """sun_async=True: the first call kicks a background build and
+    returns None; a later call attaches the finished table. A world
+    change during the build must discard the (unsound) stale result."""
+    import time
+
+    lut = _opaque_lut()
+    light = np.array([-1.0, -1.0, -1.0], np.float32) / np.sqrt(3)
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+
+    def make_hf():
+        hf = HeightField()
+        hf.sun_async = True
+        hf.SUN_COOLDOWN = 0.0
+        hf.set_chunk((0, 0, 0), chunk_column_tops(vox, 5),
+                     vtops=chunk_voxel_tops(vox, 5),
+                     sbase=chunk_solid_bases(vox, 5, lut))
+        return hf
+
+    hf = make_hf()
+    assert hf.sun_map(light) is None  # build kicked, nothing yet
+    for _ in range(100):
+        time.sleep(0.05)
+        sm = hf.sun_map(light)
+        if sm is not None:
+            break
+    assert sm is not None, "async build never attached"
+    assert sm[1] == 32  # 1-chunk world: 32-voxel window
+
+    # stale discard: mutate the world while a build is in flight
+    hf2 = make_hf()
+    assert hf2.sun_map(light) is None
+    hf2.set_chunk((0, 1, 0), chunk_column_tops(vox, 5),
+                  vtops=chunk_voxel_tops(vox, 5),
+                  sbase=chunk_solid_bases(vox, 5, lut))  # version bump
+    if hf2._sun_thread is not None:
+        hf2._sun_thread.join(timeout=30)
+    sm2 = hf2.sun_map(light)  # stale pending discarded, new build kicked
+    assert hf2._sun is None or hf2._sun[0] == hf2._version
+    for _ in range(100):
+        time.sleep(0.05)
+        sm2 = hf2.sun_map(light)
+        if sm2 is not None:
+            break
+    assert sm2 is not None
+    assert hf2._sun[0] == hf2._version

@@ -93,6 +93,9 @@ class Svo:
         from ..world.heightfield import HeightField
 
         self.heightfield = HeightField()
+        # table builds are seconds of host work on big worlds: never
+        # stall a frame for them in the streaming engine
+        self.heightfield.sun_async = True
         self._col_tops: dict[ChunkPos, np.ndarray] = {}
         self._vox_tops: dict[ChunkPos, np.ndarray] = {}
         self._sol_bases: dict[ChunkPos, np.ndarray] = {}

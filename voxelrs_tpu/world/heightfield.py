@@ -143,6 +143,10 @@ class HeightField:
     # shadow rays simply trace — no soundness impact)
     SUN_WINDOW = 1024
     SUN_COOLDOWN = 0.75  # s: don't rebuild the sun map while streaming
+    # build the table on a worker thread (the streaming engine enables
+    # this: a ~seconds host build must not stall a frame); synchronous by
+    # default so tests and static scenes get the map on the first call
+    sun_async = False
 
     def __init__(self) -> None:
         self._tops: dict[tuple[int, int, int], np.ndarray] = {}
@@ -157,6 +161,8 @@ class HeightField:
         self._version = 0
         self._sun: Optional[tuple] = None  # (version, key, origin, dev, ...)
         self._sun_last_build = -1e9
+        self._sun_thread = None  # async build single-flight
+        self._sun_pending: Optional[tuple] = None  # (version, built)
 
     # -- host maintenance --------------------------------------------------
 
@@ -258,7 +264,7 @@ class HeightField:
         self._dirty = True
         self._version += 1
 
-    def _stack_column(self, cx: int, cz: int):
+    def _stack_column(self, cx: int, cz: int, src=None):
         """(vox_tops, run_top, run_bottom) (32,32) int32 world-height maps
         of chunk column (cx, cz), combined over its loaded chunk stack.
 
@@ -267,15 +273,17 @@ class HeightField:
         chunk whose solid base meets the current run top extends it; a
         chunk starting a fresh run replaces it (higher chunks always win).
         Missing chunks / missing solid info break continuity."""
+        cols, vtops, sbase = (src if src is not None
+                              else (self._cols, self._vtops, self._sbase))
         acc1 = np.zeros((32, 32), np.int32)
         accb = np.zeros((32, 32), np.int32)
         accb_bot = np.zeros((32, 32), np.int32)
-        for pos in sorted(self._cols.get((cx, cz), ()), key=lambda p: p[1]):
-            v = self._vtops.get(pos)
+        for pos in sorted(cols.get((cx, cz), ()), key=lambda p: p[1]):
+            v = vtops.get(pos)
             if v is not None:
                 v = v.astype(np.int32)
                 acc1 = np.maximum(acc1, np.where(v > 0, v + pos[1] * 32, 0))
-            sb = self._sbase.get(pos)
+            sb = sbase.get(pos)
             if sb is not None:
                 base_y = pos[1] * 32
                 sbi = sb.astype(np.int32)
@@ -285,7 +293,7 @@ class HeightField:
                 accb_bot = np.where(start, base_y, accb_bot)
         return acc1, accb, accb_bot
 
-    def _window_fields(self, ox: int, oz: int, nx: int, nz: int):
+    def _window_fields(self, ox: int, oz: int, nx: int, nz: int, src=None):
         """Assemble (vox_tops, run_top, run_bottom) float32 (nx, nz) maps
         for the voxel window [ox, ox+nx) x [oz, oz+nz) from the per-chunk
         dicts. ``ox``/``oz`` are voxel coordinates aligned to 32 (may be
@@ -296,12 +304,13 @@ class HeightField:
         h1 = np.zeros((nx, nz), np.float32)
         b1 = np.zeros((nx, nz), np.float32)
         bb1 = np.zeros((nx, nz), np.float32)
+        cols = src[0] if src is not None else self._cols
         c0x, c1x = ox >> 5, (ox + nx - 1) >> 5
         c0z, c1z = oz >> 5, (oz + nz - 1) >> 5
-        for (cx, cz) in self._cols:
+        for (cx, cz) in cols:
             if not (c0x <= cx <= c1x and c0z <= cz <= c1z):
                 continue
-            a1, ab, abb = self._stack_column(cx, cz)
+            a1, ab, abb = self._stack_column(cx, cz, src)
             xs = cx * 32 - ox
             zs = cz * 32 - oz
             x0, x1 = max(0, xs), min(nx, xs + 32)
@@ -410,6 +419,12 @@ class HeightField:
         SUN_WINDOW voxels per axis are fully covered at origin 0."""
         import time as _time
 
+        pending = self._sun_pending
+        if pending is not None:  # a finished async build attaches here
+            self._sun_pending = None
+            ver, built = pending
+            if ver == self._version:  # stale builds are UNSOUND: discard
+                self._attach_sun(ver, built)
         if self._n == 0 or len(self._vtops) != len(self._tops):
             return None
         d = -np.asarray(light_dir, np.float64)
@@ -447,10 +462,53 @@ class HeightField:
         now = _time.monotonic()
         if now - self._sun_last_build < self.SUN_COOLDOWN:
             return None
+        if not self.sun_async:
+            built = self._sun_build(d, key, origin, n1, self._H,
+                                    (self._cols, self._vtops, self._sbase))
+            self._attach_sun(self._version, built)
+            self._sun_last_build = _time.monotonic()
+            return self._sun[3:]
+        # async single-flight: snapshot the chunk dicts (values are
+        # immutable-by-convention arrays; set_chunk replaces, never
+        # mutates) and build on a worker thread — frames render without
+        # elision until the finished table attaches on a later call.
+        # Device conversion stays on the MAIN thread (_attach_sun): the
+        # axon tunnel client is not assumed thread-safe.
+        if self._sun_thread is None or not self._sun_thread.is_alive():
+            import threading
+
+            snap_version = self._version
+            snap = ({k: set(v) for k, v in self._cols.items()},
+                    dict(self._vtops), dict(self._sbase))
+            snap_h = self._H.copy()
+
+            def work():
+                try:
+                    self._sun_pending = (
+                        snap_version,
+                        self._sun_build(d, key, origin, n1, snap_h, snap))
+                except Exception:  # a failed build just means no elision
+                    self._sun_pending = None
+
+            self._sun_last_build = _time.monotonic()
+            self._sun_thread = threading.Thread(
+                target=work, name="sun-map-build", daemon=True)
+            self._sun_thread.start()
+        return None
+
+    def _attach_sun(self, version, built) -> None:
         import jax.numpy as jnp
 
+        key, origin, sb, n1, d_len, d32 = built
+        self._sun = (version, key, origin, jnp.asarray(sb), n1,
+                     jnp.float32(d_len), jnp.asarray(d32),
+                     jnp.asarray(np.array(origin, np.float32)))
+
+    def _sun_build(self, d, key, origin, n1, H, src):
+        """Heavy host-side table construction (numpy only — safe off the
+        main thread); returns the pre-device tuple for ``_attach_sun``."""
         ox, oz = origin
-        hmax_glob = float(self._H.max())
+        hmax_glob = float(H.max())
         dxz = float(np.hypot(d[0], d[2]))
         slope = float(d[1] / max(dxz, 1e-9))
         v = (np.array([d[0], d[2]]) / dxz if dxz >= 1e-4
@@ -470,8 +528,8 @@ class HeightField:
             # max — the analytic cap term rules beyond. The BLOCKED rung
             # ladder keeps the full hmax reach (its deep-valley claims
             # are exactly about low origins, and rungs are cheap).
-            ec = self._H[ox >> 3 : (ox + n1 + 7) >> 3,
-                         oz >> 3 : (oz + n1 + 7) >> 3]
+            ec = H[ox >> 3 : (ox + n1 + 7) >> 3,
+                   oz >> 3 : (oz + n1 + 7) >> 3]
             pos = ec[ec > 0]
             hmin_w = float(pos.min()) if pos.size else 0.0
             hmin_floor = max(0.0, hmin_w - 4.0)
@@ -486,7 +544,7 @@ class HeightField:
         ax0, az0 = ox - ext_x_lo, oz - ext_z_lo
         anx = n1 + ext_x_lo + ext_x_hi
         anz = n1 + ext_z_lo + ext_z_hi
-        h1a, b1a, bb1a = self._window_fields(ax0, az0, anx, anz)
+        h1a, b1a, bb1a = self._window_fields(ax0, az0, anx, anz, src)
         cx0, cz0 = ext_x_lo, ext_z_lo  # core origin within the assembly
         core = np.s_[cx0 : cx0 + n1, cz0 : cz0 + n1]
         h1 = h1a[core]
@@ -597,19 +655,15 @@ class HeightField:
         sb = np.empty((n1 * n1, 76 + 2 * K), np.uint16)
         sb[:, 0] = _enc_up(s_map.reshape(-1))
         i = 0
-        for src, enc in ((h1a, _enc_int), (b1a, _enc_int), (bb1a, _enc_int)):
+        for plane, enc in ((h1a, _enc_int), (b1a, _enc_int),
+                           (bb1a, _enc_int)):
             for ddx in (-2, -1, 0, 1, 2):
                 for ddz in (-2, -1, 0, 1, 2):
                     sb[:, 1 + i] = enc(
-                        src[cx0 + ddx : cx0 + ddx + n1,
-                            cz0 + ddz : cz0 + ddz + n1]).reshape(-1)
+                        plane[cx0 + ddx : cx0 + ddx + n1,
+                              cz0 + ddz : cz0 + ddz + n1]).reshape(-1)
                     i += 1
         for j in range(K):
             sb[:, 76 + j] = _enc_up(b_map[0][j].reshape(-1))
             sb[:, 76 + K + j] = _enc_dn(b_map[1][j].reshape(-1))
-        self._sun = (self._version, key, origin, jnp.asarray(sb), n1,
-                     jnp.float32(d_len),
-                     jnp.asarray(d.astype(np.float32)),
-                     jnp.asarray(np.array(origin, np.float32)))
-        self._sun_last_build = _time.monotonic()
-        return self._sun[3:]
+        return key, origin, sb, n1, d_len, d.astype(np.float32)
