@@ -803,3 +803,14 @@ def test_sun_map_async_attach_and_stale_discard():
             break
     assert sm2 is not None
     assert hf2._sun[0] == hf2._version
+
+
+@pytest.mark.parametrize("lod", [0, 1, 2, 3, 4, 5])
+def test_column_tops_equal_voxel_top_maxpool(lod):
+    """The (4,4) column tops are exactly the 8x8 max-pool of the (32,32)
+    voxel tops at every LOD (systems/worldsvo.py derives them that way)."""
+    rng = np.random.default_rng(29)
+    vox = (rng.random((32, 32, 32)) < 0.1).astype(np.uint32) * 3
+    vt = chunk_voxel_tops(vox, lod)
+    ct = chunk_column_tops(vox, lod)
+    assert (vt.reshape(4, 8, 4, 8).max(axis=(1, 3)) == ct).all()

@@ -133,22 +133,33 @@ class ChunkResult(Generic[T]):
 
 class ChunkProcessor(Generic[T]):
     """Per-ChunkPos job dedup + result channel
-    (reference: jobs.rs:289-385)."""
+    (reference: jobs.rs:289-385).
 
-    def __init__(self, job_system: JobSystem):
+    Results are generation-tagged per position: a result produced by a job
+    that was re-enqueued or cancelled in the meantime is STALE and must not
+    be delivered (it would displace the fresh job's result). Dropped values
+    are handed to ``on_drop`` so owners can reclaim resources they carry
+    (borrowed chunks, pool slots)."""
+
+    def __init__(self, job_system: JobSystem, on_drop=None):
         self.job_system = job_system
         self._chunk_jobs: dict = {}
+        self._gen: dict = {}
         self._results: queue.SimpleQueue = queue.SimpleQueue()
         self._lock = threading.Lock()
+        self._on_drop = on_drop
 
     def enqueue(self, pos, prioritize: bool, produce_fn: Callable[[], T]) -> None:
         """Enqueue work for ``pos``; a pending job for the same position is
         cancelled first."""
         self.dequeue(pos)
+        with self._lock:
+            gen = self._gen.get(pos, 0) + 1
+            self._gen[pos] = gen
 
         def run() -> None:
             value = produce_fn()
-            self._results.put(ChunkResult(pos, value))
+            self._results.put((ChunkResult(pos, value), gen))
 
         handle = self.job_system.push(prioritize, run)
         with self._lock:
@@ -164,15 +175,22 @@ class ChunkProcessor(Generic[T]):
         results: list[ChunkResult[T]] = []
         while len(results) < limit:
             try:
-                r = self._results.get_nowait()
+                r, gen = self._results.get_nowait()
             except queue.Empty:
                 break
             with self._lock:
                 handle = self._chunk_jobs.get(r.pos)
-                if handle is not None and not handle.is_cancelled():
+                fresh = (gen == self._gen.get(r.pos)
+                         and handle is not None
+                         and not handle.is_cancelled())
+                if fresh:
                     del self._chunk_jobs[r.pos]
-                    results.append(r)
-                # cancelled/stale results are dropped
+            if fresh:
+                results.append(r)
+            elif self._on_drop is not None:
+                # cancelled/stale results are dropped — let the owner
+                # reclaim whatever the value carries
+                self._on_drop(r.value)
         return results
 
     def has_pending(self) -> bool:

@@ -76,8 +76,15 @@ class MinecraftStorage:
         if key not in _ANVIL_CACHE:
             _ANVIL_CACHE[key] = AnvilWorld(path)
         self.world = _ANVIL_CACHE[key]
-        self.processor: ChunkProcessor[LoadResult] = ChunkProcessor(job_system)
+        # dropped (cancelled/stale) load results own a pool slot
+        self.processor: ChunkProcessor[LoadResult] = ChunkProcessor(
+            job_system, on_drop=self._reclaim_dropped)
         self.slot_pool = slot_pool or ChunkSlotPool()
+
+    def _reclaim_dropped(self, res) -> None:
+        chunk = getattr(res, "chunk", None)
+        if chunk is not None and chunk.voxels is not None:
+            self.slot_pool.release(chunk.voxels)
 
     def load(self, pos: ChunkPos, lod: int) -> None:
         def produce() -> LoadResult:

@@ -71,7 +71,11 @@ class Svo:
 
     def __init__(self, job_system: JobSystem, graphics_svo: "graphics.Svo",
                  render_distance: int, svo_format: str = "esvo"):
-        self.processor: ChunkProcessor = ChunkProcessor(job_system)
+        # dropped (cancelled/stale) serialize results still own their
+        # borrowed chunk; reclaim it so the borrow + pool slot return
+        self._dropped: list[BorrowedChunk] = []
+        self.processor: ChunkProcessor = ChunkProcessor(
+            job_system, on_drop=self._reclaim_dropped)
         self.svo_format = svo_format
         if svo_format == "esvo":
             self.world_svo = Esvo()
@@ -115,8 +119,7 @@ class Svo:
             # per-chunk serialization trace, recorded only when the chunk
             # produced data (reference: worldsvo.rs:93-98 trace_if has_data)
             from ..gamelogic import benchmark
-            from ..world.heightfield import (chunk_column_tops,
-                                             chunk_solid_bases,
+            from ..world.heightfield import (chunk_solid_bases,
                                              chunk_voxel_tops)
 
             sc = benchmark.trace_if(
@@ -125,8 +128,11 @@ class Svo:
                 lambda sc: sc.has_data(),
             )
             vox = np.asarray(voxels)
-            sc.column_tops = chunk_column_tops(vox, lod)
-            sc.voxel_tops = chunk_voxel_tops(vox, lod)
+            vt = chunk_voxel_tops(vox, lod)
+            # the (4,4) column tops are exactly the 8x8 max-pool of the
+            # voxel tops — one full-array reduction instead of two
+            sc.column_tops = vt.reshape(4, 8, 4, 8).max(axis=(1, 3))
+            sc.voxel_tops = vt
             if opaque_lut is not None:
                 sc.solid_bases = chunk_solid_bases(vox, lod, opaque_lut)
             return sc
@@ -259,8 +265,17 @@ class Svo:
         for pos in removed:
             leaf_ids.pop(pos, None)
 
+    def _reclaim_dropped(self, sc) -> None:
+        bc = sc.take_borrowed_chunk() if hasattr(
+            sc, "take_borrowed_chunk") else None
+        if bc is not None:
+            self._dropped.append(bc)
+
     def _process_serialized(self, results) -> list[BorrowedChunk]:
         chunks: list[BorrowedChunk] = []
+        if self._dropped:
+            chunks.extend(self._dropped)
+            self._dropped.clear()
         for result in results:
             sc: SerializedChunk = result.value
             borrowed = sc.take_borrowed_chunk()
@@ -313,3 +328,4 @@ class Svo:
 
     def get_stats(self):
         return self.graphics_svo.get_stats()
+

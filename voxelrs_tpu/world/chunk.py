@@ -168,6 +168,12 @@ class ChunkSlotPool:
             self._allocated += 1
             arr = np.zeros((CHUNK_SIZE, CHUNK_SIZE, CHUNK_SIZE), dtype=np.uint32)
         self._issued.add(id(arr))
+        # arrays dropped without release() (orphaned results) must not
+        # leave their id in _issued — a later id() collision would admit
+        # a foreign array into the free list
+        import weakref
+
+        weakref.finalize(arr, self._issued.discard, id(arr))
         return arr
 
     def release(self, arr: np.ndarray) -> None:

@@ -163,6 +163,7 @@ class HeightField:
         self._sun_last_build = -1e9
         self._sun_thread = None  # async build single-flight
         self._sun_pending: Optional[tuple] = None  # (version, built)
+        self._sun_quiet = (-1, -1e9)  # (version, first seen at)
 
     # -- host maintenance --------------------------------------------------
 
@@ -243,7 +244,9 @@ class HeightField:
 
     @staticmethod
     def _required_n(pos: tuple[int, int, int]) -> int:
-        span = max(pos) + 1  # chunks needed per axis
+        # the envelope is an (x, z) map: only those axes size the grid
+        # (a tall chunk stack must not inflate it quadratically)
+        span = max(pos[0], pos[2]) + 1  # chunks needed per axis
         p = 1
         while p < span:
             p <<= 1
@@ -431,7 +434,11 @@ class HeightField:
         d = d / max(np.linalg.norm(d), 1e-9)
         if d[1] < 0.1:
             return None  # sun at/below the horizon: nothing elidable
-        key = tuple(np.round(d * 64).astype(int))
+        # exact-direction key: the verdict kernel tests the BUILD-time d
+        # while the trace walks the caller's direction — any difference
+        # voids the verdict==trace contract, so close-but-unequal suns
+        # rebuild (cooldown-gated) instead of reusing
+        key = tuple(d.astype(np.float32))
 
         # window geometry: worlds that fit SUN_WINDOW get full coverage at
         # origin 0; larger worlds get a 32-aligned window centered on the
@@ -468,6 +475,15 @@ class HeightField:
             self._attach_sun(self._version, built)
             self._sun_last_build = _time.monotonic()
             return self._sun[3:]
+        # quiet gate (async only): while chunks stream in, every build
+        # would be version-stale by the time it finishes and its attach
+        # discarded — only start once the world has been unchanged for a
+        # full cooldown
+        if self._sun_quiet[0] != self._version:
+            self._sun_quiet = (self._version, now)
+            return None
+        if now - self._sun_quiet[1] < self.SUN_COOLDOWN:
+            return None
         # async single-flight: snapshot the chunk dicts (values are
         # immutable-by-convention arrays; set_chunk replaces, never
         # mutates) and build on a worker thread — frames render without
