@@ -41,8 +41,10 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
 
     # procedural terrain
-    g = Game(GameArgs(player_pos=(16.0, 70.0, -30.0),
-                      player_euler_rot=(-20.0, 75.0, 0.0),
+    # seed-1 surface at (16,-30) is y~165 since the noise-crate parity
+    # rebuild moved the terrain; camera sits above it looking down-valley
+    g = Game(GameArgs(player_pos=(16.0, 185.0, -30.0),
+                      player_euler_rot=(-22.0, 75.0, 0.0),
                       render_distance=6, gpu_buffer_size_mb=64,
                       width=args.width, height=args.height))
     t0 = time.time()
