@@ -97,10 +97,11 @@ def main():
     print(f"frame = {b:,} pixels; traversal gathers/pixel = "
           f"{total_trav/b:.2f}")
 
-    # shade/finalize pricing from the sticky buckets: shade = 3 fast-tier
-    # row gathers per hit lane (material row + color footprint + normal
-    # footprint over the raw T-layer atlas, which sits under the ~48K-row
-    # cliff); finalize = 2 fat-row value fetches per lane
+    # shade/finalize pricing from the sticky buckets: shade = ONE fast-tier
+    # row gather per hit lane (the paired color+normal footprint atlas;
+    # the material row, face basis and mip metadata are one-hot reductions
+    # — ops/smalltab.py); finalize = 1 fat-row value fetch per lane (the
+    # frozen record carries the hit node's resolved block pointer)
     ks = []
     for key, pipe in shading._pipeline_cache.items():
         for item in pipe:
@@ -111,10 +112,10 @@ def main():
                         ks.append((name, v))
     k_hits = max((v for n, v in ks if n == "hits_k"), default=0)
     if k_hits:
-        shade_ms = k_hits * 3 * MS_PER_M / 1e3
-        fin_ms = k_hits * 2 * MS_PER_M / 1e3
+        shade_ms = k_hits * 1 * MS_PER_M / 1e3
+        fin_ms = k_hits * 1 * MS_PER_M / 1e3
         print(f"hit bucket k = {k_hits:,}: shade ~{shade_ms:.1f} ms "
-              f"(3 fast gathers/lane), finalize ~{fin_ms:.1f} ms")
+              f"(1 fast gather/lane), finalize ~{fin_ms:.1f} ms")
         tot = (total_trav + total_comp) * MS_PER_M / 1e3 + shade_ms + fin_ms
         print(f"MODELED device gather total: ~{tot:.1f} ms/frame")
 

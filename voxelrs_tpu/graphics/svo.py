@@ -393,9 +393,11 @@ class Svo:
                 hit = res.t > 0
                 dst = jnp.where(hit, res.t, -1.0)
                 pos = jnp.where(hit[:, None], res.pos, 0.0)
+                from ..ops.smalltab import small_lookup
+
                 normal = jnp.where(
                     hit[:, None],
-                    FACE_NORMALS[jnp.clip(res.face_id, 0, 5)],
+                    small_lookup(FACE_NORMALS, res.face_id),
                     0.0,
                 )
                 return dst, res.inside_voxel & hit, pos, normal

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .smalltab import small_lookup
+
 f32 = jnp.float32
 i32 = jnp.int32
 
@@ -73,7 +75,9 @@ def _envelope_march(levels, offsets, n, hmax, rox, roy, roz, dx, dy, dz,
         nl = (n >> lvl).astype(i32)
         cxi = jnp.clip(cx.astype(i32), 0, nl - 1)
         czi = jnp.clip(cz.astype(i32), 0, nl - 1)
-        hv = levels[offs[lvl] + cxi * nl + czi].astype(f32)
+        # level offset via one-hot (a per-lane gather costs ~4.1 ms/M
+        # lanes even on this tiny table); the pyramid read stays a gather
+        hv = levels[small_lookup(offs, lvl) + cxi * nl + czi].astype(f32)
         # exit of the (virtual, unclamped) cell in xz
         bx = (cx + (dx > 0)) * s
         bz = (cz + (dz > 0)) * s

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .smalltab import small_lookup
 from .texture import sample_texture_lod
 from .traversal import intersect_octree
 
@@ -37,11 +38,9 @@ HORIZON_COLOR = jnp.ones(3, jnp.float32) * 0.7 + SKY_COLOR * 0.3
 def face_texture_layer(mat_tex, value, face_id, normal: bool):
     """Texture layer for the hit face: side unless top (face 3) / bottom
     (face 2); +3 column offset for normal maps."""
-    value = jnp.clip(value.astype(jnp.int32), 0, mat_tex.shape[0] - 1)
     base = 3 if normal else 0
-    side = mat_tex[value, base + 1]
-    top = mat_tex[value, base + 0]
-    bottom = mat_tex[value, base + 2]
+    row = small_lookup(mat_tex[:, base : base + 3], value)
+    top, side, bottom = row[:, 0], row[:, 1], row[:, 2]
     return jnp.where(face_id == 3, top, jnp.where(face_id == 2, bottom, side))
 
 
@@ -114,13 +113,13 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
     specular).
 
     Gather-lean formulation (measured on v5e — gather count dominates):
-    - ONE material row gather: [spec_pow, spec_strength, tex0..tex5] —
-      both texture layer ids ride it.
-    - The sampler's footprint mode packs each bilinear 2x2 window into a
-      single 16-channel row of the raw T-layer atlas, which stays under
-      the fast-gather row-count cliff: THREE fast row gathers per lane
-      end to end (material + color texels + normal texels) vs 18 slow
-      ones for the naive formulation."""
+    - material row [spec_pow, spec_strength, tex0..tex5, pair0..pair2],
+      face basis vectors and mip metadata are ONE-HOT reductions
+      (ops/smalltab.py) — zero gathers;
+    - the sampler's footprint mode packs each bilinear 2x2 window into a
+      single row of the paired color+normal atlas, which stays under the
+      fast-gather row-count cliff: ONE fast row gather per lane end to
+      end vs 18 slow ones for the naive formulation."""
     V = mat_params.shape[0]
     T = mips[0].shape[0]
     value = jnp.clip(res.value.astype(jnp.int32), 0, V - 1)
@@ -131,7 +130,9 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
         [mat_params[:, :2].astype(jnp.float32), mat_tex.astype(jnp.float32)],
         axis=1,
     )
-    mrow = mat_all[value]  # (B, 8): one row gather
+    # one-hot reduction, NOT a gather: the material table is tiny, and a
+    # per-lane gather costs the same ~4.1 ms/M as a big-table one
+    mrow = small_lookup(mat_all, value)
     spec_pow = jnp.maximum(mrow[:, 0], 1e-6)
     spec_strength = mrow[:, 1]
     slot_onehot = slot[:, None] == jnp.arange(3)[None, :]
@@ -184,10 +185,13 @@ def surface_shading(res, mips, mat_params, mat_tex, cam_pos, light_dir,
     outline = same_block & (lmax > 1.0 - 1.0 / 16.0)
     color = jnp.where(outline[:, None], jnp.ones((1, 4), jnp.float32), color)
 
-    # normal mapping (.xzy swizzle: blue = up -> y axis)
-    normal = FACE_NORMALS[res.face_id]
-    tangent = FACE_TANGENTS[res.face_id]
-    bitangent = FACE_BITANGENTS[res.face_id]
+    # normal mapping (.xzy swizzle: blue = up -> y axis); one fused
+    # one-hot pass over the 6-row face basis instead of 3 per-lane gathers
+    basis = small_lookup(
+        jnp.concatenate([FACE_NORMALS, FACE_TANGENTS, FACE_BITANGENTS], axis=1),
+        res.face_id,
+    )
+    normal, tangent, bitangent = basis[:, 0:3], basis[:, 3:6], basis[:, 6:9]
     swz = jnp.stack([ntex[:, 0], ntex[:, 2], ntex[:, 1]], axis=-1) * 2.0 - 1.0
     swz = swz / jnp.linalg.norm(swz, axis=-1, keepdims=True)
     mapped = (

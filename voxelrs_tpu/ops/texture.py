@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .smalltab import small_lookup
+
 
 def sample_texture_lod(mips: tuple, layer, uv, lod, mip_mode: str = "linear",
                        footprint: bool = False):
@@ -85,9 +87,20 @@ def sample_texture_lod(mips: tuple, layer, uv, lod, mip_mode: str = "linear",
         offsets.append(off)
         off += off_step
     atlas = jnp.concatenate(flats, axis=0)
-    offs = jnp.array(offsets, jnp.int32)
-    hs = jnp.array([m.shape[1] for m in mips], jnp.int32)
-    ws = jnp.array([m.shape[2] for m in mips], jnp.int32)
+    # per-level metadata rides ONE one-hot lookup (never a per-lane
+    # gather — those cost ~4.1 ms/M lanes regardless of table size)
+    meta = jnp.stack(
+        [
+            jnp.array([m.shape[1] for m in mips], jnp.int32),
+            jnp.array([m.shape[2] for m in mips], jnp.int32),
+            jnp.array(offsets, jnp.int32),
+        ],
+        axis=1,
+    )
+
+    def level_meta(dl):
+        row = small_lookup(meta, dl)
+        return row[:, 0], row[:, 1], row[:, 2]  # h, w, offset
 
     if mip_mode == "nearest":
         lod = jnp.round(lod)
@@ -98,16 +111,16 @@ def sample_texture_lod(mips: tuple, layer, uv, lod, mip_mode: str = "linear",
     # snapping the sample point to the texel center makes the bilinear
     # weights degenerate to exactly that texel, saving a dedicated gather
     mag = lod <= 0.0
-    w0 = ws[jnp.clip(d0, 0, n_levels - 1)].astype(lod.dtype)
-    h0 = hs[jnp.clip(d0, 0, n_levels - 1)].astype(lod.dtype)
+    h0i, w0i, _ = level_meta(d0)
+    w0 = w0i.astype(lod.dtype)
+    h0 = h0i.astype(lod.dtype)
     ux = jnp.where(mag, (jnp.floor(uv[:, 0] * w0) + 0.5) / w0, uv[:, 0])
     uy = jnp.where(mag, (jnp.floor(uv[:, 1] * h0) + 0.5) / h0, uv[:, 1])
     uv = jnp.stack([jnp.clip(ux, 0.0, 1.0), jnp.clip(uy, 0.0, 1.0)], axis=-1)
 
     def bilinear_at(dl):
         dl = jnp.clip(dl, 0, n_levels - 1)
-        h = hs[dl]
-        w = ws[dl]
+        h, w, off = level_meta(dl)
         cx = uv[:, 0] * w.astype(lod.dtype) - 0.5
         cy = uv[:, 1] * h.astype(lod.dtype) - 0.5
         x0 = jnp.floor(cx)
@@ -115,7 +128,7 @@ def sample_texture_lod(mips: tuple, layer, uv, lod, mip_mode: str = "linear",
         fx = (cx - x0)[:, None]
         fy = (cy - y0)[:, None]
         if footprint:
-            base = offs[dl] + layer * (h + 1) * (w + 1)
+            base = off + layer * (h + 1) * (w + 1)
             xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
             yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
             quad = atlas[base + yi * (w + 1) + xi]
@@ -124,7 +137,7 @@ def sample_texture_lod(mips: tuple, layer, uv, lod, mip_mode: str = "linear",
             c01 = quad[:, 2 * C : 3 * C]
             c11 = quad[:, 3 * C : 4 * C]
         else:
-            base = offs[dl] + layer * h * w
+            base = off + layer * h * w
             x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
             x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
             y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
