@@ -1,0 +1,156 @@
+"""Fly-through-WHILE-STREAMING benchmark: frame rate under chunk churn.
+
+The headline bench (bench.py) times a static world. This run keeps the
+world moving the way real play does: every frame the camera advances and
+the leading edge of the terrain streams IN (generate -> serialize ->
+Esvo.set_leaf -> delta upload) while the trailing edge streams OUT
+(remove_leaf), exercising the serializer, the RangeBuffer delta ranges,
+``Svo.update``'s dynamic_update_slice uploads and the heightfield/beam
+bookkeeping in the same loop as rendering.
+
+Prints ONE JSON line mirroring bench.py's schema:
+  {"metric": "Mrays_per_sec_chip_1080p_shadows_streaming", ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from voxelrs_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+from voxelrs_tpu.gamelogic.content import new_registry  # noqa: E402
+from voxelrs_tpu.gamelogic.worldgen import Generator, default_config  # noqa: E402
+from voxelrs_tpu.graphics.svo import RenderParams, Svo  # noqa: E402
+from voxelrs_tpu.systems.chunkloader import ChunkLoader  # noqa: E402
+from voxelrs_tpu.world import ChunkPos, Position  # noqa: E402
+from voxelrs_tpu.world.chunk import Chunk  # noqa: E402
+from voxelrs_tpu.world.esvo import SerializedChunk  # noqa: E402
+from voxelrs_tpu.world.heightfield import (  # noqa: E402
+    chunk_column_tops,
+    chunk_solid_bases,
+    chunk_voxel_tops,
+    opaque_lut_from_mask,
+)
+
+BASELINE_MRAYS = 250.0
+W = int(os.environ.get("BENCH_W", "1920"))
+H = int(os.environ.get("BENCH_H", "1080"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "10"))
+RADIUS = 4
+
+
+def main() -> None:
+    from voxelrs_tpu.world.esvo import Esvo
+    from voxelrs_tpu.world.heightfield import HeightField
+
+    svo = Svo(new_registry(), capacity_mb=64)
+    opaque_lut = opaque_lut_from_mask(svo.translucent_block_mask)
+    world_svo = Esvo()
+    hf = HeightField()
+    gen = Generator(1, default_config())
+    center = ChunkPos(RADIUS, 2, RADIUS)
+    leafs: dict = {}  # (cx, cz) -> [(LeafId, chunk_pos)]
+
+    def stream_column(cx: int, cz: int):
+        """Generate + serialize one chunk column at the leading edge."""
+        col = gen.get_column(cx, cz)
+        lod = ChunkLoader.calculate_lod(center, ChunkPos(cx, 0, cz))
+        ids = []
+        for cy in range(0, 8):
+            if not col.contains_chunk(cy):
+                continue
+            chunk = Chunk(ChunkPos(cx, cy, cz))
+            gen.generate_chunk(chunk)
+            sc = SerializedChunk.from_voxels(chunk.pos, chunk.voxels, lod)
+            if not sc.has_data():
+                continue
+            lid, _ = world_svo.set_leaf(Position(cx, cy, cz), sc, True)
+            ids.append((lid, (cx, cy, cz)))
+            hf.set_chunk((cx, cy, cz),
+                         chunk_column_tops(chunk.voxels, lod),
+                         vtops=chunk_voxel_tops(chunk.voxels, lod),
+                         sbase=chunk_solid_bases(chunk.voxels, lod,
+                                                 opaque_lut))
+        leafs[(cx, cz)] = ids
+
+    def drop_column(cx: int, cz: int):
+        for lid, cpos in leafs.pop((cx, cz), []):
+            world_svo.remove_leaf(lid)
+            hf.remove_chunk(cpos)
+
+    # initial world: the same seed-1 region bench.py uses, ids tracked
+    for cx in range(RADIUS * 2):
+        for cz in range(RADIUS * 2):
+            stream_column(cx, cz)
+    world_svo.serialize()
+    svo.update(world_svo)
+    svo.set_heightfield(hf)
+    n_chunks = sum(len(v) for v in leafs.values())
+    print(f"# world: {n_chunks} chunks, {svo.stats.used_bytes/1e6:.1f} MB",
+          file=sys.stderr)
+
+    fwd = np.array([0.55, -0.35, 0.76], np.float32)
+    fwd /= np.linalg.norm(fwd)
+    base = RenderParams(
+        cam_pos=np.array([16.0, 95.0, -20.0], np.float32),
+        cam_fwd=fwd,
+        aspect_ratio=W / H,
+        fov_y_rad=np.radians(80.0),
+        render_shadows=True,
+        shadow_distance=300.0,
+    )
+    cam = np.array(base.cam_pos, np.float32)
+
+    next_in = RADIUS * 2  # next x column index to stream in
+    next_out = 0          # next x column index to drop
+
+    def frame(i: int, churn: bool):
+        nonlocal next_in, next_out
+        if churn:
+            # one column in, one out, per frame: ~8 chunks churned —
+            # the chunkloader's steady-state rate at walking speed
+            for cz in (i % (RADIUS * 2),):
+                stream_column(next_in, cz)
+                drop_column(next_out, cz)
+            if i % (RADIUS * 2) == RADIUS * 2 - 1:
+                next_in += 1
+                next_out += 1
+            world_svo.serialize()
+            svo.update(world_svo)
+            svo.set_heightfield(hf)
+        p = RenderParams(**{**base.__dict__})
+        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
+        img = svo.render(p, W, H)
+        _ = float(np.asarray(img[0, 0, 0]))
+
+    # warmup until plans settle (static first so buckets form, then churn)
+    t_w = time.time()
+    for i in range(3):
+        frame(i, churn=False)
+    for i in range(3, 7):
+        frame(i, churn=True)
+    print(f"# warmup {time.time()-t_w:.1f} s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(7, 7 + FRAMES):
+        frame(i, churn=True)
+    dt = (time.time() - t0) / FRAMES
+    mrays = W * H * 2 / dt / 1e6
+    print(f"# streaming frame: {dt*1e3:.0f} ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "Mrays_per_sec_chip_1080p_shadows_streaming",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,11 +65,36 @@ def main():
     for key, pipe in shading._pipeline_cache.items():
         for item in pipe:
             if isinstance(item, shading._PlanStore):
+                # sticky scalars (current bucket sizes) let us drop STALE
+                # plan variants: a tag like (('refine', 65536), 'fl') is
+                # only live when the sticky 'refine_k' still equals 65536 —
+                # older buckets' plans linger in the store and would
+                # double-count the stage
+                sticky = {k: v for k, v in item.plans.items()
+                          if isinstance(v, int)}
+
+                def _tag_live(tag):
+                    stack = [tag]
+                    while stack:
+                        t = stack.pop()
+                        if (isinstance(t, tuple) and len(t) == 2
+                                and isinstance(t[0], str)
+                                and isinstance(t[1], int)):
+                            name = (t[0] if t[0].endswith("_k")
+                                    else t[0] + "_k")
+                            if name in sticky and sticky[name] != t[1]:
+                                return False
+                        if isinstance(t, tuple):
+                            stack.extend(t)
+                    return True
+
                 for tag, entry in sorted(item.plans.items(),
                                          key=lambda kv: str(kv[0])):
                     if not (isinstance(entry, tuple) and len(entry) == 2
                             and isinstance(entry[1], (list, tuple))):
                         continue  # sticky-scalar entries are plain ints
+                    if not _tag_live(tag):
+                        continue
                     n, plan = entry
                     width = n
                     trav = comp = 0
