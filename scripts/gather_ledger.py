@@ -6,8 +6,10 @@ ROW GATHERS — the unit the TPU frame cost is measured in (docs/PERF.md:
 ~4.1 ms per million fast-tier row fetches). Gather counts are platform
 -independent, so a CPU run prices the TPU frame exactly.
 
-  traversal: width x ceil(seg / substeps) per segment (one fat-row gather
-             per fetch phase per lane, needed or not)
+  traversal: width x seg per segment — one fat-row gather per LOOP
+             ITERATION per lane, needed or not (run_loop_push: each
+             while-iteration = 1 fetch phase + VOXELRS_SUBSTEPS fetch-free
+             substeps; plan seg lengths count iterations)
   compact:   bucket-many packed-state row gathers per compaction
 """
 
@@ -100,7 +102,7 @@ def main():
                     trav = comp = 0
                     segs = []
                     for seg, bucket in plan:
-                        phases = math.ceil(seg / SUBSTEPS) if seg else 0
+                        phases = seg  # 1 gather per loop iteration
                         trav += width * phases
                         segs.append(f"{seg}@{width}")
                         if bucket:
@@ -125,9 +127,11 @@ def main():
     # shade/finalize pricing from the sticky buckets: shade = ONE fast-tier
     # row gather per hit lane (the paired color+normal footprint atlas;
     # the material row, face basis and mip metadata are one-hot reductions
-    # — ops/smalltab.py); finalize = 1 fat-row value fetch per lane (the
-    # frozen record carries the hit node's resolved block pointer)
+    # — ops/smalltab.py). In the adaptive pipeline finalize is FETCH-FREE
+    # (values carried: merge fills + the compact refine_values fetch); the
+    # adaptive merge's corner value fetch runs at the coarse width.
     ks = []
+    coarse_n0 = 0
     for key, pipe in shading._pipeline_cache.items():
         for item in pipe:
             if isinstance(item, shading._PlanStore):
@@ -135,13 +139,23 @@ def main():
                     v = item.plans.get(name)
                     if isinstance(v, int):
                         ks.append((name, v))
+                for tag, entry in item.plans.items():
+                    if (isinstance(entry, tuple) and len(entry) == 2
+                            and "coarse" in str(tag)):
+                        coarse_n0 = max(coarse_n0, entry[0])
     k_hits = max((v for n, v in ks if n == "hits_k"), default=0)
+    k_ref = max((v for n, v in ks if n == "refine_k"), default=0)
     if k_hits:
-        shade_ms = k_hits * 1 * MS_PER_M / 1e3
-        fin_ms = k_hits * 1 * MS_PER_M / 1e3
-        print(f"hit bucket k = {k_hits:,}: shade ~{shade_ms:.1f} ms "
-              f"(1 fast gather/lane), finalize ~{fin_ms:.1f} ms")
-        tot = (total_trav + total_comp) * MS_PER_M / 1e3 + shade_ms + fin_ms
+        k_eff = b if k_hits >= b // 3 else k_hits  # dense frames shade at B
+        shade_ms = k_eff * MS_PER_M / 1e3
+        merge_ms = coarse_n0 * MS_PER_M / 1e3
+        rval_ms = k_ref * MS_PER_M / 1e3
+        print(f"hit bucket k = {k_hits:,} (shade width {k_eff:,}): "
+              f"shade ~{shade_ms:.1f} ms (1 fast gather/lane)")
+        print(f"merge corner fetch {coarse_n0:,} (~{merge_ms:.1f} ms), "
+              f"refine-values {k_ref:,} (~{rval_ms:.1f} ms), finalize 0")
+        tot = ((total_trav + total_comp) * MS_PER_M / 1e3 + shade_ms
+               + merge_ms + rval_ms)
         print(f"MODELED device gather total: ~{tot:.1f} ms/frame")
 
 

@@ -700,10 +700,11 @@ class _EsvoEngine:
         return run_loop_push(prepared, c, state, iters, substeps)
 
     @staticmethod
-    def finalize(prepared, c, state, steps):
+    def finalize(prepared, c, state, steps, value_override=None):
         from .traversal import finalize
 
-        return finalize(prepared, c, state, steps)
+        return finalize(prepared, c, state, steps,
+                        value_override=value_override)
 
     @staticmethod
     def freeze(state):
@@ -800,11 +801,12 @@ class _CsvoEngine:
         return run_loop_csvo(words, c, state, iters, substeps)
 
     @staticmethod
-    def finalize(prepared, c, state, steps):
+    def finalize(prepared, c, state, steps, value_override=None):
         from .traversal_csvo import finalize_csvo
 
         words, _root, _depth = prepared
-        return finalize_csvo(words, c, state, steps)
+        return finalize_csvo(words, c, state, steps,
+                             value_override=value_override)
 
     @staticmethod
     def freeze(state):
@@ -1263,13 +1265,20 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         return frozen, hit_full, steps_total
 
     def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
-                        hit_k, steps_total, known_k=None, known_value_k=None):
+                        hit_k, steps_total, known_k=None, known_value_k=None,
+                        values_known=False):
         """Build a TraversalResult for a gathered lane subset. Lanes with a
         carried leaf value (adaptive fill: ``known_k``) substitute it for
-        the fetched one (their synthesized state has no valid pointer)."""
+        the fetched one (their synthesized state has no valid pointer).
+        ``values_known`` (static): EVERY hit lane's value is already in
+        ``known_value_k`` (merge-carried fills + compact refined-lane
+        fetches, see ``refine_values``) — finalize runs fetch-free."""
         prepared = eng.prep(descriptors)
         c = make_ray_consts(scale, ro_k, rd_k, max_dst)
         shell = eng.thaw(c, frozen_k, hit_k, stack_height)
+        if values_known:
+            return eng.finalize(prepared, c, shell, steps_total,
+                                value_override=known_value_k)
         res = eng.finalize(prepared, c, shell, steps_total)
         if known_k is not None:
             res = res._replace(
@@ -1277,7 +1286,18 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             )
         return res
 
-    finalize_lanes = jax.jit(_finalize_lanes)
+    finalize_lanes = jax.jit(_finalize_lanes, static_argnums=(10,))
+
+    def _refine_values(descriptors, scale, ro_r, rd_r, frozen_r):
+        """Leaf values for the refined lanes' frozen records, fetched at
+        the COMPACT refine width. With these scattered into the merge's
+        carried-value plane, every hit lane's value is known and the
+        full-frame finalize skips its per-lane value fetch (at 1080p:
+        a ~131K-row fetch replaces a ~2M-row one, bit-identical)."""
+        c = make_ray_consts(scale, ro_r, rd_r, jnp.float32(-1.0))
+        return eng.frozen_values(descriptors, c, frozen_r)
+
+    refine_values = jax.jit(_refine_values)
 
     hit_count = jax.jit(lambda hit: jnp.sum(hit))
     hit_order = jax.jit(
@@ -1536,7 +1556,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                             refine_order, merge_refined, shadow_mask1,
                             shadow_cell_merge, shadow_combine,
                             adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
-                            Bc)
+                            Bc, refine_values)
     return _pipeline_cache[key]
 
 
@@ -2526,7 +2546,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
      refine_order, merge_refined, shadow_mask1, shadow_cell_merge,
      shadow_combine, adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
-     Bc) = _opaque_pipeline(B, width, height, max_steps, stack_height, engine)
+     Bc, refine_values) = _opaque_pipeline(B, width, height, max_steps,
+                                           stack_height, engine)
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
@@ -2615,6 +2636,16 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
         frozen, hit = merge_refined(frozen, hit, idx_r, frozen_r, hit_r)
         steps_total = steps1 + steps2
         mark("refine", hit)
+
+        # fetch the refined lanes' leaf values at the COMPACT width and
+        # extend the merge's carried-value plane over them: every hit
+        # lane's value is then known and finalize skips its full-width
+        # per-lane value fetch (bit-identical — same words either way)
+        vals_r = refine_values(descriptors, octree_scale, ro_r, rd_r,
+                               frozen_r)
+        known = scatter_bool(known, idx_r, hit_r)
+        known_value = scatter_bool(known_value, idx_r, vals_r)
+        mark("refine-values", known_value)
     else:
         if t_floor is not None and _floor_gather is None:
             _make_floor_gather()
@@ -2653,7 +2684,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     res = finalize_lanes(descriptors, octree_scale, ro_k, rd_k,
                          jnp.float32(-1.0), frozen_k, hit_k, steps_total,
-                         known_k, known_value_k)
+                         known_k, known_value_k, known_k is not None)
     mark("finalize", res.t)
 
     def _shade_at(sl):

@@ -239,24 +239,30 @@ def hit_phase(rows, c: RayConsts, pp, idx, scale, posx, posy, posz, t_min,
 
 
 def hit_phase_fat(fat_rows, c: RayConsts, pp, idx, scale, posx, posy, posz,
-                  t_min, child_ptr=None):
+                  t_min, child_ptr=None, value_override=None):
     """``hit_phase`` with the value fetches routed through the fat-row
     view (the 12-wide view's row count sits in the slow gather tier).
     ``child_ptr`` — the hit node's resolved block pointer, carried live in
     PushState and in the frozen record — skips the parent-pointer fetch:
     ONE row gather per lane instead of two (values bit-identical: it IS
-    the pointer the skipped fetch would resolve)."""
-    pidx = (pp >> PTR_BITS).astype(i32)
+    the pointer the skipped fetch would resolve). ``value_override`` —
+    per-lane leaf values already carried by the caller (adaptive pipeline:
+    merge-carried fills + compact refined-lane fetches) — skips the value
+    fetch entirely; the phase is then pure math."""
     octant_idx = (idx ^ c.octant_mask).astype(u32)
 
-    if child_ptr is None:
-        ptr = pp & PTR_MASK
-        (raw,) = _fetch_words(fat_rows, ptr, [4 + pidx])
-        next_ptr = _resolve_ptr(raw, ptr, pidx.astype(u32))
+    if value_override is not None:
+        leaf_value = value_override
     else:
-        next_ptr = child_ptr
-    (leaf_value,) = _fetch_words(fat_rows, next_ptr,
-                                 [4 + octant_idx.astype(i32)])
+        pidx = (pp >> PTR_BITS).astype(i32)
+        if child_ptr is None:
+            ptr = pp & PTR_MASK
+            (raw,) = _fetch_words(fat_rows, ptr, [4 + pidx])
+            next_ptr = _resolve_ptr(raw, ptr, pidx.astype(u32))
+        else:
+            next_ptr = child_ptr
+        (leaf_value,) = _fetch_words(fat_rows, next_ptr,
+                                     [4 + octant_idx.astype(i32)])
     return (leaf_value,) + _hit_geometry(c, octant_idx, scale, posx, posy,
                                          posz, t_min)
 
@@ -928,14 +934,18 @@ def run_loop(rows, c: RayConsts, state: State, max_steps: int, unroll: int,
     return jax.lax.while_loop(cond, body, (jnp.int32(0), state))
 
 
-def finalize(fat_rows, c: RayConsts, state: State, steps_used) -> TraversalResult:
+def finalize(fat_rows, c: RayConsts, state: State, steps_used,
+             value_override=None) -> TraversalResult:
     """Recompute the full hit record from frozen per-ray state (one pass).
-    ``fat_rows`` is the (N/108, 108) buffer view (``_make_fat_rows``)."""
+    ``fat_rows`` is the (N/108, 108) buffer view (``_make_fat_rows``).
+    ``value_override``: (B,) u32 carried leaf values — skips the per-lane
+    value fetch (finalize becomes fetch-free)."""
     B = state.active.shape[0]
     leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase_fat(
         fat_rows, c, state.pp, state.idx, state.scale, state.posx, state.posy,
         state.posz, state.t_min,
         child_ptr=getattr(state, "child_ptr", None),
+        value_override=value_override,
     )
     scale_exp2 = _exp2_scale(state.scale)
     hit = state.hit

@@ -829,15 +829,20 @@ def run_loop_csvo(words, c: RayConsts, state: CsvoPushState, max_iters: int,
 
 
 def hit_phase_csvo(words, c: RayConsts, pp, idx, scale, posx, posy, posz,
-                   t_min, mat_ptr, pre_leaf):
+                   t_min, mat_ptr, pre_leaf, value_override=None):
     """Hit record (value, face, uv, lod, up) from frozen per-lane state —
-    the CSVO counterpart of traversal.hit_phase_fat."""
+    the CSVO counterpart of traversal.hit_phase_fat. ``value_override``:
+    carried leaf values (adaptive pipeline) — skips the byte-stream
+    material resolve entirely."""
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
-    R = _Readers(words)
-    ptr = pp & PTR_MASK
     octant_idx = (idx ^ c.octant_mask).astype(u32)
     scale_exp2 = _exp2_scale(scale)
-    leaf_value = R.read_leaf(mat_ptr, pre_leaf, ptr, octant_idx)
+    if value_override is not None:
+        leaf_value = value_override
+    else:
+        R = _Readers(words)
+        ptr = pp & PTR_MASK
+        leaf_value = R.read_leaf(mat_ptr, pre_leaf, ptr, octant_idx)
 
     t2x = (posx + scale_exp2) * c.tcx - c.tbx
     t2y = (posy + scale_exp2) * c.tcy - c.tby
@@ -871,13 +876,13 @@ def hit_phase_csvo(words, c: RayConsts, pp, idx, scale, posx, posy, posz,
 
 
 def finalize_csvo(words, c: RayConsts, s: CsvoPushState,
-                  steps_used) -> TraversalResult:
+                  steps_used, value_override=None) -> TraversalResult:
     """Assemble the TraversalResult from final (or frozen-shell) state."""
     f32, u32 = jnp.float32, jnp.uint32
     B = s.t_min.shape[0]
     leaf_value, face_id, ux, uy, dst, tex_lod, (upx, upy, upz) = hit_phase_csvo(
         words, c, s.pp, s.idx, s.scale, s.posx, s.posy, s.posz, s.t_min,
-        s.mat_ptr, s.pre_leaf,
+        s.mat_ptr, s.pre_leaf, value_override=value_override,
     )
     scale_exp2 = _exp2_scale(s.scale)
     hx = jnp.clip(c.rox + s.t_min * c.rdx, upx + EPSILON, upx + scale_exp2 - EPSILON)
