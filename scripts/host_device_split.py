@@ -21,9 +21,11 @@ from voxelrs_tpu.gamelogic.content import new_registry
 from voxelrs_tpu.graphics.svo import RenderParams, Svo
 
 W, H = 1920, 1080
-world_svo, chunks = build_world()
+world_svo, chunks, hf = build_world()
 svo = Svo(new_registry(), capacity_mb=64)
 svo.update(world_svo)
+if os.environ.get("VOXELRS_BEAMS") != "0":
+    svo.set_heightfield(hf)
 
 fwd = np.array([0.55, -0.35, 0.76], np.float32)
 fwd /= np.linalg.norm(fwd)

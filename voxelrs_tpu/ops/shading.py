@@ -35,6 +35,17 @@ SKY_COLOR = jnp.array([135.0, 206.0, 235.0], jnp.float32) / 255.0
 HORIZON_COLOR = jnp.ones(3, jnp.float32) * 0.7 + SKY_COLOR * 0.3
 
 
+def _hard_sync(x):
+    """Force completion of ``x`` (tree or array) with a 4-byte readback.
+
+    ``block_until_ready`` does not reliably block on the axon tunnel
+    backend, which made every VOXELRS_TIMING stage number a lie (stage
+    boundaries were not actually synced). A tiny device->host readback is
+    the only dependable completion barrier here."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def face_texture_layer(mat_tex, value, face_id, normal: bool):
     """Texture layer for the hit face: side unless top (face 3) / bottom
     (face 2); +3 column offset for normal maps."""
@@ -1130,7 +1141,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         if timing:
             import time as _t
 
-            state.t_min.block_until_ready()
+            _hard_sync(state.t_min)
             tmark.t0 = _t.perf_counter()
 
         plan = store.lookup(tag, n)
@@ -1160,7 +1171,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             idx = gidx
             width_now = bucket
             if timing:
-                cur_state.t_min.block_until_ready()
+                _hard_sync(cur_state.t_min)
                 tmark(f"compact->{bucket}")
 
         budget = max_steps
@@ -1175,7 +1186,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     descriptors, cur_consts, cur_state, steps_total, seg
                 )
                 if timing:
-                    cur_state.t_min.block_until_ready()
+                    _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now}")
                 budget -= seg
                 seg_lens.append(seg)
@@ -1220,7 +1231,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             if budget > 0:
                 seg_lens.append(budget)
             if timing:
-                hit_full.block_until_ready()
+                _hard_sync(hit_full)
                 tmark(f"fused replay x{len(seg_lens)}")
             store.push_pending(tag, n, seg_lens, [counts])
             return frozen, hit_full, steps_total
@@ -1236,7 +1247,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     descriptors, cur_consts, cur_state, steps_total, seg
                 )
                 if timing:
-                    cur_state.t_min.block_until_ready()
+                    _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now} (replay)")
                 budget -= seg
                 seg_lens.append(seg)
@@ -1866,7 +1877,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         if timing:
             import time as _t
 
-            jax.tree_util.tree_leaves(state)[0].block_until_ready()
+            _hard_sync(state)
             tmark.t0 = _t.perf_counter()
 
         plan = store.lookup(tag, n)
@@ -1897,7 +1908,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             )
             width_now = bucket
             if timing:
-                cur_state.t_min.block_until_ready()
+                _hard_sync(cur_state.t_min)
                 tmark(f"compact->{bucket}")
 
         budget = max_steps
@@ -1910,7 +1921,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     cur_done, mips, mat_tex, seg,
                 )
                 if timing:
-                    cur_state.t_min.block_until_ready()
+                    _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now}")
                 budget -= seg
                 if budget <= 0:
@@ -1949,7 +1960,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             if budget > 0:
                 seg_lens.append(budget)
             if timing:
-                res.t.block_until_ready()
+                _hard_sync(res.t)
                 tmark(f"fused replay x{len(seg_lens)}")
             store.push_pending(tag, n, seg_lens, [counts])
             return res, sc, pl, ps
@@ -1965,7 +1976,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     cur_done, mips, mat_tex, seg,
                 )
                 if timing:
-                    cur_state.t_min.block_until_ready()
+                    _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now} (replay)")
                 budget -= seg
                 seg_lens.append(seg)
@@ -2261,7 +2272,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
 
     def mark(name, ref):
         if timing:
-            jax.tree_util.tree_leaves(ref)[0].block_until_ready()
+            _hard_sync(ref)
             now = time.perf_counter()
             print(f"  [{name}] {(now - mark.t0)*1e3:.0f} ms", flush=True)
             mark.t0 = now
