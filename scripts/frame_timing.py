@@ -40,3 +40,17 @@ for i in range(int(os.environ.get("FRAMES", "4"))):
     img = svo.render(p, W, H)
     _ = float(np.asarray(img[0, 0, 0]))
     print(f"frame {i}: {(time.perf_counter()-t0)*1e3:.0f} ms", flush=True)
+
+# sync-method comparison (the bench's sequential path calls
+# block_until_ready before the element readback — price both)
+if os.environ.get("SYNC_PROBE") == "1":
+    for trial in range(2):
+        img = svo.render(p, W, H)
+        t0 = time.perf_counter()
+        img.block_until_ready()
+        t_bur = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(np.asarray(img[0, 0, 0]))
+        t_rd = time.perf_counter() - t0
+        print(f"sync probe: block_until_ready {t_bur*1e3:.0f} ms, "
+              f"then element readback {t_rd*1e3:.0f} ms", flush=True)

@@ -41,9 +41,15 @@ def _hard_sync(x):
     ``block_until_ready`` does not reliably block on the axon tunnel
     backend, which made every VOXELRS_TIMING stage number a lie (stage
     boundaries were not actually synced). A tiny device->host readback is
-    the only dependable completion barrier here."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    _ = np.asarray(jax.device_get(leaf.ravel()[0]))
+    the only dependable completion barrier here. Every leaf is synced (a
+    multi-stream backend may still be executing later-enqueued leaves when
+    the first completes); zero-element leaves fall back to
+    ``block_until_ready``."""
+    for leaf in jax.tree_util.tree_leaves(x):
+        if getattr(leaf, "size", 0):
+            _ = np.asarray(jax.device_get(leaf.ravel()[0]))
+        elif hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
 
 
 def face_texture_layer(mat_tex, value, face_id, normal: bool):
@@ -2732,6 +2738,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             v = beams.sun_verdicts(shadow_ro_k, shadow_max_k)
             if v is not None:
                 lit, blk = v
+                mark("sun-verdicts", lit)
 
         def shadow_trace(mask, name):
             """Trace shadow rays for the masked lanes (sticky bucket)."""
@@ -2741,6 +2748,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             sidx = hit_order(mask, k2)
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
             srd2 = jnp.broadcast_to(neg_light, sro2.shape)
+            mark(f"shadow-bucket {name}={k2}", sro2)
             tfl = None
             if beams is not None and lit is None:
                 tfl = beams.shadow_ray_floors(sro2, smax2, neg_light)
@@ -2749,6 +2757,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                 (sro2, neg_light), (name, k2), record_frozen=False,
                 t_floor=tfl,
             )
+            mark(f"shadow-trace {name}", shit2)
             import os as _dbg_os
 
             if _dbg_os.environ.get("VOXELRS_SHADOW_STATS") == "1":
