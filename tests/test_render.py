@@ -316,3 +316,81 @@ def test_csvo_adaptive_matches_exact(monkeypatch):
     adaptive = np.asarray(svo.render(p, W, H, max_steps=334))
     assert np.abs(adaptive - exact).mean() < 0.015
     assert (np.abs(adaptive - exact).max(axis=-1) > 0.05).mean() < 0.02
+
+
+def test_fused_frame_matches_multiprogram(scene, monkeypatch):
+    """VOXELRS_FUSED_FRAME=1 runs a steady opaque frame (all plans
+    recorded) as ONE XLA program; output must be bit-identical to the
+    multi-program path, and the per-segment counts it returns must keep
+    feeding the plan store (so later resolves still see them)."""
+    from voxelrs_tpu.ops import shading
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+    # record plans (synced exploration + replay refinement)
+    for _ in range(2):
+        ref = np.asarray(scene.render(p, W, H, max_steps=300))
+
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "1")
+    cache0 = len(shading._FUSED_FRAME_CACHE)
+    fused1 = np.asarray(scene.render(p, W, H, max_steps=300))
+    assert len(shading._FUSED_FRAME_CACHE) > cache0, "fused path did not run"
+    # fusing across former program boundaries lets XLA pick different
+    # fma/reassociation points: agreement is to 1 ULP, not bit-exact
+    np.testing.assert_allclose(fused1, ref, rtol=0, atol=2.5e-7)
+    # second fused frame: cached program + count flush into the store
+    fused2 = np.asarray(scene.render(p, W, H, max_steps=300))
+    np.testing.assert_array_equal(fused2, fused1)
+    stores = [shading._pipeline_cache[k][6] for k in shading._pipeline_cache
+              if k[:4] == ("opq", W * H, W, H)]
+    assert any(
+        s.pending or getattr(s, "_ready", None) is not None for s in stores
+    ), "fused frames stopped feeding the plan store's count refresh"
+
+
+def test_fused_frame_nonadaptive_matches(scene, monkeypatch):
+    """Fused whole-frame over the non-adaptive (full-width primary) opaque
+    path is bit-identical too."""
+    from voxelrs_tpu.ops import shading
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+    for _ in range(2):
+        ref = np.asarray(scene.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "1")
+    fused = np.asarray(scene.render(p, W, H, max_steps=300))
+    np.testing.assert_allclose(fused, ref, rtol=0, atol=2.5e-7)
+
+
+def test_fused_frame_judged_matches(monkeypatch):
+    """Fused whole-frame over the judged (translucent) adaptive pipeline
+    agrees with the multi-program path to 1 ULP."""
+    from voxelrs_tpu.gamelogic.content import GLASS
+    from voxelrs_tpu.ops import shading
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True,
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+    for _ in range(2):
+        ref = np.asarray(svo.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "1")
+    cache0 = len(shading._FUSED_FRAME_CACHE)
+    fused = np.asarray(svo.render(p, W, H, max_steps=300))
+    assert len(shading._FUSED_FRAME_CACHE) > cache0, "fused path did not run"
+    np.testing.assert_allclose(fused, ref, rtol=0, atol=2.5e-7)

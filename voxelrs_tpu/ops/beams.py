@@ -478,6 +478,7 @@ def sun_lit_floors(sb_map, n1, ro, max_dst, d_len, d, origin):
     return jnp.where(lit, jnp.inf, 0.0).astype(f32)
 
 
+@jax.tree_util.register_pytree_node_class
 class BeamContext:
     """Per-frame pre-pass handle handed to the frame drivers: the primary
     pixel floors plus the device envelope state needed to floor shadow
@@ -490,13 +491,43 @@ class BeamContext:
         # (sb_map (n1*n1, 76+2K) u16, n1, d_len, d, origin) or None
         self._sun = sun
 
+    def tree_flatten(self):
+        """Pytree support: the fused whole-frame program takes the beam
+        context as a jit ARGUMENT, so its device arrays stay call inputs
+        (a closure capture would bake them into the compiled program as
+        constants and recompile on every sun-map/envelope refresh)."""
+        dev = self._dev
+        sun_leaves = None if self._sun is None else (
+            self._sun[0], self._sun[2], self._sun[3], self._sun[4])
+        leaves = (self.t_floor, dev[0], dev[4], dev[5], sun_leaves)
+        aux = (dev[1], dev[2], dev[3],
+               None if self._sun is None else self._sun[1])
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        offsets, n, hmax, n1 = aux
+        t_floor, lv_d, bounds, lv_e, sun_leaves = leaves
+        b = cls.__new__(cls)
+        b.t_floor = t_floor
+        b._dev = (lv_d, offsets, n, hmax, bounds, lv_e)
+        b._sun = None if sun_leaves is None else (
+            sun_leaves[0], n1, sun_leaves[1], sun_leaves[2], sun_leaves[3])
+        return b
+
+    def has_sun(self) -> bool:
+        """Whether per-voxel sun certificates are attached (the frame
+        drivers then certify shadow lanes on the candidate buckets)."""
+        return self._sun is not None
+
     def sun_verdicts(self, ro, max_dst):
         """(lit, blocked) bool masks — origins the sun map proves see /
         don't see the light — or None when no sun map is attached. The
-        frame drivers fold BOTH into the trace masks BEFORE bucket
-        formation (the certified verdicts equal what tracing would
-        return, so output is bit-identical) — vs t_floor elision, which
-        only drops lanes at the trace's first compaction."""
+        frame drivers evaluate this on COMPACTED candidate-lane buckets
+        (one row gather per candidate lane; never at full frame width —
+        the certified verdicts equal what tracing would return, so output
+        is bit-identical) — vs t_floor elision, which only drops lanes at
+        the trace's first compaction."""
         if self._sun is None:
             return None
         sb_map, n1, d_len, d, origin = self._sun

@@ -8,6 +8,8 @@ Lambert diffuse + specular → shadow ray → composite, one XLA program.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,8 +46,11 @@ def _hard_sync(x):
     the only dependable completion barrier here. Every leaf is synced (a
     multi-stream backend may still be executing later-enqueued leaves when
     the first completes); zero-element leaves fall back to
-    ``block_until_ready``."""
+    ``block_until_ready``. No-op under tracing (fused whole-frame mode
+    runs with timing marks disabled)."""
     for leaf in jax.tree_util.tree_leaves(x):
+        if isinstance(leaf, jax.core.Tracer):
+            return
         if getattr(leaf, "size", 0):
             _ = np.asarray(jax.device_get(leaf.ravel()[0]))
         elif hasattr(leaf, "block_until_ready"):
@@ -363,6 +368,108 @@ def _margin_bucket(count: int) -> int:
     return max(_bucket_size(count + count // 2 + 256), 8192)
 
 
+# shadow-certificate helpers (jitted once; used at candidate-bucket width)
+_uncertified = jax.jit(lambda lit, blk: ~lit & ~blk)
+_or_scatter = jax.jit(
+    lambda blk, idx, v: blk | jnp.zeros_like(blk).at[idx].set(v)
+)
+# drop PAD lanes (compact_indices fills with duplicates of lane 0) from the
+# uncertified mask: pads otherwise inflate the traced sub-bucket to the
+# whole candidate bucket
+_mask_pads = jax.jit(
+    lambda un, cnt: un & (jnp.arange(un.shape[0]) < cnt)
+)
+
+
+def _fused_frame_on() -> bool:
+    """Whole-frame fusion (one XLA program per steady frame). Defaults to
+    the fused-replay setting: both trade recompiles-on-plan-change for
+    zero per-frame dispatch overhead, the right trade on benchmark paths
+    with settled plans (bench.py sets VOXELRS_FUSED_REPLAY=1)."""
+    import os
+
+    return os.environ.get(
+        "VOXELRS_FUSED_FRAME", os.environ.get("VOXELRS_FUSED_REPLAY", "0")
+    ) == "1"
+
+
+class _IncompleteFramePlan(Exception):
+    """Raised while tracing a fused whole-frame program when a plan or
+    sticky bucket is not recorded yet — the caller falls back to the
+    multi-program path for this frame (which records it)."""
+
+
+class _SnapshotPlanner:
+    """Read-only plan view used while TRACING a fused whole-frame program.
+
+    Every host decision (trace plan, sticky bucket) must already be
+    recorded in the backing store — a missing one raises
+    ``_IncompleteFramePlan`` and the frame falls back to the multi-program
+    path. Per-segment device counts are collected (as tracers) and
+    returned as program outputs, so the store's two-frame-lag async plan
+    refresh keeps working across fused frames."""
+
+    def __init__(self, store):
+        self.store = store
+        self.meta: list = []    # (tag, n, seg_lens) in call order
+        self.arrays: list = []  # one flat count array per meta entry
+
+    def reset(self):
+        self.meta.clear()
+        self.arrays.clear()
+
+    def lookup(self, tag, n):
+        with self.store.lock:
+            stored = self.store.plans.get(tag)
+        plan = stored[1] if (stored and stored[0] == n) else None
+        if plan is None:
+            raise _IncompleteFramePlan(tag)
+        return plan
+
+    def record(self, tag, n, plan):  # pragma: no cover - lookup raises first
+        raise _IncompleteFramePlan(tag)
+
+    def bucket_hint(self, tag, i):
+        return self.store.bucket_hint(tag, i)
+
+    def sticky_scalar(self, name, count_dev, cap):
+        with self.store.lock:
+            prev = self.store.plans.get(name)
+        if prev is None:
+            raise _IncompleteFramePlan(name)
+        self.meta.append((("scalar", name, cap), None, []))
+        self.arrays.append(jnp.asarray(count_dev).reshape(-1))
+        return min(prev, cap)
+
+    def sticky_sync(self, name, needed, cap):  # pragma: no cover
+        raise _IncompleteFramePlan(name)  # sync readback can't trace
+
+    def push_pending(self, tag, n, seg_lens, counts_dev):
+        flat = [jnp.asarray(c).reshape(-1) for c in counts_dev]
+        self.meta.append((tag, n, seg_lens))
+        self.arrays.append(
+            flat[0] if len(flat) == 1 else jnp.concatenate(flat)
+        )
+
+    def flush_to_store(self, count_arrays):
+        """Push the EXECUTED count arrays (one per meta entry, in call
+        order) into the backing store's pending queue."""
+        for (tag, n, seg_lens), arr in zip(self.meta, count_arrays):
+            self.store.push_pending(tag, n, seg_lens, [arr])
+
+
+def _plan_snapshot(store):
+    """Hashable snapshot of every recorded plan/bucket — the fused-frame
+    cache key component that invalidates when any decision changes."""
+    with store.lock:
+        items = []
+        for t, v in store.plans.items():
+            if isinstance(v, tuple) and len(v) == 2 and isinstance(v[1], list):
+                v = (v[0], tuple(v[1]))
+            items.append((t, v))
+    return tuple(sorted(items, key=repr))
+
+
 def _sticky_bucket(prev, count: int) -> int:
     """Reuse the previous bucket while it still fits — every distinct
     bucket is a compiled shape (minutes of remote compile), so plans must
@@ -497,15 +604,13 @@ class _PlanStore:
         if batch is None:
             return
         work, flat_dev, sizes = batch
-        # merged plans can only coarsen; re-sync the segment plans once in a
-        # while so a changed scene can rediscover finer compaction points
+        # periodic refresh: rebuild segment plans from the latest counts
+        # (NOT a full re-sync — the segment boundaries are a fixed schedule,
+        # so the lagged counts carry everything a synced exploration would
+        # rediscover; a rebuild only costs a compile if the plan actually
+        # changes)
         self._epoch = getattr(self, "_epoch", 0) + 1
-        if self._epoch % 64 == 0:
-            with self.lock:
-                for t in [t for t, v in self.plans.items()
-                          if isinstance(v, tuple)]:
-                    del self.plans[t]
-            return
+        refresh = self._epoch % 256 == 0
         total = sum(sizes)
         values = ([int(v) for v in np.asarray(flat_dev)[:total]]
                   if flat_dev is not None else [])
@@ -541,13 +646,31 @@ class _PlanStore:
             with self.lock:
                 old = self.plans.get(tag)
             old_plan = old[1] if old and old[0] == n else []
+            # structural hysteresis: every distinct plan TUPLE is a distinct
+            # compiled program (seconds of remote compile under fused
+            # replay), so a replayed plan is kept VERBATIM while it still
+            # fits — it only rebuilds on overflow (stale), when a bucket is
+            # grossly (>8x) oversized, or at the periodic refresh epoch.
+            # Without this, per-frame count noise under camera motion
+            # reshaped plans nearly every frame and the fly-through spent
+            # seconds/frame compiling (round-3 audit, docs/PERF.md).
+            stale = False
+            oversized = False
+            for i, (seg, bucket) in enumerate(old_plan):
+                count = counts[i] if i < len(counts) else 0
+                if bucket is None:
+                    continue
+                need = count + (count >> 2) + 256
+                if count > bucket:
+                    stale = True
+                elif bucket > 8 * max(need, 2048):
+                    oversized = True
+            if old_plan and not stale and not oversized and not refresh:
+                continue  # keep the recorded plan (and its compiled shape)
             new_plan = []
             w = n
-            stale = False
             for i, (seg, count) in enumerate(zip(segs, counts)):
                 replayed = old_plan[i][1] if i < len(old_plan) else None
-                if replayed is not None and count > replayed:
-                    stale = True  # bucket overflowed: rays were dropped
                 bucket = _sticky_bucket(replayed, count)
                 if count > 0 and bucket <= (w * 3) // 4:
                     new_plan.append((seg, bucket))
@@ -1108,10 +1231,13 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         return _fused_cache[key]
 
     def trace(descriptors, scale, ro, rd, max_dst, mode, ray_args, tag,
-              record_frozen: bool = True, t_floor=None):
+              record_frozen: bool = True, t_floor=None, planner=None):
         """Opaque deferred trace. Returns (frozen, hit, steps_total) at full
         width; ``frozen`` feeds ``finalize_lanes``. ``record_frozen=False``
-        (shadow rays) keeps only the hit mask — no frozen-state scatters."""
+        (shadow rays) keeps only the hit mask — no frozen-state scatters.
+        ``planner`` (fused whole-frame tracing) substitutes the plan store:
+        decisions must be pre-recorded, counts are collected as outputs."""
+        pl = planner if planner is not None else store
         compact_jit = compact_jits[mode]
         if t_floor is None:
             consts, state = start(descriptors, scale, ro, rd, max_dst)
@@ -1133,7 +1259,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             # traversal iterations
             schedule = [0] + schedule
 
-        timing = _os.environ.get("VOXELRS_TIMING") == "1"
+        timing = planner is None and _os.environ.get("VOXELRS_TIMING") == "1"
 
         def tmark(label):
             if not timing:
@@ -1150,7 +1276,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             _hard_sync(state.t_min)
             tmark.t0 = _t.perf_counter()
 
-        plan = store.lookup(tag, n)
+        plan = pl.lookup(tag, n)
 
         idx = None
         cur_consts, cur_state = consts, state
@@ -1209,13 +1335,13 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 if count == 0:
                     plan_rec.append((seg, None))
                     break
-                bucket = _sticky_bucket(store.bucket_hint(tag, seg_i), count)
+                bucket = _sticky_bucket(pl.bucket_hint(tag, seg_i), count)
                 if count > 0 and bucket <= (width_now * 3) // 4 and _compact_on():
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
-            store.record(tag, n, plan_rec)
+            pl.record(tag, n, plan_rec)
         elif _fused_replay_on():
             fn = _fused_replay(mode, tuple(plan), record_frozen,
                                floored=t_floor is not None)
@@ -1239,7 +1365,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             if timing:
                 _hard_sync(hit_full)
                 tmark(f"fused replay x{len(seg_lens)}")
-            store.push_pending(tag, n, seg_lens, [counts])
+            pl.push_pending(tag, n, seg_lens, [counts])
             return frozen, hit_full, steps_total
         else:
             # replay: no intra-frame syncs; counts resolved next frame
@@ -1268,7 +1394,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 )
                 seg_lens.append(budget)
                 counts_dev.append(active_count(cur_state))
-            store.push_pending(tag, n, seg_lens, counts_dev)
+            pl.push_pending(tag, n, seg_lens, counts_dev)
 
         if idx is None:
             hit_full = cur_state.hit
@@ -1844,7 +1970,8 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         return _fused_cache[(plan_key, floored)]
 
     def trace(descriptors, scale, ro, rd, max_dst, mips, mat_tex,
-              tag="primary", t_floor=None):
+              tag="primary", t_floor=None, planner=None):
+        pl_store = planner if planner is not None else store
         if t_floor is None:
             consts, state = start(descriptors, scale, ro, rd, max_dst)
         else:
@@ -1869,7 +1996,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             # -miss lane drop) happens before any traversal iterations
             schedule = [0] + schedule
 
-        timing = os.environ.get("VOXELRS_TIMING") == "1"
+        timing = planner is None and os.environ.get("VOXELRS_TIMING") == "1"
 
         def tmark(label):
             if not timing:
@@ -1886,7 +2013,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             _hard_sync(state)
             tmark.t0 = _t.perf_counter()
 
-        plan = store.lookup(tag, n)
+        plan = pl_store.lookup(tag, n)
 
         idx = None  # current lanes' indices into the full arrays
         matF = None  # packed full-width results (built at first compaction)
@@ -1941,13 +2068,13 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 if count == 0:
                     plan_rec.append((seg, None))
                     break
-                bucket = _sticky_bucket(store.bucket_hint(tag, seg_i), count)
+                bucket = _sticky_bucket(pl_store.bucket_hint(tag, seg_i), count)
                 if bucket <= (width_now * 3) // 4 and _compact_on():
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
-            store.record(tag, n, plan_rec)
+            pl_store.record(tag, n, plan_rec)
         elif _fused_replay_on():
             fn = _fused_replay_j(tuple(plan), floored=t_floor is not None)
             if t_floor is None:
@@ -1968,7 +2095,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             if timing:
                 _hard_sync(res.t)
                 tmark(f"fused replay x{len(seg_lens)}")
-            store.push_pending(tag, n, seg_lens, [counts])
+            pl_store.push_pending(tag, n, seg_lens, [counts])
             return res, sc, pl, ps
         else:
             seg_lens = []
@@ -1999,7 +2126,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 )
                 seg_lens.append(budget)
                 counts_dev.append(unfinished_count(cur_state, cur_done))
-            store.push_pending(tag, n, seg_lens, counts_dev)
+            pl_store.push_pending(tag, n, seg_lens, counts_dev)
 
         if idx is None:
             matF = pack_full_jit(cur_acc, cur_done, cur_state.inside)
@@ -2389,7 +2516,52 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     each pixel cell's ACCEPTED surface (value, signed face, leaf scale,
     entry plane), full judged re-trace of disagreement pixels, two-pass
     shadow cell reuse. The MC-world scenes (glass/water/leaves) render this
-    way at large frame sizes."""
+    way at large frame sizes. Under VOXELRS_FUSED_FRAME a fully-recorded
+    frame runs as one XLA program (see _render_frame_opaque)."""
+    B = width * height
+    store = _deferred_pipeline(B, width, height, render_shadows, max_steps,
+                               rounds, stack_height, engine)[9]
+    store.resolve()
+    mark("plan-refresh", jnp.zeros(1))
+
+    kwargs = dict(
+        width=width, height=height, render_shadows=render_shadows,
+        max_steps=max_steps, rounds=rounds, stack_height=stack_height,
+        engine=engine,
+    )
+    dev_args = (descriptors, octree_scale, mips, mat_params, mat_tex,
+                cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
+                ambient, light_dir, shadow_distance, highlight_pos, beams)
+
+    if _fused_frame_on():
+        flags = ("jdg", width, height, render_shadows, max_steps, rounds,
+                 stack_height, engine, beams is not None,
+                 beams is not None and beams.has_sun())
+
+        def body_fn(planner, *args):
+            planner.reset()
+            img = _judged_frame_body(
+                *args[:15], beams=args[15], planner=planner,
+                mark=lambda *_a: None, **kwargs)
+            return img, tuple(planner.arrays)
+
+        out = _fused_frame_call(store, flags, dev_args, body_fn)
+        if out is not None:
+            mark("fused-frame", out)
+            return out
+
+    return _judged_frame_body(*dev_args[:15], beams=beams, planner=store,
+                              mark=mark, **kwargs)
+
+
+def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
+                       cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad,
+                       aspect, ambient, light_dir, shadow_distance,
+                       highlight_pos, *, width, height, render_shadows,
+                       max_steps, rounds, planner, mark, stack_height=12,
+                       engine="esvo", beams=None):
+    """The judged-adaptive frame computation (see _opaque_frame_body for
+    the planner contract)."""
     global _shadow_sign
 
     B = width * height
@@ -2404,11 +2576,10 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
      _cdo, _cro, _amo, _roo, _mro, shadow_mask1, shadow_cell_merge,
      shadow_combine, *_hier) = _opaque_pipeline(
         B, width, height, max_steps, stack_height, engine)
+    fused = planner is not store
+    tr_planner = planner if fused else None
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
-
-    store.resolve()
-    mark("plan-refresh", jnp.zeros(1))
 
     ray_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
@@ -2422,6 +2593,7 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
         descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0), mips,
         mat_tex, tag="coarse",
         t_floor=None if t_floor is None else _floor_gather(t_floor, cpidx),
+        planner=tr_planner,
     )
     mark("coarse", res_c.t)
 
@@ -2432,13 +2604,14 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     )
     mark("adaptive-merge", hit)
 
-    k_r = store.sticky_scalar("refine_k", refine_count, B)
+    k_r = planner.sticky_scalar("refine_k", refine_count, B)
     idx_r = refine_order_j(refine_mask, k_r)
     ro_r, rd_r = pix_rays_j(idx_r, ray_args)
     res_r, _sc_r, _pl_r, _ps_r = trace(
         descriptors, octree_scale, ro_r, rd_r, jnp.float32(-1.0), mips,
         mat_tex, tag=("refine", k_r),
         t_floor=None if t_floor is None else _floor_gather(t_floor, idx_r),
+        planner=tr_planner,
     )
     resf, hit, inside_full = merge_refined_res(
         resf, hit, inside_full, idx_r,
@@ -2448,7 +2621,7 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     mark("refine", hit)
 
     t_f, value_f, face_f, pos_f, uv_f, lod_f = resf
-    k = store.sticky_scalar("hits_k", hit_count(t_f), B)
+    k = planner.sticky_scalar("hits_k", hit_count(t_f), B)
     if k >= B // 3:
         k = B
         idx = None
@@ -2482,38 +2655,44 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     mark("shade", color_k)
 
     if render_shadows:
-        # pre-bucket sun-map elision: certified lanes (provably lit OR
-        # provably blocked) leave every trace bucket — their certified
-        # verdict is exactly what the trace would return, so blocked/need
-        # masks and all merge logic stay bit-identical while the buckets
-        # shrink by the certification rate
-        lit = blk = None
-        if beams is not None:
-            v = beams.sun_verdicts(shadow_ro_k, shadow_max_k)
-            if v is not None:
-                lit, blk = v
+        # sun-map certificate elision on the CANDIDATE BUCKET (see the
+        # opaque pipeline's shadow_trace): certified lanes (provably lit
+        # OR provably blocked) skip the trace; a certificate equals the
+        # trace's verdict, so output is bit-identical. Verdicts are
+        # gathered per candidate lane, never at full frame width (the
+        # full-width verdict gather cost ~205 ms/frame, round-3 audit).
+        has_sun = beams is not None and beams.has_sun()
 
         def shadow_trace(mask, name):
-            if lit is not None:
-                mask = mask & ~lit & ~blk
-            k2 = store.sticky_scalar(name, hit_count_b(mask), k)
-            sidx = hit_order_b(mask, k2)
+            cnt = hit_count_b(mask)
+            kc = planner.sticky_scalar(name, cnt, k)
+            sidx = hit_order_b(mask, kc)
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
                                              shadow_max_k)
+            if has_sun:
+                lit2, blk2 = beams.sun_verdicts(sro2, smax2)
+                un = _mask_pads(_uncertified(lit2, blk2), cnt)
+                kt = planner.sticky_scalar(name + "t", hit_count_b(un), kc)
+                tidx = hit_order_b(un, kt)
+                sro3, srd3, smax3 = gather_lanes(tidx, sro2, srd2, smax2)
+                sres, _a, _b, _c2 = trace(
+                    descriptors, octree_scale, sro3, srd3, smax3, mips,
+                    mat_tex, tag=(name, kt), planner=tr_planner,
+                )
+                # pad lanes duplicate global lane 0 - value-identical
+                # writes (certificate == traced verdict)
+                return sidx, _or_scatter(blk2, tidx, sres.t != -1.0)
             tfl = None
-            if beams is not None and lit is None:
-                # (with a sun map, remaining lanes' floors are all 0 —
-                # skip the floored-start machinery)
+            if beams is not None:
                 tfl = beams.shadow_ray_floors(
                     sro2, smax2, -jnp.asarray(light_dir, jnp.float32))
             sres, _a, _b, _c2 = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, mips, mat_tex,
-                tag=(name, k2), t_floor=tfl,
+                tag=(name, kc), t_floor=tfl, planner=tr_planner,
             )
             return sidx, sres.t != -1.0
 
-        blk0 = (jnp.zeros(k, bool) if blk is None
-                else blk & need_shadow_k)  # certified verdicts pre-filled
+        blk0 = jnp.zeros(k, bool)
         if idx is None:
             sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k),
                                         "jns1_k")
@@ -2543,6 +2722,9 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
     return out
 
 
+_FUSED_FRAME_CACHE: dict = {}
+
+
 def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          mat_tex, *, width, height, render_shadows, cam_pos,
                          cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
@@ -2552,7 +2734,84 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     """Opaque-world frame: first-hit traversal rounds, one finalize on the
     compacted hit lanes, shadow pass returns only the hit flag. Steady-state
     frames run with a single host sync (the hit-count) plus one batched
-    plan-refresh readback at frame start."""
+    plan-refresh readback at frame start.
+
+    Under ``VOXELRS_FUSED_FRAME`` (defaults to the fused-replay setting),
+    a frame whose every plan/bucket is already recorded runs as ONE XLA
+    program — raygen, coarse/refine traces, merges, finalize, shade,
+    certificates, shadow traces and combine fuse end-to-end, eliminating
+    all inter-program dispatch gaps. Frames with missing plans (first
+    frame, post-overflow re-syncs) fall back to the multi-program path,
+    which records them."""
+    B = width * height
+    store = _opaque_pipeline(B, width, height, max_steps,
+                             stack_height, engine)[6]
+
+    store.resolve()  # refresh replay plans from last frame's counts
+    mark("plan-refresh", jnp.zeros(1))
+
+    kwargs = dict(
+        width=width, height=height, render_shadows=render_shadows,
+        max_steps=max_steps, stack_height=stack_height, engine=engine,
+    )
+    dev_args = (descriptors, octree_scale, mips, mat_params, mat_tex,
+                cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
+                ambient, light_dir, shadow_distance, highlight_pos, beams)
+
+    if _fused_frame_on():
+        flags = ("opq", width, height, render_shadows, max_steps,
+                 stack_height, engine, beams is not None,
+                 beams is not None and beams.has_sun())
+
+        def body_fn(planner, *args):
+            planner.reset()
+            img = _opaque_frame_body(
+                *args[:15], beams=args[15], planner=planner,
+                mark=lambda *_a: None, **kwargs)
+            return img, tuple(planner.arrays)
+
+        out = _fused_frame_call(store, flags, dev_args, body_fn)
+        if out is not None:
+            mark("fused-frame", out)
+            return out
+
+    return _opaque_frame_body(*dev_args[:15], beams=beams, planner=store,
+                              mark=mark, **kwargs)
+
+
+def _fused_frame_call(store, flags, dev_args, body_fn):
+    """Run (and cache) the fused whole-frame program for the current plan
+    snapshot; None when a needed plan isn't recorded yet. The cache key is
+    (static flags, full plan snapshot) — any plan change retraces, which
+    the plan store's structural hysteresis makes rare."""
+    key = (flags, _plan_snapshot(store))
+    entry = _FUSED_FRAME_CACHE.get(key)
+    if entry is None:
+        planner = _SnapshotPlanner(store)
+        entry = (jax.jit(partial(body_fn, planner)), planner)
+    jfn, planner = entry
+    try:
+        img, counts = jfn(*dev_args)
+    except _IncompleteFramePlan:
+        return None
+    if key not in _FUSED_FRAME_CACHE:
+        if len(_FUSED_FRAME_CACHE) >= 64:
+            _FUSED_FRAME_CACHE.pop(next(iter(_FUSED_FRAME_CACHE)))
+        _FUSED_FRAME_CACHE[key] = entry
+    planner.flush_to_store(counts)
+    return img
+
+
+def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
+                       mat_tex, cam_pos, cam_right, cam_up, cam_fwd,
+                       fov_y_rad, aspect, ambient, light_dir,
+                       shadow_distance, highlight_pos, *, width, height,
+                       render_shadows, max_steps, planner, mark,
+                       stack_height=12, engine="esvo", beams=None):
+    """The opaque frame computation. Pure in its array arguments when every
+    plan is recorded (``planner`` = a _SnapshotPlanner), which is what lets
+    the whole frame trace into one program; with ``planner`` = the plan
+    store it runs as the multi-program recording/sync path."""
     global _shadow_sign
 
     B = width * height
@@ -2565,11 +2824,10 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
      shadow_combine, adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
      Bc, refine_values) = _opaque_pipeline(B, width, height, max_steps,
                                            stack_height, engine)
+    fused = planner is not store
+    tr_planner = planner if fused else None
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
-
-    store.resolve()  # refresh replay plans from last frame's counts
-    mark("plan-refresh", jnp.zeros(1))
 
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
@@ -2611,19 +2869,20 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             frozen_q, hit_q, steps1 = trace(
                 descriptors, octree_scale, ro_q, rd_q, jnp.float32(-1.0),
                 "pixsub", (qpix,) + cam_args, "coarse4", t_floor=_fl(qpix),
+                planner=tr_planner,
             )
             mark("coarse4", hit_q)
             (frozen_c, hit_c, known_c, kval_c, ref_c_mask, ref_c_count) = (
                 adaptive_merge_q(descriptors, frozen_q, hit_q, octree_scale,
                                  cam_args)
             )
-            k_rc = store.sticky_scalar("crefine_k", ref_c_count, Bc)
+            k_rc = planner.sticky_scalar("crefine_k", ref_c_count, Bc)
             idx_rc = refine_order(ref_c_mask, k_rc)
             cpix_sub, ro_rc, rd_rc = coarse_sub_ids(idx_rc, cam_args)
             frozen_rc, hit_rc, steps1b = trace(
                 descriptors, octree_scale, ro_rc, rd_rc, jnp.float32(-1.0),
                 "pixsub", (cpix_sub,) + cam_args, ("crefine", k_rc),
-                t_floor=_fl(cpix_sub),
+                t_floor=_fl(cpix_sub), planner=tr_planner,
             )
             frozen_c, hit_c = merge_refined(frozen_c, hit_c, idx_rc,
                                             frozen_rc, hit_rc)
@@ -2634,6 +2893,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             frozen_c, hit_c, steps1 = trace(
                 descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0),
                 "pixsub", (cpidx,) + cam_args, "coarse", t_floor=_fl(cpidx),
+                planner=tr_planner,
             )
             mark("coarse", hit_c)
 
@@ -2642,13 +2902,13 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                            cam_args, known_c, kval_c)
         )
         mark("adaptive-merge", hit)
-        k_r = store.sticky_scalar("refine_k", refine_count, B)
+        k_r = planner.sticky_scalar("refine_k", refine_count, B)
         idx_r = refine_order(refine_mask, k_r)
         ro_r, rd_r = pix_rays_jit(idx_r, cam_args)
         frozen_r, hit_r, steps2 = trace(
             descriptors, octree_scale, ro_r, rd_r, jnp.float32(-1.0),
             "pixsub", (idx_r,) + cam_args, ("refine", k_r),
-            t_floor=_fl(idx_r),
+            t_floor=_fl(idx_r), planner=tr_planner,
         )
         frozen, hit = merge_refined(frozen, hit, idx_r, frozen_r, hit_r)
         steps_total = steps1 + steps2
@@ -2668,7 +2928,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
             _make_floor_gather()
         frozen, hit, steps_total = trace(
             descriptors, octree_scale, ro, rd, jnp.float32(-1.0), "pix",
-            cam_args, "primary", t_floor=t_floor,
+            cam_args, "primary", t_floor=t_floor, planner=tr_planner,
         )
         mark("primary", hit)
 
@@ -2678,7 +2938,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
     # overflow drops hit pixels until the lagged count lands (~2 frames),
     # at which point resolve() clears the sticky value and the next frame
     # re-syncs exactly — truncation is bounded, not persistent.
-    k = store.sticky_scalar("hits_k", hit_count(hit), B)
+    k = planner.sticky_scalar("hits_k", hit_count(hit), B)
     if k >= B // 3:
         # hit-dense frame: compaction's nonzero + 8 wide gathers (slow tier
         # at megapixel row counts) cost more than the sky lanes they remove
@@ -2729,49 +2989,55 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
 
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
-        # pre-bucket sun-map elision (see _render_frame_judged): certified
-        # lanes (provably lit OR provably blocked) leave every trace
-        # bucket; their certified verdict equals what tracing would
-        # return, so output is bit-identical
-        lit = blk = None
-        if beams is not None:
-            v = beams.sun_verdicts(shadow_ro_k, shadow_max_k)
-            if v is not None:
-                lit, blk = v
-                mark("sun-verdicts", lit)
+        has_sun = beams is not None and beams.has_sun()
 
         def shadow_trace(mask, name):
-            """Trace shadow rays for the masked lanes (sticky bucket)."""
-            if lit is not None:
-                mask = mask & ~lit & ~blk
-            k2 = store.sticky_scalar(name, hit_count(mask), k)
-            sidx = hit_order(mask, k2)
+            """Resolve shadow verdicts for the masked lanes: gather the
+            candidate bucket, certify what the sun map can (bit-identical
+            to tracing — a certificate IS the trace's verdict), and trace
+            only the uncertified remainder at a second, narrower sticky
+            width. Certificates are evaluated on the CANDIDATE BUCKET, not
+            the full frame — the full-width sun-verdict gather was the
+            single largest device cost of the round-2 frame (~205 ms of
+            the 478 ms steady frame, round-3 hardware audit) while the
+            verdicts it produced were only ever consumed on these lanes.
+            Returns (sidx, blocked) for the kc candidate lanes."""
+            cnt = hit_count(mask)
+            kc = planner.sticky_scalar(name, cnt, k)
+            sidx = hit_order(mask, kc)
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
             srd2 = jnp.broadcast_to(neg_light, sro2.shape)
-            mark(f"shadow-bucket {name}={k2}", sro2)
+            mark(f"shadow-bucket {name}={kc}", sro2)
+            if has_sun:
+                lit2, blk2 = beams.sun_verdicts(sro2, smax2)
+                mark(f"sun-verdicts {name}", lit2)
+                un = _mask_pads(_uncertified(lit2, blk2), cnt)
+                kt = planner.sticky_scalar(name + "t", hit_count(un), kc)
+                tidx = hit_order(un, kt)
+                sro3, smax3 = gather_lanes(tidx, sro2, smax2)
+                srd3 = jnp.broadcast_to(neg_light, sro3.shape)
+                _f, shit3, _s = trace(
+                    descriptors, octree_scale, sro3, srd3, smax3, "dir",
+                    (sro3, neg_light), (name, kt), record_frozen=False,
+                    planner=tr_planner,
+                )
+                # pad lanes of tidx duplicate global lane 0 - value-
+                # identical writes (certificate == traced verdict)
+                blocked2 = _or_scatter(blk2, tidx, shit3)
+                mark(f"shadow-trace {name}", blocked2)
+                return sidx, blocked2
             tfl = None
-            if beams is not None and lit is None:
+            if beams is not None:
                 tfl = beams.shadow_ray_floors(sro2, smax2, neg_light)
             _f, shit2, _s = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, "dir",
-                (sro2, neg_light), (name, k2), record_frozen=False,
-                t_floor=tfl,
+                (sro2, neg_light), (name, kc), record_frozen=False,
+                t_floor=tfl, planner=tr_planner,
             )
             mark(f"shadow-trace {name}", shit2)
-            import os as _dbg_os
-
-            if _dbg_os.environ.get("VOXELRS_SHADOW_STATS") == "1":
-                import numpy as _np  # debug-only sync
-
-                mk = int(_np.asarray(jnp.sum(mask)))
-                sh = _np.asarray(shit2)
-                print(f"    [shadow {name}] bucket={k2} real={mk} "
-                      f"blocked={int(sh.sum())} "
-                      f"({100*sh.mean():.1f}% of bucket)", flush=True)
             return sidx, shit2
 
-        blk0 = (jnp.zeros(k, bool) if blk is None
-                else blk & need_shadow_k)  # certified verdicts pre-filled
+        blk0 = jnp.zeros(k, bool)
         if adaptive and idx is None:
             # two-pass cell reuse: trace the coarse-sample pixels' own rays
             # (bit-identical verdicts), reuse them for interior pixels whose
