@@ -362,7 +362,7 @@ class Svo:
             max_dst=jnp.float32(-1.0), width=width, height=height,
         )
         sun = None
-        if params.render_shadows:
+        if params.render_shadows and os.environ.get("VOXELRS_SUN") != "0":
             sun = self.heightfield.sun_map(params.light_dir,
                                            center=params.cam_pos)
         return BeamContext(
