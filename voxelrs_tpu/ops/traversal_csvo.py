@@ -176,6 +176,17 @@ def intersect_octree_csvo(
     H = STACK_HEIGHT
     stack_base = MAX_SCALE - H
 
+    if not (cast_translucent and alpha_fn is not None):
+        # opaque: the fetch-on-PUSH engine — ADVANCE/POP are fetch-free,
+        # so the (step-heavy, fetch-light) miss path runs at ESVO speed
+        # instead of paying ~8 element gathers per step
+        from .traversal import make_ray_consts
+
+        c = make_ray_consts(octree_scale, ro, rd, max_dst)
+        state = init_state_csvo(c, root_ptr, total_depth)
+        iters, s = run_loop_csvo(words, c, state, max_steps, 3)
+        return finalize_csvo(words, c, s, iters)
+
     octree_scale = jnp.asarray(octree_scale, f32)
     max_dst = jnp.broadcast_to(jnp.asarray(max_dst, f32), (B,)) * octree_scale
     nwords = words.shape[0]
@@ -576,6 +587,89 @@ class CsvoPushState(NamedTuple):
     mat_ptr: jnp.ndarray  # chunk material-section pointer
     pre_leaf: jnp.ndarray  # enclosing lnode pointer (depth-2 node)
     floor: jnp.ndarray
+    # ---- fetch-on-PUSH node registers (round 3) -------------------------
+    # The round-2 engine re-read the byte stream EVERY step (~8 element
+    # gathers: header16, raw pointer word x2, header8, pre_off, blob); on
+    # this hardware that cost ~48 ns/lane/step and made the CSVO miss path
+    # 23x slower than ESVO's (docs/shader_microbench.json). Like the ESVO
+    # push engine, all decode bytes now live in registers: ``win`` caches
+    # a 48-byte window at the current node (every decode read lands inside
+    # it), ``hdr`` its first two bytes (the child-existence masks), and
+    # POP restores ``hdr`` from a stack plane. Memory is touched only in
+    # ``fetch_phase_csvo`` — one row gather over an 8-word-strided
+    # overlapping view — once per PUSH (and once more per chunk-boundary
+    # crossing, resolved via the ``crossing`` flag in a later substep).
+    hdr: jnp.ndarray        # (B,) u32: node's first 2 bytes (masks)
+    need_fetch: jnp.ndarray  # (B,) bool: win/hdr stale (pending push)
+    crossing: jnp.ndarray   # (B,) bool: pp points at a chunk blob header
+    win: jnp.ndarray        # (12, B) u32: words [win_base, win_base+12)
+    win_base: jnp.ndarray   # (B,) i32 word index of win[0]
+    win_owner: jnp.ndarray  # (B,) u32 byte ptr the window was fetched for
+    stack_hdr: jnp.ndarray  # (H, B) u32
+
+
+WIN_WORDS = 12      # 48-byte node window: covers header16 + the widest
+                    # pointer read (2 + 7*4 + 4 = 34 bytes) at any ptr%4
+OVERLAP_STRIDE = 8  # overlapping-row stride (words)
+OVERLAP_WIDTH = 24  # row width: stride + 4 (ptr>>2 alignment) + WIN_WORDS
+
+
+def make_overlap_rows(words):
+    """(ceil(N/8)+2, 24) u32 view where row k = words[8k : 8k+24]: any
+    word-aligned 12-word window is extractable from ONE row (nodes are
+    byte-aligned, so unlike ESVO's 12-word blocks they cannot be fetched
+    from a disjoint reshape). Built from three shifted reshapes — no
+    gather."""
+    n = words.shape[0]
+    rows = -(-n // OVERLAP_STRIDE) + 2
+    pad = rows * OVERLAP_STRIDE - n + 2 * OVERLAP_STRIDE
+    base = jnp.pad(words, (0, pad)).reshape(-1, OVERLAP_STRIDE)
+    return jnp.concatenate([base[:rows], base[1 : rows + 1],
+                            base[2 : rows + 2]], axis=1)
+
+
+def _sel_win(win, word_off):
+    """win (12, B), word_off (B,) -> (B,) selected word (0 if out of
+    range)."""
+    lv = jnp.arange(WIN_WORDS, dtype=jnp.int32)[:, None] == word_off[None, :]
+    return jnp.where(lv, win, jnp.uint32(0)).sum(axis=0).astype(jnp.uint32)
+
+
+def _win_u32(win, win_base, byte_ptr):
+    """Unaligned 4-byte read served from the window registers
+    (bit-identical to _Readers.read_u32 for in-window reads)."""
+    u32, i32 = jnp.uint32, jnp.int32
+    b = byte_ptr.astype(i32) - win_base * 4
+    word_off = b >> 2
+    mod = (b & 3).astype(u32)
+    lo = _sel_win(win, word_off)
+    hi = _sel_win(win, word_off + 1)
+    sh = mod * 8
+    lo_part = jnp.where(mod == 0, lo, lo >> sh)
+    hi_part = jnp.where(mod == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+    return (lo_part | hi_part).astype(u32)
+
+
+def _win_byte(win, win_base, byte_ptr):
+    u32, i32 = jnp.uint32, jnp.int32
+    b = byte_ptr.astype(i32) - win_base * 4
+    mod = (b & 3).astype(u32)
+    return (_sel_win(win, b >> 2) >> (mod * 8)) & jnp.uint32(0xFF)
+
+
+def _tag_bytes_reg(header, upto):
+    """tag_bytes on register values (see _Readers.tag_bytes)."""
+    u32 = jnp.uint32
+    total = jnp.zeros_like(header)
+    for k in range(8):
+        tag = (header >> jnp.uint32(2 * k)) & jnp.uint32(3)
+        width = (jnp.uint32(1) << tag) >> jnp.uint32(1)
+        total = total + jnp.where(k < upto, width, 0).astype(u32)
+    return total
+
+
+def _popcount(x):
+    return jax.lax.population_count(x.astype(jnp.uint32)).astype(jnp.uint32)
 
 
 def _csvo_entry(c: RayConsts, t_floor=None):
@@ -609,6 +703,19 @@ def _csvo_root(B, root_ptr, total_depth):
     )
 
 
+def _fresh_regs(B, H):
+    u32, i32 = jnp.uint32, jnp.int32
+    return dict(
+        hdr=jnp.zeros(B, u32),
+        need_fetch=jnp.ones(B, bool),  # first fetch loads the root window
+        crossing=jnp.zeros(B, bool),
+        win=jnp.zeros((WIN_WORDS, B), u32),
+        win_base=jnp.zeros(B, i32),
+        win_owner=jnp.full(B, 0xFFFFFFFF, u32),
+        stack_hdr=jnp.zeros((H, B), u32),
+    )
+
+
 def init_state_csvo(c: RayConsts, root_ptr, total_depth,
                     stack_height: int = STACK_HEIGHT) -> CsvoPushState:
     B = c.rox.shape[0]
@@ -631,6 +738,7 @@ def init_state_csvo(c: RayConsts, root_ptr, total_depth,
         mat_ptr=jnp.full(B, INVALID_PTR, u32),
         pre_leaf=jnp.full(B, INVALID_PTR, u32),
         floor=jnp.full(B, -1.0, f32),
+        **_fresh_regs(B, H),
     )
 
 
@@ -660,12 +768,43 @@ def restart_state_csvo(c: RayConsts, t_floor, inside, adj_last, missed,
         mat_ptr=jnp.full(B, INVALID_PTR, u32),
         pre_leaf=jnp.full(B, INVALID_PTR, u32),
         floor=t_min,
+        **_fresh_regs(B, H),
     )
 
 
-def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
-    """One deferred CSVO step: stop at every leaf; floor-gated adjacency and
-    suppress expiry exactly as in traversal.substep."""
+def fetch_phase_csvo(table, s: CsvoPushState) -> CsvoPushState:
+    """Serve pending fetches: ONE row gather over the overlapping view
+    loads the 48-byte window (and its header) for every lane whose window
+    is stale; other lanes keep their registers."""
+    u32, i32 = jnp.uint32, jnp.int32
+    ptr = s.pp & PTR_MASK
+    w0 = (ptr >> 2).astype(i32)
+    k = w0 >> 3
+    row = table[jnp.clip(k, 0, table.shape[0] - 1)]  # (B, 24) row gather
+    off = w0 - (k << 3)  # 0..7
+    iota = jnp.arange(OVERLAP_WIDTH, dtype=i32)[None, :]
+    win_new = jnp.stack([
+        jnp.where(iota == (off + j)[:, None], row, jnp.uint32(0))
+        .sum(axis=1).astype(u32)
+        for j in range(WIN_WORDS)
+    ])
+    hdr_new = _win_u32(win_new, w0, ptr) & jnp.uint32(0xFFFF)
+    take = s.need_fetch
+    return s._replace(
+        win=jnp.where(take[None, :], win_new, s.win),
+        win_base=jnp.where(take, w0, s.win_base),
+        win_owner=jnp.where(take, ptr, s.win_owner),
+        hdr=jnp.where(take, hdr_new, s.hdr),
+        need_fetch=jnp.zeros_like(s.need_fetch),
+    )
+
+
+def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
+    """One fetch-free deferred CSVO step (stop at every leaf; floor-gated
+    adjacency and suppress expiry exactly as in traversal.substep). Lanes
+    awaiting a fetch stall; chunk-boundary crossings resolve here from the
+    fetched blob header; a push whose node window was evicted (post-POP
+    sibling descent) re-requests it and retries."""
     B = s.active.shape[0]
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     H = s.stack_pp.shape[0]
@@ -677,29 +816,47 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     adj_count = (s.adj_last >> 24).astype(i32)
     last_value = s.adj_last & jnp.uint32(0x00FFFFFF)
 
-    active = s.active & ~((c.max_dst >= 0) & (s.t_min > c.max_dst))
+    stall = s.need_fetch
+    awake = s.active & ~stall
+    overrun = awake & (c.max_dst >= 0) & (s.t_min > c.max_dst)
+    active = s.active & ~overrun
+    awake = awake & ~overrun
+
+    # ---- chunk-boundary crossing resolution (blob window present) ------
+    resolve = awake & s.crossing
+    blob_lod = _win_byte(s.win, s.win_base, ptr)
+    blob_mat_bytes = _win_u32(s.win, s.win_base, ptr + 1)
+    res_ptr = ptr + 5 + blob_mat_bytes
+    res_pp = (res_ptr & PTR_MASK) | (blob_lod << jnp.uint32(DEPTH_SHIFT))
+
+    act = awake & ~s.crossing
 
     tcox = s.posx * c.tcx - c.tbx
     tcoy = s.posy * c.tcy - c.tby
     tcoz = s.posz * c.tcz - c.tbz
     tc_max = jnp.minimum(jnp.minimum(tcox, tcoy), tcoz)
 
+    # ---- child existence from the header registers ---------------------
     octant_idx = (s.idx ^ c.octant_mask).astype(u32)
-    next_ptr, crossed = R.read_next_ptr(ptr, depth, octant_idx)
-    is_child = next_ptr != INVALID_PTR
+    header16 = s.hdr
+    tag = (header16 >> (octant_idx * jnp.uint32(2))) & jnp.uint32(3)
+    header8 = header16 & jnp.uint32(0xFF)
+    bit_set = (header8 >> octant_idx) & jnp.uint32(1)
+    is_child = jnp.where(depth > 3, tag != 0, bit_set != 0)
     is_leaf = is_child & (depth < 2)
 
-    pre_leaf = jnp.where(active & (depth == 2), ptr, s.pre_leaf)
+    pre_leaf = jnp.where(act & (depth == 2), ptr, s.pre_leaf)
 
     hit_branch = is_child & (s.t_min <= s.t_max)
-    inside = s.inside | (active & hit_branch & is_leaf & (s.t_min == 0))
+    inside = s.inside | (act & hit_branch & is_leaf & (s.t_min == 0))
 
-    leaf_hit = active & hit_branch & is_leaf & (s.t_min > 0)
+    leaf_hit = act & hit_branch & is_leaf & (s.t_min > 0)
     sup_active = s.suppress & (s.t_min <= s.floor)
     accept = leaf_hit & ~sup_active
-    suppress = s.suppress & ~leaf_hit & (s.t_min <= s.floor)
+    suppress = jnp.where(act, s.suppress & ~leaf_hit & (s.t_min <= s.floor),
+                         s.suppress)
 
-    miss = active & ~hit_branch & (s.t_min > s.floor)
+    miss = act & ~hit_branch & (s.t_min > s.floor)
     adj_count = jnp.where(miss, 0, adj_count)
     last_value = jnp.where(miss, jnp.uint32(0x00FFFFFF), last_value)
     adj_last = (adj_count.astype(u32) << 24) | last_value
@@ -708,31 +865,55 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     hit = s.hit | accept
     active = active & ~accept
 
-    # ---- PUSH -------------------------------------------------------------
+    # ---- PUSH (pointer decode from the window registers) ---------------
     half_scale = scale_exp2 * 0.5
     t_center_x = half_scale * c.tcx + tcox
     t_center_y = half_scale * c.tcy + tcoy
     t_center_z = half_scale * c.tcz + tcoz
     tv_max = jnp.minimum(s.t_max, tc_max)
     want_push = (
-        active & hit_branch & ~(is_leaf & (s.t_min > 0)) & (s.t_min <= tv_max)
+        act & hit_branch & ~(is_leaf & (s.t_min > 0)) & (s.t_min <= tv_max)
     )
+    win_ok = s.win_owner == ptr
+    can_push = want_push & win_ok
+    defer = want_push & ~win_ok  # refetch this node's window, retry
+
+    off_internal = _tag_bytes_reg(header16, octant_idx)
+    ptr_bytes = _tag_bytes_reg(header16, jnp.full_like(octant_idx, 8))
+    raw = _win_u32(s.win, s.win_base, ptr + 2 + off_internal)
+    width_mask = jnp.where(
+        tag >= 3,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (((jnp.uint32(1) << tag) >> 1) * 8)) - 1,
+    )
+    raw = raw & width_mask
+    crossed = (tag == 3) & ((raw & jnp.uint32(1 << 31)) != 0)
+    internal_ptr = jnp.where(
+        crossed, raw ^ jnp.uint32(1 << 31), ptr + 2 + ptr_bytes + raw
+    )
+    rank = _popcount(header8 & ((jnp.uint32(1) << octant_idx) - 1))
+    n_children = _popcount(header8)
+    pre_off = _win_byte(s.win, s.win_base, ptr + 1 + rank)
+    pre_ptr = ptr + 1 + n_children + pre_off
+    leaf_ptr = ptr + 1 + 2 + rank
+    next_ptr = jnp.where(depth > 3, internal_ptr,
+                         jnp.where(depth == 3, pre_ptr, leaf_ptr)).astype(u32)
+    crossed = crossed & (depth > 3)
 
     slot = s.scale - stack_base
     lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
-    do_store = (want_push & (tc_max < s.h))[None, :] & lv
+    do_store = (can_push & (tc_max < s.h))[None, :] & lv
     stack_pp = jnp.where(do_store, s.pp[None, :], s.stack_pp)
     stack_tmax = jnp.where(do_store, s.t_max[None, :], s.stack_tmax)
-    h_new = jnp.where(want_push, tc_max, s.h)
+    stack_hdr = jnp.where(do_store, s.hdr[None, :], s.stack_hdr)
+    h_new = jnp.where(can_push, tc_max, s.h)
 
-    # chunk-boundary crossing (reference: glsl:397-409)
-    blob_lod = R.read_byte(next_ptr)
-    blob_mat_bytes = R.read_u32(next_ptr + 1)
-    crossed_nodes = next_ptr + 5 + blob_mat_bytes
-    push_depth = jnp.where(crossed, blob_lod.astype(i32), depth - 1)
-    push_ptr = jnp.where(crossed, crossed_nodes, next_ptr)
-    mat_ptr = jnp.where(crossed & want_push, next_ptr + 5, s.mat_ptr)
-    push_pp = (push_ptr & PTR_MASK) | (push_depth.astype(u32) << DEPTH_SHIFT)
+    # crossed pushes park at the blob header (depth bits unused until the
+    # crossing resolves); uncrossed pushes enter the child directly
+    push_pp = jnp.where(
+        crossed, next_ptr & PTR_MASK,
+        (next_ptr & PTR_MASK) | ((depth - 1).astype(u32) << DEPTH_SHIFT),
+    )
     push_scale = s.scale - 1
 
     pin_x = s.t_min < t_center_x
@@ -743,8 +924,10 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     push_posy = s.posy + jnp.where(pin_y, half_scale, 0.0)
     push_posz = s.posz + jnp.where(pin_z, half_scale, 0.0)
 
-    # ---- ADVANCE ----------------------------------------------------------
-    advance = active & ~want_push
+    # ---- ADVANCE --------------------------------------------------------
+    # accepted lanes freeze where they stand (the deferred pipeline reads
+    # their state verbatim); suppressed re-visits still advance past
+    advance = act & ~want_push & ~accept
     step_x = tc_max >= tcox
     step_y = tc_max >= tcoy
     step_z = tc_max >= tcoz
@@ -754,7 +937,7 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     adv_posz = s.posz - jnp.where(step_z, scale_exp2, 0.0)
     adv_idx = s.idx ^ step_mask
 
-    # ---- POP --------------------------------------------------------------
+    # ---- POP -------------------------------------------------------------
     need_pop = advance & ((adv_idx & step_mask) != 0)
     db = jnp.zeros(B, u32)
     db = jnp.where(step_x, db | (f32_bits(adv_posx) ^ f32_bits(adv_posx + scale_exp2)), db)
@@ -769,6 +952,7 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     pop_lv = jnp.arange(H, dtype=i32)[:, None] == pop_slot[None, :]
     pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
     pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
+    pop_hdr = jnp.where(pop_lv, stack_hdr, 0).sum(axis=0).astype(u32)
 
     sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
     shx = f32_bits(adv_posx) >> sc
@@ -780,16 +964,19 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     pop_idx = ((shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)).astype(i32)
 
     def sel(push_v, pop_v, adv_v, old_v):
-        v = jnp.where(want_push, push_v, old_v)
+        v = jnp.where(can_push, push_v, old_v)
         v = jnp.where(advance, adv_v, v)
         v = jnp.where(do_pop, pop_v, v)
         return v
+
+    pp_next = sel(push_pp, pop_pp, s.pp, s.pp)
+    pp_next = jnp.where(resolve, res_pp, pp_next)
 
     return CsvoPushState(
         active=active,
         hit=hit,
         inside=inside,
-        pp=sel(push_pp, pop_pp, s.pp, s.pp),
+        pp=pp_next,
         idx=sel(push_idx, pop_idx, adv_idx, s.idx),
         scale=sel(push_scale, pop_scale, s.scale, s.scale),
         posx=sel(push_posx, pop_posx, adv_posx, s.posx),
@@ -803,17 +990,25 @@ def substep_csvo(R: _Readers, c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         suppress=suppress,
         stack_pp=stack_pp,
         stack_tmax=stack_tmax,
-        mat_ptr=mat_ptr,
+        mat_ptr=jnp.where(resolve, ptr + 5, s.mat_ptr),
         pre_leaf=pre_leaf,
         floor=s.floor,
+        hdr=jnp.where(do_pop, pop_hdr, s.hdr),
+        need_fetch=s.need_fetch | can_push | defer | resolve,
+        crossing=(s.crossing & ~resolve) | (can_push & crossed),
+        win=s.win,
+        win_base=s.win_base,
+        win_owner=s.win_owner,
+        stack_hdr=stack_hdr,
     )
 
 
 def run_loop_csvo(words, c: RayConsts, state: CsvoPushState, max_iters: int,
                   substeps: int) -> tuple[jnp.ndarray, CsvoPushState]:
-    """Iterate ``substeps`` CSVO steps per while-iteration until all rays
-    retire (interface-compatible with traversal.run_loop_push)."""
-    R = _Readers(words)
+    """Iterate fetch phase + ``substeps`` fetch-free CSVO steps per
+    while-iteration until all rays retire (interface-compatible with
+    traversal.run_loop_push)."""
+    table = make_overlap_rows(words)
 
     def cond(carry):
         it, s = carry
@@ -821,8 +1016,9 @@ def run_loop_csvo(words, c: RayConsts, state: CsvoPushState, max_iters: int,
 
     def body(carry):
         it, s = carry
+        s = fetch_phase_csvo(table, s)
         for _ in range(substeps):
-            s = substep_csvo(R, c, s)
+            s = substep_csvo(c, s)
         return it + 1, s
 
     return jax.lax.while_loop(cond, body, (jnp.int32(0), state))
