@@ -138,17 +138,25 @@ def main() -> None:
         frame(i, churn=True)
     print(f"# warmup {time.time()-t_w:.1f} s", file=sys.stderr)
 
-    t0 = time.time()
+    times = []
     for i in range(7, 7 + FRAMES):
+        t0 = time.time()
         frame(i, churn=True)
-    dt = (time.time() - t0) / FRAMES
+        times.append(time.time() - t0)
+    dt = float(np.mean(times))
+    p50 = float(np.percentile(times, 50))
+    p99 = float(np.percentile(times, 99))
     mrays = W * H * 2 / dt / 1e6
-    print(f"# streaming frame: {dt*1e3:.0f} ms", file=sys.stderr)
+    print(f"# streaming frame: mean {dt*1e3:.0f} ms, p50 {p50*1e3:.0f} ms, "
+          f"p99 {p99*1e3:.0f} ms", file=sys.stderr)
     print(json.dumps({
         "metric": "Mrays_per_sec_chip_1080p_shadows_streaming",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "frame_ms_p50": round(p50 * 1e3, 1),
+        "frame_ms_p99": round(p99 * 1e3, 1),
+        "frames": FRAMES,
     }))
 
 

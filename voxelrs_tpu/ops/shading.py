@@ -2849,13 +2849,15 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
 
     known = known_value = None
     if adaptive:
-        # optional second level (VOXELRS_HIERARCHY=1): quarter-res trace
-        # fills the half-res grid the same way the half-res grid fills
-        # pixels. Off by default: on the tunnel-attached chip the q-level
-        # saves ~60 ms of coarse trace but its extra merge/refine stages
-        # and plan tags cost about as much (measured ~505 vs ~450 ms
-        # steady), and thin features in the 2-4 px band may drop.
-        hierarchy = _os.environ.get("VOXELRS_HIERARCHY") == "1"
+        # second level (VOXELRS_HIERARCHY, default on with adaptive):
+        # quarter-res trace fills the half-res grid the same way the
+        # half-res grid fills pixels. Under round-2's multi-program replay
+        # the q-level's extra merge/refine stages cost what it saved
+        # (~505 vs ~450 ms steady, docs/ROUND1.md); under round-3's
+        # whole-frame fusion those stages fuse away and it measures
+        # 18.4 vs 14.9 Mrays/s (docs/ab_r3.json hierarchy_on).
+        _hier_env = _os.environ.get("VOXELRS_HIERARCHY")
+        hierarchy = _hier_env == "1" if _hier_env is not None else True
         known_c = kval_c = None
         if t_floor is not None and _floor_gather is None:
             _make_floor_gather()
