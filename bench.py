@@ -175,6 +175,8 @@ def main() -> None:
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+                "seq_frame_ms": round(seq * 1e3, 1),
+                "piped_frame_ms": round(piped * 1e3, 1),
             }
         )
     )

@@ -115,6 +115,9 @@ def main() -> None:
                     help="comma-separated svo formats to run")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip configs already present in --out (a long "
+                    "matrix run killed mid-way restarts where it stopped)")
     args = ap.parse_args()
 
     rds = [10] if args.quick else [10, 20, 30, 40]
@@ -123,7 +126,24 @@ def main() -> None:
     fmts = args.formats.split(",")
 
     rows = []
+    done = set()
+    if args.resume:
+        try:
+            with open(args.out, newline="") as f:
+                rows = list(csv.DictReader(f))
+            done = {
+                (r["svo_format"], int(r["render_distance"]),
+                 r["shadows"] == "True", r["no_lod"] == "True")
+                for r in rows
+            }
+            print(f"resuming: {len(rows)} rows, {len(done)} configs done",
+                  flush=True)
+        except FileNotFoundError:
+            pass
+
     for fmt, rd, sh, nl in itertools.product(fmts, rds, shadow_opts, lod_opts):
+        if (fmt, rd, sh, nl) in done:
+            continue
         rows += run_config(
             args.world, fmt, rd, sh, nl, args.width, args.height,
             args.sample_seconds, args.passes,

@@ -323,6 +323,52 @@ class Svo:
         )
         return img
 
+    def render_sharded(self, mesh, params: RenderParams, width: int,
+                       height: int, max_steps: int = 1000) -> np.ndarray:
+        """Render one frame with image rows SPMD over a device mesh —
+        the PRODUCTION deferred/adaptive pipeline per row slab (see
+        parallel.mesh.render_frame_deferred_sharded), beams included.
+        Opaque worlds only (translucent frames use the fused classic
+        kernel via ``parallel.mesh.render_frame_sharded``)."""
+        from ..parallel.mesh import render_frame_deferred_sharded
+        from .camera import Camera
+
+        cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio,
+                     0.01, 1024)
+        cam.position = np.asarray(params.cam_pos, np.float32)
+        cam.forward = np.asarray(params.cam_fwd, np.float32)
+        cam.up = np.asarray(params.cam_up, np.float32)
+        s, u, f = cam.camera_basis()
+        beams = self._beam_floors(cam, s, u, f, params, width, height)
+        if self.buffer_dtype == np.uint32:
+            engine = "esvo"
+            descriptors = self.device_buf
+            stack_h = min(12, max(self.depth, 1) + 1)
+        else:
+            engine = "csvo"
+            descriptors = (self.device_buf, jnp.uint32(self.root_ptr),
+                           jnp.int32(self.depth))
+            stack_h = 12
+        highlight = (
+            np.asarray(params.selected_voxel, np.float32)
+            if params.selected_voxel is not None
+            else np.full(3, np.nan, np.float32)
+        )
+        return render_frame_deferred_sharded(
+            mesh, descriptors, jnp.float32(self.octree_scale), self.mips,
+            self.mat_params, self.mat_tex, width=width, height=height,
+            render_shadows=bool(params.render_shadows),
+            cam_pos=jnp.asarray(cam.position), cam_right=jnp.asarray(s),
+            cam_up=jnp.asarray(u), cam_fwd=jnp.asarray(f),
+            fov_y_rad=jnp.float32(params.fov_y_rad),
+            aspect=jnp.float32(params.aspect_ratio),
+            ambient=jnp.float32(params.ambient_intensity),
+            light_dir=jnp.asarray(params.light_dir, jnp.float32),
+            shadow_distance=jnp.float32(params.shadow_distance),
+            highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
+            stack_height=stack_h, engine=engine, beams=beams,
+        )
+
     def set_heightfield(self, hf) -> None:
         """Attach a world/heightfield.HeightField — enables the beam
         pre-pass (conservative per-tile ray-entry floors; bit-exact

@@ -370,8 +370,14 @@ def _margin_bucket(count: int) -> int:
 
 # shadow-certificate helpers (jitted once; used at candidate-bucket width)
 _uncertified = jax.jit(lambda lit, blk: ~lit & ~blk)
+# scatter-max, not set: pad entries DUPLICATE real indices (lane/bucket 0),
+# and a set-scatter with duplicate indices has unspecified write order — a
+# pad's False could land after the real entry's True and drop a blocked
+# verdict (seen as a one-pixel shadow flip on the SPMD slab path, where
+# slab-local lane 0 is often a real candidate). max == OR per index.
 _or_scatter = jax.jit(
-    lambda blk, idx, v: blk | jnp.zeros_like(blk).at[idx].set(v)
+    lambda blk, idx, v: blk
+    | (jnp.zeros(blk.shape, jnp.int32).at[idx].max(v.astype(jnp.int32)) > 0)
 )
 # drop PAD lanes (compact_indices fills with duplicates of lane 0) from the
 # uncertified mask: pads otherwise inflate the traced sub-bucket to the
@@ -456,6 +462,35 @@ class _SnapshotPlanner:
         order) into the backing store's pending queue."""
         for (tag, n, seg_lens), arr in zip(self.meta, count_arrays):
             self.store.push_pending(tag, n, seg_lens, [arr])
+
+
+class _StaticPlanner:
+    """Content-independent plan source for SPMD execution.
+
+    Every decision is a pure function of static shapes: traces run one
+    full-budget segment with NO compaction (``lookup`` returns a
+    single-segment plan), sticky buckets sit at their caps, and counts
+    are discarded. The frame body under this planner traces into one XLA
+    program with zero host state — exactly what a ``shard_map`` over a
+    device mesh needs, where all devices must run the SAME program and no
+    per-device host decision can exist (parallel/mesh.py). Compaction /
+    recorded-plan replay are single-host perf features; the SPMD path
+    trades their pad savings for determinism across shards."""
+
+    def lookup(self, tag, n):
+        return [(1 << 30, None)]  # one full-budget segment (clamped)
+
+    def record(self, tag, n, plan):  # pragma: no cover - lookup never None
+        raise AssertionError("static planner never records")
+
+    def bucket_hint(self, tag, i):
+        return None
+
+    def sticky_scalar(self, name, count_dev, cap):
+        return cap
+
+    def push_pending(self, tag, n, seg_lens, counts_dev):
+        pass
 
 
 def _plan_snapshot(store):
@@ -701,16 +736,25 @@ class _PlanStore:
                 self.history[tag] = [b for _seg, b in new_plan]
 
 
-def _pix_rays_for(width: int, height: int):
+def _pix_rays_for(width: int, height: int, full_height: int | None = None):
     """Pixel-ray derivation from flat pixel ids — bit-identical to
-    ``generate_rays`` (shared by the adaptive passes)."""
+    ``generate_rays`` (shared by the adaptive passes).
+
+    ``full_height`` (multi-chip row-slab sharding): the pixel ids address a
+    ``height``-row slab of a ``width x full_height`` global frame whose
+    first global row arrives as a traced scalar in ``ray_args[6]`` — the
+    SPMD frame program derives it from the mesh axis index, so one
+    compiled program serves every device (parallel/mesh.py)."""
+    fh = float(full_height if full_height is not None else height)
 
     def pix_rays(idx, ray_args):
-        cam_pos, cam_right, cam_up, cam_fwd, fov, aspect = ray_args
+        cam_pos, cam_right, cam_up, cam_fwd, fov, aspect = ray_args[:6]
         x = (idx % width).astype(jnp.float32)
         y = (idx // width).astype(jnp.float32)
+        if len(ray_args) > 6:
+            y = y + ray_args[6].astype(jnp.float32)
         u = (x / width * 2.0 - 1.0) * aspect * jnp.tan(fov * 0.5)
-        v = ((height - 1.0 - y) / height * 2.0 - 1.0) * jnp.tan(fov * 0.5)
+        v = ((fh - 1.0 - y) / fh * 2.0 - 1.0) * jnp.tan(fov * 0.5)
         rd = (u[:, None] * cam_right[None, :] + v[:, None] * cam_up[None, :]
               + cam_fwd[None, :])
         rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
@@ -988,7 +1032,8 @@ _ENGINES = {"esvo": _EsvoEngine, "csvo": _CsvoEngine}
 
 
 def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
-                     stack_height: int = 12, engine: str = "esvo"):
+                     stack_height: int = 12, engine: str = "esvo",
+                     full_height: int | None = None):
     """Deferred pipeline specialization for opaque worlds (no texture with
     alpha < 1 — then translucent casting is exactly first-leaf-hit casting):
 
@@ -1009,7 +1054,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
       marks the plan stale so the next frame re-syncs. VOXELRS_PLAN=0
       disables replay.
     """
-    key = ("opq", B, width, height, max_steps, stack_height, engine)
+    key = ("opq", B, width, height, max_steps, stack_height, engine,
+           full_height)
     if key in _pipeline_cache:
         return _pipeline_cache[key]
 
@@ -1024,7 +1070,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     # -- ray sources ---------------------------------------------------------
     # bit-identical to ``generate_rays`` so compacted lanes see the exact
     # same ray
-    _pix_rays = _pix_rays_for(width, height)
+    _pix_rays = _pix_rays_for(width, height, full_height)
 
     def _dir_rays(idx, ray_args):
         """Per-lane origins, constant direction (shadow rays)."""
@@ -2696,14 +2742,14 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         if idx is None:
             sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k),
                                         "jns1_k")
-            blocked = scatter_bool(blk0, sidx1, shit1)
+            blocked = _or_scatter(blk0, sidx1, shit1)
             mask2, reuse, verdict = shadow_cell_merge(need_shadow_k, blocked)
             sidx2, shit2 = shadow_trace(mask2, "jns2_k")
-            blocked = scatter_bool(blocked, sidx2, shit2)
+            blocked = _or_scatter(blocked, sidx2, shit2)
             blocked = shadow_combine(reuse, verdict, blocked)
         else:
             sidx, shit = shadow_trace(need_shadow_k, "jns_k")
-            blocked = scatter_bool(blk0, sidx, shit)
+            blocked = _or_scatter(blk0, sidx, shit)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
@@ -2807,11 +2853,18 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
                        fov_y_rad, aspect, ambient, light_dir,
                        shadow_distance, highlight_pos, *, width, height,
                        render_shadows, max_steps, planner, mark,
-                       stack_height=12, engine="esvo", beams=None):
+                       stack_height=12, engine="esvo", beams=None,
+                       row0=None, full_height=None):
     """The opaque frame computation. Pure in its array arguments when every
     plan is recorded (``planner`` = a _SnapshotPlanner), which is what lets
     the whole frame trace into one program; with ``planner`` = the plan
-    store it runs as the multi-program recording/sync path."""
+    store it runs as the multi-program recording/sync path.
+
+    ``row0``/``full_height`` (multi-chip): render rows
+    [row0, row0 + height) of a ``width x full_height`` global frame —
+    ``row0`` is a TRACED scalar (the SPMD slab program derives it from the
+    mesh axis index) and everything downstream works in slab-local pixel
+    space (see parallel/mesh.py)."""
     global _shadow_sign
 
     B = width * height
@@ -2823,16 +2876,21 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
      refine_order, merge_refined, shadow_mask1, shadow_cell_merge,
      shadow_combine, adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
      Bc, refine_values) = _opaque_pipeline(B, width, height, max_steps,
-                                           stack_height, engine)
+                                           stack_height, engine,
+                                           full_height=full_height)
     fused = planner is not store
     tr_planner = planner if fused else None
     if _shadow_sign is None:
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
-    ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
-    mark("raygen", rd)
-
     cam_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    if row0 is not None:
+        cam_args = cam_args + (jnp.asarray(row0, jnp.int32),)
+        ro, rd = pix_rays_jit(jnp.arange(B, dtype=jnp.int32), cam_args)
+    else:
+        ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad,
+                        aspect)
+    mark("raygen", rd)
     t_floor = beams.t_floor if beams is not None else None
 
     # adaptive ("thick ray") primary pass: quarter-res trace, exact fill of
@@ -3024,8 +3082,13 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
                     planner=tr_planner,
                 )
                 # pad lanes of tidx duplicate global lane 0 - value-
-                # identical writes (certificate == traced verdict)
+                # identical writes (certificate == traced verdict). Pads of
+                # the CANDIDATE bucket (entries >= cnt) carry certificates
+                # of global lane 0's ray, which need not be a candidate —
+                # mask them so the OR-scatter back to lane space stays
+                # verdict-exact.
                 blocked2 = _or_scatter(blk2, tidx, shit3)
+                blocked2 = _mask_pads(blocked2, cnt)
                 mark(f"shadow-trace {name}", blocked2)
                 return sidx, blocked2
             tfl = None
@@ -3045,17 +3108,19 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
             # (bit-identical verdicts), reuse them for interior pixels whose
             # 4 cell corners agree, trace only the disagreeing remainder
             sidx1, shit1 = shadow_trace(shadow_mask1(need_shadow_k), "ns1_k")
-            blocked = scatter_bool(blk0, sidx1, shit1)
+            blocked = _or_scatter(blk0, sidx1, shit1)
             mask2, reuse, verdict = shadow_cell_merge(need_shadow_k, blocked)
             sidx2, shit2 = shadow_trace(mask2, "ns2_k")
-            # pad lanes of both scatters re-trace lane 0's own ray, so the
-            # duplicate writes are value-identical (certified lane 0
-            # included: its certificate equals its traced verdict)
-            blocked = scatter_bool(blocked, sidx2, shit2)
+            # OR-scatter: pad lanes duplicate bucket lane 0, whose pad
+            # verdict under certificates is the CERTIFICATE-only view (a
+            # subset of the traced verdict) — a set-scatter with duplicate
+            # indices may let the weaker pad write win (caught by the SPMD
+            # slab path, where slab-local lane 0 can be a real candidate)
+            blocked = _or_scatter(blocked, sidx2, shit2)
             blocked = shadow_combine(reuse, verdict, blocked)
         else:
             sidx, shit2 = shadow_trace(need_shadow_k, "ns_k")
-            blocked = scatter_bool(blk0, sidx, shit2)
+            blocked = _or_scatter(blk0, sidx, shit2)
         shadow_t_k = _shadow_sign(blocked)
         mark("shadow", shadow_t_k)
     else:
