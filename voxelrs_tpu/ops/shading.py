@@ -3034,7 +3034,7 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
 
     if k > 1_600_000:
         # gather cost/lane doubles above ~1.6M gathering lanes (measured,
-        # scripts/shade_probe.py) — run the texture-heavy shade in halves
+        # scripts/probes/shade_probe.py) — run the texture-heavy shade in halves
         half = k // 2
         pa = _shade_at(slice(0, half))
         pb = _shade_at(slice(half, k))
