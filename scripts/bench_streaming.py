@@ -54,6 +54,13 @@ def main() -> None:
     opaque_lut = opaque_lut_from_mask(svo.translucent_block_mask)
     world_svo = Esvo()
     hf = HeightField()
+    # production setting (systems/worldsvo.py): sun-certificate builds run
+    # on a worker thread. The r3 streaming run that left this at the
+    # synchronous default paid a multi-second host sun build EVERY churn
+    # frame (the map version changes each frame, the 0.75 s cooldown
+    # expires within one >1 s frame) — p50 3.2 s. Under churn the async
+    # quiet gate simply skips the build and shadow rays trace.
+    hf.sun_async = True
     gen = Generator(1, default_config())
     center = ChunkPos(RADIUS, 2, RADIUS)
     leafs: dict = {}  # (cx, cz) -> [(LeafId, chunk_pos)]
@@ -111,8 +118,9 @@ def main() -> None:
     next_in = RADIUS * 2  # next x column index to stream in
     next_out = 0          # next x column index to drop
 
-    def frame(i: int, churn: bool):
+    def frame(i: int, churn: bool, log: bool = False):
         nonlocal next_in, next_out
+        t0 = time.time()
         if churn:
             # one column in, one out, per frame: ~8 chunks churned —
             # the chunkloader's steady-state rate at walking speed
@@ -123,12 +131,20 @@ def main() -> None:
                 next_in += 1
                 next_out += 1
             world_svo.serialize()
+            t1 = time.time()
             svo.update(world_svo)
             svo.set_heightfield(hf)
+        else:
+            t1 = time.time()
+        t2 = time.time()
         p = RenderParams(**{**base.__dict__})
         p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
         img = svo.render(p, W, H)
         _ = float(np.asarray(img[0, 0, 0]))
+        if log:
+            print(f"#   frame {i}: stream+ser {t1-t0:.3f} s, upload "
+                  f"{t2-t1:.3f} s, render {time.time()-t2:.3f} s",
+                  file=sys.stderr)
 
     # warmup until plans settle (static first so buckets form, then churn)
     t_w = time.time()
@@ -141,7 +157,7 @@ def main() -> None:
     times = []
     for i in range(7, 7 + FRAMES):
         t0 = time.time()
-        frame(i, churn=True)
+        frame(i, churn=True, log=True)
         times.append(time.time() - t0)
     dt = float(np.mean(times))
     p50 = float(np.percentile(times, 50))

@@ -593,18 +593,24 @@ class CsvoPushState(NamedTuple):
     # this hardware that cost ~48 ns/lane/step and made the CSVO miss path
     # 23x slower than ESVO's (docs/shader_microbench.json). Like the ESVO
     # push engine, all decode bytes now live in registers: ``win`` caches
-    # a 48-byte window at the current node (every decode read lands inside
-    # it), ``hdr`` its first two bytes (the child-existence masks), and
+    # a 48-byte window (every decode read checks CONTAINMENT in it —
+    # [win_base*4, win_base*4+48) — not node ownership), ``hdr`` the
+    # current node's first two bytes (the child-existence masks), and
     # POP restores ``hdr`` from a stack plane. Memory is touched only in
     # ``fetch_phase_csvo`` — one row gather over an 8-word-strided
-    # overlapping view — once per PUSH (and once more per chunk-boundary
-    # crossing, resolved via the ``crossing`` flag in a later substep).
+    # overlapping view — on a PUSH whose target bytes fall outside the
+    # window (and once per chunk-boundary crossing, resolved via the
+    # ``crossing`` flag in a later substep). Containment is what makes
+    # the bottom-level skim fetch-free: a depth-2 lnode subtree (mask +
+    # u16 + up to 8 leaf masks ≈ 11 contiguous bytes) fits entirely in
+    # one window, so leaf pushes, pops back, and sibling re-pushes all
+    # run on registers — the CSVO analogue of the ESVO engine's
+    # occupancy registers (traversal.PushState c0..c3).
     hdr: jnp.ndarray        # (B,) u32: node's first 2 bytes (masks)
     need_fetch: jnp.ndarray  # (B,) bool: win/hdr stale (pending push)
     crossing: jnp.ndarray   # (B,) bool: pp points at a chunk blob header
     win: jnp.ndarray        # (12, B) u32: words [win_base, win_base+12)
     win_base: jnp.ndarray   # (B,) i32 word index of win[0]
-    win_owner: jnp.ndarray  # (B,) u32 byte ptr the window was fetched for
     stack_hdr: jnp.ndarray  # (H, B) u32
 
 
@@ -710,8 +716,9 @@ def _fresh_regs(B, H):
         need_fetch=jnp.ones(B, bool),  # first fetch loads the root window
         crossing=jnp.zeros(B, bool),
         win=jnp.zeros((WIN_WORDS, B), u32),
-        win_base=jnp.zeros(B, i32),
-        win_owner=jnp.full(B, 0xFFFFFFFF, u32),
+        # far negative: containment tests fail until the first fetch
+        # (b = ptr - win_base*4 stays ≥ 0 and > 48 for any u28 ptr)
+        win_base=jnp.full(B, -(1 << 28), i32),
         stack_hdr=jnp.zeros((H, B), u32),
     )
 
@@ -793,7 +800,6 @@ def fetch_phase_csvo(table, s: CsvoPushState) -> CsvoPushState:
     return s._replace(
         win=jnp.where(take[None, :], win_new, s.win),
         win_base=jnp.where(take, w0, s.win_base),
-        win_owner=jnp.where(take, ptr, s.win_owner),
         hdr=jnp.where(take, hdr_new, s.hdr),
         need_fetch=jnp.zeros_like(s.need_fetch),
     )
@@ -874,12 +880,28 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     want_push = (
         act & hit_branch & ~(is_leaf & (s.t_min > 0)) & (s.t_min <= tv_max)
     )
-    win_ok = s.win_owner == ptr
-    can_push = want_push & win_ok
-    defer = want_push & ~win_ok  # refetch this node's window, retry
+
+    # window containment: a read of ``need`` bytes at byte ptr ``p`` can be
+    # served from the register window iff it lies inside
+    # [win_base*4, win_base*4 + 48). hdr is always the CURRENT node's (set
+    # by fetch / covered push / stack POP), so the offsets below are valid
+    # whenever the bytes are.
+    win_lo = s.win_base * 4
+
+    def _covered(p, need):
+        b = p.astype(i32) - win_lo
+        return (b >= 0) & (b + need <= WIN_WORDS * 4)
 
     off_internal = _tag_bytes_reg(header16, octant_idx)
     ptr_bytes = _tag_bytes_reg(header16, jnp.full_like(octant_idx, 8))
+    dec_ok = jnp.where(
+        depth > 3,
+        _covered(ptr + 2 + off_internal, 4),
+        jnp.where(depth == 3, _covered(ptr + 1, 8), True),
+    )
+    can_push = want_push & dec_ok
+    defer = want_push & ~dec_ok  # refetch this node's window, retry
+
     raw = _win_u32(s.win, s.win_base, ptr + 2 + off_internal)
     width_mask = jnp.where(
         tag >= 3,
@@ -899,6 +921,12 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     next_ptr = jnp.where(depth > 3, internal_ptr,
                          jnp.where(depth == 3, pre_ptr, leaf_ptr)).astype(u32)
     crossed = crossed & (depth > 3)
+
+    # fetch-free push: when the child's header bytes are already inside
+    # the window, its hdr is a register read and no fetch is needed (the
+    # child's own decode reads re-check containment when they happen)
+    child_cov = _covered(next_ptr, 2) & ~crossed
+    hdr_child = _win_u32(s.win, s.win_base, next_ptr) & jnp.uint32(0xFFFF)
 
     slot = s.scale - stack_base
     lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
@@ -993,12 +1021,12 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         mat_ptr=jnp.where(resolve, ptr + 5, s.mat_ptr),
         pre_leaf=pre_leaf,
         floor=s.floor,
-        hdr=jnp.where(do_pop, pop_hdr, s.hdr),
-        need_fetch=s.need_fetch | can_push | defer | resolve,
+        hdr=jnp.where(do_pop, pop_hdr,
+                      jnp.where(can_push & child_cov, hdr_child, s.hdr)),
+        need_fetch=s.need_fetch | (can_push & ~child_cov) | defer | resolve,
         crossing=(s.crossing & ~resolve) | (can_push & crossed),
         win=s.win,
         win_base=s.win_base,
-        win_owner=s.win_owner,
         stack_hdr=stack_hdr,
     )
 
