@@ -7,6 +7,10 @@ echo "=== shader microbench regen ==="
 timeout 3600 python -u scripts/shader_microbench.py 2>&1 | grep -v cpu_aot_loader
 echo "=== streaming bench (async sun) ==="
 timeout 3600 python -u scripts/bench_streaming.py 2>&1 | grep -v cpu_aot_loader
+echo "=== quick in-game (picker memo) ==="
+timeout 1800 python -u scripts/benchmark_ingame.py --quick --passes 1 \
+  --sample-seconds 15 --formats esvo --out docs/results_quick.csv \
+  2>&1 | grep -v cpu_aot_loader
 echo "=== bench.py default confirm ==="
 timeout 3600 python -u bench.py 2>&1 | grep -v cpu_aot_loader
 echo "=== post-matrix queue done ==="

@@ -96,6 +96,16 @@ class Svo:
         self.stats = Stats(capacity_bytes=cap_bytes)
         self._render_cache: dict = {}
         self._raycast_cache: dict = {}
+        # picker memo: (buffer_version, tasks, results). A raycast over the
+        # SAME task batch against the SAME device buffer is deterministic,
+        # so replaying the previous readback is bit-exact. This is the
+        # in-game fast path: the 250 Hz fixed-step physics loop raycasts an
+        # IDENTICAL AABB batch every substep while the entity stands still
+        # (and the look-ray repeats while the camera is still) — without
+        # the memo each substep pays a full device round trip (~30-50 ms
+        # over the tunnel), up to 9 syncs per rendered frame.
+        self._buffer_version = 0
+        self._raycast_memo = None
 
     # -- world upload ---------------------------------------------------------
 
@@ -121,6 +131,7 @@ class Svo:
     def update(self, world_svo) -> None:
         """Apply the serializer's changed ranges to the device buffer
         (reference: svo.rs:171-189)."""
+        prev_state = (self.depth, self.root_ptr)
         self.depth = world_svo.depth()
         self.octree_scale = np.float32(2.0 ** -self.depth) if self.depth else np.float32(1.0)
 
@@ -156,6 +167,8 @@ class Svo:
                 )
                 self.device_buf = _apply_range(self.device_buf, chunk, ws, b)
 
+        if ranges or (self.depth, self.root_ptr) != prev_state:
+            self._buffer_version += 1  # invalidate the picker memo
         self.world_value_mask = getattr(world_svo, "value_mask", ~0)
         self.stats = Stats(
             used_bytes=world_svo.size_in_bytes(),
@@ -458,6 +471,16 @@ class Svo:
         n = len(tasks)
         if n == 0:
             return
+        if self._raycast_memo is None or \
+                self._raycast_memo[0] != self._buffer_version:
+            self._raycast_memo = (self._buffer_version, {})
+        memo = self._raycast_memo[1]
+        key = (tasks.shape[0], tasks.tobytes())
+        hit = memo.get(key)
+        if hit is not None:
+            # hand out copies: result objects hold views into these arrays
+            batch.deserialize_results(*(a.copy() for a in hit), result)
+            return
         n_pad = 1 << max(3, (n - 1).bit_length())
         padded = np.zeros((n_pad, 7), np.float32)
         padded[:n] = tasks
@@ -466,10 +489,12 @@ class Svo:
             self.device_buf, jnp.float32(self.octree_scale),
             jnp.uint32(self.root_ptr), jnp.asarray(padded)
         )
-        batch.deserialize_results(
-            np.asarray(dst)[:n], np.asarray(inside)[:n], np.asarray(pos)[:n],
-            np.asarray(normal)[:n], result,
-        )
+        if len(memo) >= 16:  # bound the per-version entries
+            memo.clear()
+        res = (np.asarray(dst)[:n], np.asarray(inside)[:n],
+               np.asarray(pos)[:n], np.asarray(normal)[:n])
+        memo[key] = res
+        batch.deserialize_results(*(a.copy() for a in res), result)
 
     def get_stats(self) -> Stats:
         return self.stats
