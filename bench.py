@@ -145,7 +145,16 @@ def main() -> None:
     def render_async(i):
         p = RenderParams(**{**params.__dict__})
         p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
-        return svo.render(p, W, H)
+        img = svo.render(p, W, H)
+        # the frame fence: one element, with its host copy started NOW so
+        # the ~26 ms tunnel round trip overlaps the next frame's dispatch
+        # instead of sitting on the critical path when we sync it
+        fence = img[0, 0, 0]
+        try:
+            fence.copy_to_host_async()
+        except Exception:
+            pass
+        return fence
 
     from collections import deque
 
@@ -153,14 +162,14 @@ def main() -> None:
     for i in range(2):  # warm the in-flight path
         inflight.append(render_async(i))
     while inflight:
-        _ = float(np.asarray(inflight.popleft()[0, 0, 0]))
+        _ = float(np.asarray(inflight.popleft()))
     t0 = time.time()
     for i in range(2 * FRAMES):
         inflight.append(render_async(i % FRAMES))
         if len(inflight) > 1:
-            _ = float(np.asarray(inflight.popleft()[0, 0, 0]))
+            _ = float(np.asarray(inflight.popleft()))
     while inflight:
-        _ = float(np.asarray(inflight.popleft()[0, 0, 0]))
+        _ = float(np.asarray(inflight.popleft()))
     piped = (time.time() - t0) / (2 * FRAMES)
 
     print(f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f} ms",

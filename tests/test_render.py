@@ -346,7 +346,7 @@ def test_fused_frame_matches_multiprogram(scene, monkeypatch):
     stores = [shading._pipeline_cache[k][6] for k in shading._pipeline_cache
               if k[:4] == ("opq", W * H, W, H)]
     assert any(
-        s.pending or getattr(s, "_ready", None) is not None for s in stores
+        s.pending or s._ready_q or s._reader is not None for s in stores
     ), "fused frames stopped feeding the plan store's count refresh"
 
 

@@ -405,6 +405,11 @@ class _IncompleteFramePlan(Exception):
     multi-program path for this frame (which records it)."""
 
 
+class _StageCut(Exception):
+    """Raised by the VOXELRS_STAGE_CUT profiling mark to truncate the
+    fused frame trace after a named stage (see _render_frame_opaque)."""
+
+
 class _SnapshotPlanner:
     """Read-only plan view used while TRACING a fused whole-frame program.
 
@@ -526,10 +531,18 @@ class _PlanStore:
     the next frame's start; an overflowed bucket marks the plan stale)."""
 
     def __init__(self, merge_none_below: int = 0):
+        import collections
         import threading
 
         self.plans: dict = {}
         self.pending: list = []
+        # count batches whose async host copy is in flight, oldest first,
+        # and the daemon thread currently materializing the oldest one —
+        # the blocking device->host read happens OFF the frame thread
+        # (it cost ~26-108 ms/frame on the critical path, host profile
+        # round 3)
+        self._ready_q: collections.deque = collections.deque()
+        self._reader = None
         # last known per-segment buckets per tag — consulted by SYNCED
         # explorations so a re-synced plan re-picks the same compiled
         # shapes instead of flapping between adjacent ladder points
@@ -599,7 +612,7 @@ class _PlanStore:
         else:
             flat_dev = None
         with self.lock:
-            self._ready = (work, flat_dev, sizes)
+            self._ready_q.append((work, flat_dev, sizes))
 
     def sticky_scalar(self, name, count_dev, cap):
         """Bucket for a lane subset sized by an async device count: replay
@@ -625,20 +638,54 @@ class _PlanStore:
 
     def resolve(self):
         """Refresh (or invalidate) the recorded plans from per-segment
-        counts. Counts resolve with a TWO-frame lag: at the end of frame N
-        the pending batch is concatenated and its host copy starts
-        asynchronously; frame N+2's resolve reads the landed buffer — no
-        round-trip latency on the critical path."""
+        counts. Counts resolve with a TWO-frame lag and WITHOUT blocking
+        the frame thread: at the end of frame N the pending batch is
+        concatenated and its host copy starts asynchronously; a daemon
+        reader thread materializes it (absorbing the tunnel round trip,
+        ~26 ms, which used to sit on the critical path of every frame);
+        frame N+2's resolve applies the landed values."""
         import os
+        import threading
 
-        with self.lock:
-            batch = getattr(self, "_ready", None)
-            self._ready = None
         # rotate: start the async host copy for the batch queued this frame
         self._rotate_pending()
+
+        # collect the reader's landed batch (non-blocking)
+        batch = None
+        if self._reader is not None:
+            th, box = self._reader
+            if th.is_alive():
+                with self.lock:
+                    backlog = len(self._ready_q)
+                if backlog < 8:
+                    return  # nothing landed yet; try again next frame
+                th.join()  # pathological backlog: fall back to blocking
+            else:
+                th.join()
+            batch = box[0] if box else None
+            self._reader = None
+
+        # keep the reader busy with the oldest in-flight batch
+        with self.lock:
+            nxt = self._ready_q.popleft() if self._ready_q else None
+        if nxt is not None:
+            work_n, flat_n, sizes_n = nxt
+            box_n: list = []
+
+            def _read(work=work_n, flat=flat_n, sizes=sizes_n, out=box_n):
+                total = sum(sizes)
+                vals = ([int(v) for v in np.asarray(flat)[:total]]
+                        if flat is not None else [])
+                out.append((work, sizes, vals))
+
+            th = threading.Thread(target=_read, daemon=True,
+                                  name="plan-count-reader")
+            th.start()
+            self._reader = (th, box_n)
+
         if batch is None:
             return
-        work, flat_dev, sizes = batch
+        work, sizes, values = batch
         # periodic refresh: rebuild segment plans from the latest counts
         # (NOT a full re-sync — the segment boundaries are a fixed schedule,
         # so the lagged counts carry everything a synced exploration would
@@ -646,9 +693,6 @@ class _PlanStore:
         # changes)
         self._epoch = getattr(self, "_epoch", 0) + 1
         refresh = self._epoch % 256 == 0
-        total = sum(sizes)
-        values = ([int(v) for v in np.asarray(flat_dev)[:total]]
-                  if flat_dev is not None else [])
         pos = 0
         entry_i = 0
         debug = os.environ.get("VOXELRS_PLAN_DEBUG")
@@ -2805,15 +2849,42 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                 ambient, light_dir, shadow_distance, highlight_pos, beams)
 
     if _fused_frame_on():
+        import os as _os
+
+        # VOXELRS_STAGE_CUT=<stage prefix>: profiling-only knob — truncate
+        # the fused program right after the named mark() and return a dummy
+        # image anchored on that stage's output (a sum, so XLA can't DCE
+        # the work). Each cut's steady frame time is the CUMULATIVE device
+        # cost up to that stage inside the one fused program — the only way
+        # to attribute time within a single XLA program over the tunnel
+        # (scripts/probes/fused_stage_cut.py). Never set in production.
+        cut = _os.environ.get("VOXELRS_STAGE_CUT")
         flags = ("opq", width, height, render_shadows, max_steps,
                  stack_height, engine, beams is not None,
-                 beams is not None and beams.has_sun())
+                 beams is not None and beams.has_sun(), cut)
 
         def body_fn(planner, *args):
             planner.reset()
-            img = _opaque_frame_body(
-                *args[:15], beams=args[15], planner=planner,
-                mark=lambda *_a: None, **kwargs)
+            if not cut:
+                img = _opaque_frame_body(
+                    *args[:15], beams=args[15], planner=planner,
+                    mark=lambda *_a: None, **kwargs)
+                return img, tuple(planner.arrays)
+
+            box: list = []
+
+            def cut_mark(name, ref):
+                if str(name).startswith(cut):
+                    box.append(ref)
+                    raise _StageCut()
+
+            try:
+                img = _opaque_frame_body(
+                    *args[:15], beams=args[15], planner=planner,
+                    mark=cut_mark, **kwargs)
+            except _StageCut:
+                anchor = jnp.sum(box[0].astype(jnp.float32))
+                img = jnp.zeros((height, width, 4), jnp.float32) + anchor
             return img, tuple(planner.arrays)
 
         out = _fused_frame_call(store, flags, dev_args, body_fn)
