@@ -35,6 +35,7 @@ from voxelrs_tpu.graphics.svo import RenderParams, Svo  # noqa: E402
 W, H = 1920, 1080
 
 CUTS = [
+    "args",
     "raygen",
     "coarse4",
     "coarse-refine",
