@@ -264,6 +264,29 @@ def test_hierarchical_adaptive_matches_exact(scene, monkeypatch):
     assert (per_pixel > 1e-3).mean() < 0.03
 
 
+def test_three_level_hierarchy_matches_exact(scene, monkeypatch):
+    """VOXELRS_HIERARCHY=2 (eighth-res -> quarter -> half -> pixels) must
+    stay within the thick-ray budget of the exact render. Uses a frame
+    large enough for the eighth-res grid to clear the Bq gate."""
+    w3, h3 = 320, 240
+    p = default_params(aspect_ratio=w3 / h3)
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(scene.render(p, w3, h3, max_steps=300))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "2")
+    hier = np.asarray(scene.render(p, w3, h3, max_steps=300))
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "1")
+    hier2 = np.asarray(scene.render(p, w3, h3, max_steps=300))
+
+    assert not np.isnan(hier).any()
+    assert diff_images(hier, exact) < 0.004
+    per_pixel = np.abs(hier - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.03
+    # the third level refines back onto the same quarter grid the two-level
+    # pass traces directly: where its refinement is exact, outputs agree
+    assert diff_images(hier, hier2) < 0.004
+
+
 def test_csvo_deferred_matches_fused(monkeypatch):
     """The CSVO deferred pipeline (judged rounds + restarts over the byte
     stream, ops/traversal_csvo.py engine) must match the fused CSVO kernel

@@ -1739,6 +1739,22 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     coarse_sub_ids = jax.jit(lambda idx, ray_args: (
         lambda p: (p, *_pix_rays(p, ray_args)))(_coarse_pidx()[idx]))
 
+    # hierarchical level 3 (VOXELRS_HIERARCHY=2): eighth-res grid merged
+    # onto the quarter grid — the same frozen-merge recursion one level up
+    def _q_ids():
+        return _coarse_pidx()[_q_in_c()]
+
+    adaptive_merge_e = _make_frozen_merge(_Wq, _Hq, _q_ids)
+    _He, _We, _e_in_q, _u4e, _sme, _pke = _coarse_grid_for(_Wq, _Hq)
+    coarse_rays_e = jax.jit(
+        lambda ray_args: (lambda p: (p, *_pix_rays(p, ray_args)))(
+            _q_ids()[_e_in_q()]
+        )
+    )
+    quarter_sub_ids = jax.jit(lambda idx, ray_args: (
+        lambda p: (p, *_pix_rays(p, ray_args)))(_q_ids()[idx]))
+    Bq = _Hq * _Wq
+
     refine_order = jax.jit(
         lambda mask, size: compact_indices(mask, size),
         static_argnums=(1,),
@@ -1789,7 +1805,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                             refine_order, merge_refined, shadow_mask1,
                             shadow_cell_merge, shadow_combine,
                             adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
-                            Bc, refine_values)
+                            Bc, refine_values, adaptive_merge_e,
+                            coarse_rays_e, quarter_sub_ids, Bq)
     return _pipeline_cache[key]
 
 
@@ -2946,9 +2963,10 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
      store, scatter_bool, combine_dense, coarse_rays, adaptive_merge,
      refine_order, merge_refined, shadow_mask1, shadow_cell_merge,
      shadow_combine, adaptive_merge_q, coarse_rays_q, coarse_sub_ids,
-     Bc, refine_values) = _opaque_pipeline(B, width, height, max_steps,
-                                           stack_height, engine,
-                                           full_height=full_height)
+     Bc, refine_values, adaptive_merge_e, coarse_rays_e, quarter_sub_ids,
+     Bq) = _opaque_pipeline(B, width, height, max_steps,
+                            stack_height, engine,
+                            full_height=full_height)
     fused = planner is not store
     tr_planner = planner if fused else None
     if _shadow_sign is None:
@@ -2957,7 +2975,8 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
     cam_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     # profiling anchor: cut here = the fused program's fixed floor (launch
     # + arg landing + fence sync), everything downstream DCE'd
-    mark("args", cam_pos[0] + descriptors.ravel()[0].astype(jnp.float32))
+    _desc0 = jax.tree_util.tree_leaves(descriptors)[0]
+    mark("args", cam_pos[0] + _desc0.ravel()[0].astype(jnp.float32))
     if row0 is not None:
         cam_args = cam_args + (jnp.asarray(row0, jnp.int32),)
         ro, rd = pix_rays_jit(jnp.arange(B, dtype=jnp.int32), cam_args)
@@ -2989,7 +3008,13 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
         # whole-frame fusion those stages fuse away and it measures
         # 18.4 vs 14.9 Mrays/s (docs/ab_r3.json hierarchy_on).
         _hier_env = _os.environ.get("VOXELRS_HIERARCHY")
-        hierarchy = _hier_env == "1" if _hier_env is not None else True
+        # "0" = off, "1" = two-level (quarter feeds half feeds full),
+        # "2" = three-level (eighth feeds quarter). Default: two-level.
+        try:
+            hier_levels = int(_hier_env) if _hier_env else 1
+        except ValueError:
+            hier_levels = 1
+        hierarchy = hier_levels >= 1
         known_c = kval_c = None
         if t_floor is not None and _floor_gather is None:
             _make_floor_gather()
@@ -2999,16 +3024,44 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
                                                               pix_idx)
 
         if hierarchy:
-            qpix, ro_q, rd_q = coarse_rays_q(cam_args)
-            frozen_q, hit_q, steps1 = trace(
-                descriptors, octree_scale, ro_q, rd_q, jnp.float32(-1.0),
-                "pixsub", (qpix,) + cam_args, "coarse4", t_floor=_fl(qpix),
-                planner=tr_planner,
-            )
-            mark("coarse4", hit_q)
+            known_q = kval_q = None
+            if hier_levels >= 2 and Bq >= 4096:
+                # level 3: trace the eighth-res grid, fill same-surface
+                # quarter lanes analytically, re-trace disagreements
+                epix, ro_e, rd_e = coarse_rays_e(cam_args)
+                frozen_e, hit_e, steps0 = trace(
+                    descriptors, octree_scale, ro_e, rd_e,
+                    jnp.float32(-1.0), "pixsub", (epix,) + cam_args,
+                    "coarse8", t_floor=_fl(epix), planner=tr_planner,
+                )
+                mark("coarse8", hit_e)
+                (frozen_q, hit_q, known_q, kval_q, ref_q_mask,
+                 ref_q_count) = adaptive_merge_e(
+                    descriptors, frozen_e, hit_e, octree_scale, cam_args)
+                k_rq = planner.sticky_scalar("qrefine_k", ref_q_count, Bq)
+                idx_rq = refine_order(ref_q_mask, k_rq)
+                qpix_sub, ro_rq, rd_rq = quarter_sub_ids(idx_rq, cam_args)
+                frozen_rq, hit_rq, steps0b = trace(
+                    descriptors, octree_scale, ro_rq, rd_rq,
+                    jnp.float32(-1.0), "pixsub", (qpix_sub,) + cam_args,
+                    ("qrefine", k_rq), t_floor=_fl(qpix_sub),
+                    planner=tr_planner,
+                )
+                frozen_q, hit_q = merge_refined(frozen_q, hit_q, idx_rq,
+                                                frozen_rq, hit_rq)
+                steps1 = steps0 + steps0b
+                mark("coarse8-refine", hit_q)
+            else:
+                qpix, ro_q, rd_q = coarse_rays_q(cam_args)
+                frozen_q, hit_q, steps1 = trace(
+                    descriptors, octree_scale, ro_q, rd_q,
+                    jnp.float32(-1.0), "pixsub", (qpix,) + cam_args,
+                    "coarse4", t_floor=_fl(qpix), planner=tr_planner,
+                )
+                mark("coarse4", hit_q)
             (frozen_c, hit_c, known_c, kval_c, ref_c_mask, ref_c_count) = (
                 adaptive_merge_q(descriptors, frozen_q, hit_q, octree_scale,
-                                 cam_args)
+                                 cam_args, known_q, kval_q)
             )
             k_rc = planner.sticky_scalar("crefine_k", ref_c_count, Bc)
             idx_rc = refine_order(ref_c_mask, k_rc)
