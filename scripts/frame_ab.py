@@ -26,6 +26,7 @@ CONFIGS = [
     ("beams_off", {"VOXELRS_BEAMS": "0"}),
     ("adaptive_off", {"VOXELRS_ADAPTIVE": "0"}),
     ("hierarchy_on", {"VOXELRS_HIERARCHY": "1"}),
+    ("hierarchy3", {"VOXELRS_HIERARCHY": "2"}),
     ("seg8", {"VOXELRS_SEG": "8"}),
     ("seg16", {"VOXELRS_SEG": "16"}),
     ("substeps3", {"VOXELRS_SUBSTEPS": "3"}),
