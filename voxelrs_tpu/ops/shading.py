@@ -922,10 +922,11 @@ class _EsvoEngine:
         return c, st
 
     @staticmethod
-    def run_loop(prepared, c, state, iters, substeps):
+    def run_loop(prepared, c, state, iters, substeps, opaque=False):
         from .traversal import run_loop_push
 
-        return run_loop_push(prepared, c, state, iters, substeps)
+        return run_loop_push(prepared, c, state, iters, substeps,
+                             opaque=opaque)
 
     @staticmethod
     def finalize(prepared, c, state, steps, value_override=None):
@@ -1022,7 +1023,9 @@ class _CsvoEngine:
         return c, st
 
     @staticmethod
-    def run_loop(prepared, c, state, iters, substeps):
+    def run_loop(prepared, c, state, iters, substeps, opaque=False):
+        # the CSVO engine has no opaque specialization (yet); the flag is
+        # accepted for interface parity and ignored
         from .traversal_csvo import run_loop_csvo
 
         words, _root, _depth = prepared
@@ -1136,7 +1139,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
             return state, steps_total
         prepared = eng.prep(descriptors)
         steps, state = eng.run_loop(prepared, consts, state, seg_steps,
-                                    _substeps)
+                                    _substeps, opaque=True)
         return state, steps_total + steps
 
     round_jit = jax.jit(round_body, donate_argnums=(2,), static_argnums=(4,))
@@ -1282,7 +1285,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     break
                 if seg > 0:
                     steps, state = eng.run_loop(prepared, consts, state, seg,
-                                                _substeps)
+                                                _substeps, opaque=True)
                     steps_total = steps_total + steps
                     budget -= seg
                 counts.append(jnp.sum(state.active).astype(jnp.int32))

@@ -503,7 +503,31 @@ def _occ_on() -> bool:
 
 
 class PushState(NamedTuple):
-    """State plus cached node registers for the push-driven engine."""
+    """State plus cached node registers for the push-driven engine.
+
+    Stack slimming (round 4): the engine stacks only (desc, child_ptr) —
+    the two values that genuinely need memory. On POP, the other two
+    values the classic engine stacked are reconstructed instead:
+
+    - ``t_max`` (the popped-to node's cube exit) is recomputed from the
+      ancestor corner ``trunc(pos, scale+1)``: positions are exact dyadic
+      rationals maintained by exact fp adds/subs, plane distances
+      ``pos*tc - tb`` are fp-monotone in ``pos``, and child cubes nest in
+      parents, so ``min(t_max_parent, tc_max_child) == tc_max_child``
+      exactly in fp — the stacked value IS the recomputable one.
+    - ``pp`` (the popped-to node = parent-block ptr | octant idx) is
+      derived integer-exactly: the parent's block ptr is the grandparent's
+      ``child_ptr`` read from the stack one slot up, and the octant index
+      is the mirrored pos bit at the parent scale. The root (top slot)
+      has ``pp = 0`` by construction.
+
+    This halves per-substep stack bandwidth (the one-hot (H, B) selects
+    rewrite every row every substep), the dominant substep cost at
+    500K+ lanes (docs/PERF.md round-4 substep audit). The Laine–Karras
+    ``h`` write-elision is dropped with the t_max stack: always-store is
+    the trivially-equivalent variant (elision only skips writes whose
+    values the read would never observe differently), and in the
+    vectorized one-hot layout elision never saved bandwidth anyway."""
 
     active: jnp.ndarray
     hit: jnp.ndarray
@@ -516,12 +540,9 @@ class PushState(NamedTuple):
     posz: jnp.ndarray
     t_min: jnp.ndarray
     t_max: jnp.ndarray
-    h: jnp.ndarray
     adj_last: jnp.ndarray
     missed: jnp.ndarray
     suppress: jnp.ndarray
-    stack_pp: jnp.ndarray
-    stack_tmax: jnp.ndarray
     desc: jnp.ndarray  # (B,) u32: current node's u16 descriptor
     child_ptr: jnp.ndarray  # (B,) u32: resolved pointer to current node's block
     need_fetch: jnp.ndarray  # (B,) bool: desc/child_ptr stale (pending push)
@@ -627,24 +648,29 @@ def gather_lane_state(state, idx):
     return type(state)(*out)
 
 
-def init_state_push(c: RayConsts, stack_height: int = STACK_HEIGHT) -> PushState:
-    s = init_state(c)
-    B = c.rox.shape[0]
-    H = stack_height
-    s = s._replace(stack_pp=jnp.zeros((H, B), u32),
-                   stack_tmax=jnp.zeros((H, B), f32))
+def _push_state_from(s: State, B: int, H: int, floor) -> PushState:
+    """PushState from a base State (stacks re-sized to H, registers cold)."""
     return PushState(
-        *s,
+        active=s.active, hit=s.hit, inside=s.inside, pp=s.pp, idx=s.idx,
+        scale=s.scale, posx=s.posx, posy=s.posy, posz=s.posz,
+        t_min=s.t_min, t_max=s.t_max, adj_last=s.adj_last,
+        missed=s.missed, suppress=s.suppress,
         desc=jnp.zeros(B, u32),
         child_ptr=jnp.zeros(B, u32),
         need_fetch=jnp.ones(B, bool),  # first fetch loads the root registers
         stack_desc=jnp.zeros((H, B), u32),
         stack_cptr=jnp.zeros((H, B), u32),
-        floor=jnp.full(B, -1.0, f32),
+        floor=floor,
         c0=jnp.zeros(B, u32), c1=jnp.zeros(B, u32),
         c2=jnp.zeros(B, u32), c3=jnp.zeros(B, u32),
         c_owner=jnp.full(B, 0xFFFFFFFF, u32),
     )
+
+
+def init_state_push(c: RayConsts, stack_height: int = STACK_HEIGHT) -> PushState:
+    s = init_state(c)
+    B = c.rox.shape[0]
+    return _push_state_from(s, B, stack_height, jnp.full(B, -1.0, f32))
 
 
 def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
@@ -674,21 +700,7 @@ def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
         active=s.active & (t_min <= s.t_max),
     )
     B = c.rox.shape[0]
-    H = stack_height
-    s = s._replace(stack_pp=jnp.zeros((H, B), u32),
-                   stack_tmax=jnp.zeros((H, B), f32))
-    return PushState(
-        *s,
-        desc=jnp.zeros(B, u32),
-        child_ptr=jnp.zeros(B, u32),
-        need_fetch=jnp.ones(B, bool),
-        stack_desc=jnp.zeros((H, B), u32),
-        stack_cptr=jnp.zeros((H, B), u32),
-        floor=s.t_min,
-        c0=jnp.zeros(B, u32), c1=jnp.zeros(B, u32),
-        c2=jnp.zeros(B, u32), c3=jnp.zeros(B, u32),
-        c_owner=jnp.full(B, 0xFFFFFFFF, u32),
-    )
+    return _push_state_from(s, B, stack_height, s.t_min)
 
 
 def fetch_phase(fat_rows, s: PushState) -> PushState:
@@ -721,17 +733,21 @@ def fetch_phase(fat_rows, s: PushState) -> PushState:
     return s
 
 
-def substep(c: RayConsts, s: PushState) -> PushState:
+def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
     """One fetch-free traversal step (opaque/deferred semantics: the loop
     stops at every leaf). Lanes awaiting a fetch stall; POP restores the node
-    registers from the stacks. Mirrors ``traversal_step`` exactly otherwise."""
+    registers from the stacks. Mirrors ``traversal_step`` exactly otherwise.
+
+    ``opaque`` (static): the caller guarantees every leaf hit retires the
+    lane (opaque-world pipeline) — the translucency bookkeeping
+    (adjacency counts, miss flags, suppress/floor resume logic) is
+    skipped and those carries pass through unchanged, so XLA aliases
+    them instead of rewriting ~6 lane-words per substep."""
     B = s.active.shape[0]
-    H = s.stack_pp.shape[0]  # sized to world depth by the caller
+    H = s.stack_desc.shape[0]  # sized to world depth by the caller
     stack_base = MAX_SCALE - H
 
     scale_exp2 = _exp2_scale(s.scale)
-    adj_count = (s.adj_last >> 24).astype(i32)
-    last_value = s.adj_last & _NO_VALUE
 
     # distance-limit early out (state-only; applies to stalled lanes too)
     active = s.active & ~((c.max_dst >= 0) & (s.t_min > c.max_dst))
@@ -756,18 +772,27 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     # (t_min <= floor); if a restart's ULP shift skipped the judged leaf,
     # the pass expires rather than swallowing the next real surface.
     leaf_hit = runnable & hit_branch & is_leaf & (s.t_min > 0)
-    sup_active = s.suppress & (s.t_min <= s.floor)
-    accept = leaf_hit & ~sup_active
-    suppress = s.suppress & ~leaf_hit & (s.t_min <= s.floor)
+    if opaque:
+        # nothing to suppress or count: every leaf hit is final
+        accept = leaf_hit
+        suppress = s.suppress
+        adj_last = s.adj_last
+        missed = s.missed
+    else:
+        adj_count = (s.adj_last >> 24).astype(i32)
+        last_value = s.adj_last & _NO_VALUE
+        sup_active = s.suppress & (s.t_min <= s.floor)
+        accept = leaf_hit & ~sup_active
+        suppress = s.suppress & ~leaf_hit & (s.t_min <= s.floor)
 
-    # misses while re-descending over pre-restart territory (t_min still at
-    # the restart floor) are re-tests, not new traversal — adjacency
-    # bookkeeping only reacts to misses past the floor
-    miss = runnable & ~hit_branch & (s.t_min > s.floor)
-    adj_count = jnp.where(miss, 0, adj_count)
-    last_value = jnp.where(miss, _NO_VALUE, last_value)
-    adj_last = (adj_count.astype(u32) << 24) | last_value
-    missed = s.missed | miss
+        # misses while re-descending over pre-restart territory (t_min still
+        # at the restart floor) are re-tests, not new traversal — adjacency
+        # bookkeeping only reacts to misses past the floor
+        miss = runnable & ~hit_branch & (s.t_min > s.floor)
+        adj_count = jnp.where(miss, 0, adj_count)
+        last_value = jnp.where(miss, _NO_VALUE, last_value)
+        adj_last = (adj_count.astype(u32) << 24) | last_value
+        missed = s.missed | miss
 
     hit = s.hit | accept
     active = active & ~accept
@@ -786,12 +811,9 @@ def substep(c: RayConsts, s: PushState) -> PushState:
 
     slot = s.scale - stack_base
     lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
-    do_store = (want_push & (tc_max < s.h))[None, :] & lv
-    stack_pp = jnp.where(do_store, s.pp[None, :], s.stack_pp)
-    stack_tmax = jnp.where(do_store, s.t_max[None, :], s.stack_tmax)
+    do_store = want_push[None, :] & lv
     stack_desc = jnp.where(do_store, s.desc[None, :], s.stack_desc)
     stack_cptr = jnp.where(do_store, s.child_ptr[None, :], s.stack_cptr)
-    h_new = jnp.where(want_push, tc_max, s.h)
 
     push_pp = (s.child_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
     push_scale = s.scale - 1
@@ -851,11 +873,12 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     do_pop = need_pop & ~exited
 
     pop_slot = jnp.clip(pop_scale - stack_base, 0, H - 1)
-    pop_lv = jnp.arange(H, dtype=i32)[:, None] == pop_slot[None, :]
-    pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
-    pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
+    iota_h = jnp.arange(H, dtype=i32)[:, None]
+    pop_lv = iota_h == pop_slot[None, :]
+    pop_lv1 = iota_h == (pop_slot + 1)[None, :]
     pop_desc = jnp.where(pop_lv, stack_desc, 0).sum(axis=0).astype(u32)
     pop_cptr = jnp.where(pop_lv, stack_cptr, 0).sum(axis=0).astype(u32)
+    par_cptr = jnp.where(pop_lv1, stack_cptr, 0).sum(axis=0).astype(u32)
 
     sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
     shx = f32_bits(adv_posx) >> sc
@@ -865,6 +888,33 @@ def substep(c: RayConsts, s: PushState) -> PushState:
     pop_posy = jax.lax.bitcast_convert_type(shy << sc, f32)
     pop_posz = jax.lax.bitcast_convert_type(shz << sc, f32)
     pop_idx = ((shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)).astype(i32)
+
+    # the popped-to node's identity, derived instead of stacked: its
+    # descriptor-block ptr is the grandparent's child_ptr (one stack slot
+    # up) and its index is the MIRRORED pos bit at the parent scale; the
+    # top slot is the root, whose pp is 0 by construction
+    sc1 = sc + jnp.uint32(1)
+    par_bits = (
+        ((shx >> jnp.uint32(1)) & 1)
+        | (((shy >> jnp.uint32(1)) & 1) << 1)
+        | (((shz >> jnp.uint32(1)) & 1) << 2)
+    ).astype(i32)
+    par_octant = (par_bits ^ c.octant_mask).astype(u32)
+    pop_pp = jnp.where(
+        pop_slot >= H - 1,
+        jnp.uint32(0),
+        (par_cptr & PTR_MASK) | (par_octant << jnp.uint32(PTR_BITS)),
+    )
+
+    # the popped-to node's cube exit, recomputed from its corner (exact:
+    # see PushState docstring) instead of stacked
+    par_posx = jax.lax.bitcast_convert_type((shx >> jnp.uint32(1)) << sc1, f32)
+    par_posy = jax.lax.bitcast_convert_type((shy >> jnp.uint32(1)) << sc1, f32)
+    par_posz = jax.lax.bitcast_convert_type((shz >> jnp.uint32(1)) << sc1, f32)
+    pop_t_max = jnp.minimum(
+        jnp.minimum(par_posx * c.tcx - c.tbx, par_posy * c.tcy - c.tby),
+        par_posz * c.tcz - c.tbz,
+    )
 
     def sel(push_v, pop_v, adv_v, old_v):
         v = jnp.where(want_push, push_v, old_v)
@@ -884,12 +934,9 @@ def substep(c: RayConsts, s: PushState) -> PushState:
         posz=sel(push_posz, pop_posz, adv_posz, s.posz),
         t_min=jnp.where(advance, tc_max, s.t_min),
         t_max=sel(tv_max, pop_t_max, s.t_max, s.t_max),
-        h=jnp.where(do_pop, 0.0, h_new),
         adj_last=adj_last,
         missed=missed,
         suppress=suppress,
-        stack_pp=stack_pp,
-        stack_tmax=stack_tmax,
         desc=jnp.where(do_pop, pop_desc,
                        jnp.where(fetch_free, desc_c, s.desc)),
         child_ptr=jnp.where(do_pop, pop_cptr, s.child_ptr),
@@ -902,7 +949,8 @@ def substep(c: RayConsts, s: PushState) -> PushState:
 
 
 def run_loop_push(fat_rows, c: RayConsts, state: PushState, max_iters: int,
-                  substeps: int) -> tuple[jnp.ndarray, PushState]:
+                  substeps: int, opaque: bool = False
+                  ) -> tuple[jnp.ndarray, PushState]:
     """Iterate (fetch, SUBSTEPS x substep) until all rays retire."""
 
     def cond(carry):
@@ -913,7 +961,7 @@ def run_loop_push(fat_rows, c: RayConsts, state: PushState, max_iters: int,
         it, s = carry
         s = fetch_phase(fat_rows, s)
         for _ in range(substeps):
-            s = substep(c, s)
+            s = substep(c, s, opaque)
         return it + 1, s
 
     return jax.lax.while_loop(cond, body, (jnp.int32(0), state))
@@ -1016,7 +1064,8 @@ def intersect_octree(
 
     # opaque: push-driven engine (fetch only on PUSH)
     pstate = init_state_push(c)
-    iters, pstate = run_loop_push(fat_rows, c, pstate, max_steps, 3)
+    iters, pstate = run_loop_push(fat_rows, c, pstate, max_steps, 3,
+                                  opaque=True)
     return finalize(fat_rows, c, pstate, iters)
 
 
