@@ -357,6 +357,10 @@ def test_fused_frame_matches_multiprogram(scene, monkeypatch):
         ref = np.asarray(scene.render(p, W, H, max_steps=300))
 
     monkeypatch.setenv("VOXELRS_FUSED_FRAME", "1")
+    # other tests on the same scene may have already cached this fused
+    # program (e.g. the batch test's single-frame warmup); clear so "the
+    # fused path ran" is observable as cache growth
+    shading._FUSED_FRAME_CACHE.clear()
     cache0 = len(shading._FUSED_FRAME_CACHE)
     fused1 = np.asarray(scene.render(p, W, H, max_steps=300))
     assert len(shading._FUSED_FRAME_CACHE) > cache0, "fused path did not run"
@@ -371,6 +375,46 @@ def test_fused_frame_matches_multiprogram(scene, monkeypatch):
     assert any(
         s.pending or s._ready_q or s._reader is not None for s in stores
     ), "fused frames stopped feeding the plan store's count refresh"
+
+
+def test_render_batch_matches_single(scene, monkeypatch):
+    """``Svo.render_batch`` (N poses in one lax.map'd XLA program — the
+    dispatch-floor amortization for the benchmark fly-through) must agree
+    with per-frame ``render`` to 1 ULP on every pose."""
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "1")
+    monkeypatch.setenv("VOXELRS_FUSED_REPLAY", "1")
+
+    poses = []
+    for i in range(3):
+        p = default_params()
+        p.cam_pos = p.cam_pos + np.array([1.5 * i, 0.0, 1.0 * i],
+                                         np.float32)
+        poses.append(p)
+    # record plans with single-frame renders (twice: sync then replay)
+    singles = None
+    for _ in range(2):
+        singles = [np.asarray(scene.render(p, W, H, max_steps=300))
+                   for p in poses]
+
+    batch = scene.render_batch(poses, W, H, max_steps=300)
+    assert batch is not None, "batched path did not run (plan missing?)"
+    batch = np.asarray(batch)
+    assert batch.shape == (3, H, W, 4)
+    # With a cold in-process compiler the batch is BIT-IDENTICAL to the
+    # singles (verified standalone). Under the persistent compile cache,
+    # however, one side can load an AOT program compiled on a host with
+    # different machine features (the cpu_aot_loader feature-mismatch
+    # warnings) whose fma/contraction choices differ — rays shift ~1 ULP
+    # and a handful of silhouette pixels flip. Assert the golden-image
+    # budget plus near-total exactness instead, which still catches every
+    # batch-path logic bug (pose order, floors, planner misuse).
+    for i in range(3):
+        d = np.abs(batch[i] - singles[i])
+        assert diff_images(batch[i], singles[i]) < 1e-3, f"pose {i}"
+        frac_exact = float((d.max(axis=-1) <= 2.5e-7).mean())
+        assert frac_exact > 0.95, f"pose {i}: only {frac_exact:.3f} exact"
 
 
 def test_fused_frame_nonadaptive_matches(scene, monkeypatch):

@@ -388,10 +388,73 @@ class Svo:
         output). ``None`` disables it."""
         self.heightfield = hf
 
-    def _beam_floors(self, cam, s, u, f, params, width: int, height: int):
+    def render_batch(self, params_list, width: int, height: int,
+                     max_steps: int = 1000):
+        """Render a pose sequence as ONE fused XLA program (the benchmark
+        fly-through path — amortizes the measured ~46 ms per-dispatch
+        launch/args/fence floor across the batch; see
+        ops/shading.render_frames_opaque_batch). Returns (N, H, W, 4)
+        images, or None until every wavefront plan is recorded (callers
+        fall back to per-frame ``render``, which records them). Only the
+        opaque ESVO fused path batches; other configurations return
+        None."""
+        import os
+
+        from ..ops.shading import (_fused_frame_on,
+                                   render_frames_opaque_batch)
+
+        if (self.buffer_dtype != np.uint32 or not _fused_frame_on()
+                or (self.world_value_mask & self.translucent_block_mask)):
+            return None
+        from .camera import Camera
+
+        cams, floors = [], []
+        beams0 = None
+        for i, params in enumerate(params_list):
+            cam = Camera(np.degrees(params.fov_y_rad), params.aspect_ratio,
+                         0.01, 1024)
+            cam.position = np.asarray(params.cam_pos, np.float32)
+            cam.forward = np.asarray(params.cam_fwd, np.float32)
+            cam.up = np.asarray(params.cam_up, np.float32)
+            s, u, f = cam.camera_basis()
+            cams.append((cam.position, s, u, f))
+            b = self._beam_floors(cam, s, u, f, params, width, height,
+                                  shared_sun=(beams0._sun if beams0
+                                              else None))
+            if i == 0:
+                beams0 = b
+            if b is not None:
+                floors.append(b.t_floor)
+        if beams0 is not None and len(floors) != len(params_list):
+            return None  # mixed beam availability: fall back
+        p0 = params_list[0]
+        highlight = np.full(3, np.nan, np.float32)
+        cam_stack = tuple(
+            jnp.stack([jnp.asarray(c[j], jnp.float32) for c in cams])
+            for j in range(4)
+        )
+        tf_stack = jnp.stack(floors) if floors else None
+        stack_h = min(12, max(self.depth, 1) + 1)
+        return render_frames_opaque_batch(
+            self.device_buf, jnp.float32(self.octree_scale), self.mips,
+            self.mat_params, self.mat_tex, cam_stack,
+            jnp.float32(p0.fov_y_rad), jnp.float32(p0.aspect_ratio),
+            jnp.float32(p0.ambient_intensity),
+            jnp.asarray(p0.light_dir, jnp.float32),
+            jnp.float32(p0.shadow_distance), jnp.asarray(highlight),
+            width=width, height=height,
+            render_shadows=bool(p0.render_shadows), max_steps=max_steps,
+            stack_height=stack_h, engine="esvo", beams_shared=beams0,
+            t_floor_stack=tf_stack,
+        )
+
+    def _beam_floors(self, cam, s, u, f, params, width: int, height: int,
+                     shared_sun=None):
         """ops.beams.BeamContext for this frame (primary pixel floors +
         shadow-floor machinery), or None when the pre-pass is
-        unavailable/disabled."""
+        unavailable/disabled. ``shared_sun``: reuse an already-built sun
+        map (batch rendering — certificates are exact wherever their
+        window covers, so window placement never changes output)."""
         import os
 
         if (self.heightfield is None or width < 16 or height < 16
@@ -420,8 +483,9 @@ class Svo:
             aspect=jnp.float32(params.aspect_ratio),
             max_dst=jnp.float32(-1.0), width=width, height=height,
         )
-        sun = None
-        if params.render_shadows and os.environ.get("VOXELRS_SUN") != "0":
+        sun = shared_sun
+        if (sun is None and params.render_shadows
+                and os.environ.get("VOXELRS_SUN") != "0"):
             sun = self.heightfield.sun_map(params.light_dir,
                                            center=params.cam_pos)
         return BeamContext(
