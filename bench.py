@@ -3,6 +3,22 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the BASELINE.json north star of 250 Mrays/s on one v5e chip
 (1080p primary + shadow rays at 60 FPS-equivalent).
+
+Scenes (VOXELRS_BENCH_SCENE):
+- "mc" (default): the bundled reference Minecraft benchmark world, loaded
+  through the real streaming engine at render distance 20 — the same
+  world/config the in-game matrix measures (reference:
+  benchmark-ingame.py:9-33; its recorded camera sits outside the bundled
+  world's generated region, so the pose sits in the dense strip — see
+  scripts/benchmark_ingame.py).
+- "procedural": the round-1..3 seed-stable terrain region (kept for
+  longitudinal comparisons; docs/ab_r3.json rows were measured on it).
+
+Modes measured per scene: sequential (one synced frame at a time),
+pipelined (2 frames in flight), batched (all 5 poses in ONE fused XLA
+program — amortizes the measured ~46 ms per-dispatch launch+sync floor,
+docs/PERF.md round-4 stage cut). The metric takes the best; all three are
+reported.
 """
 
 import json
@@ -32,6 +48,11 @@ from voxelrs_tpu.world.esvo import Esvo, SerializedChunk  # noqa: E402
 BASELINE_MRAYS = 250.0
 W, H = 1920, 1080
 FRAMES = 5
+MC_WORLD = "/root/reference/assets/worlds/benchmark"
+# camera inside the MC world's dense terrain strip (engine chunks
+# x ~ [-36,-6], z ~ [48,65]) — scripts/benchmark_ingame.py uses the same
+MC_CAM_POS = (-26 * 32 + 16.0, 102.0, 62 * 32 + 24.0)
+MC_CAM_ROT = (-18.0, 90.0, 0.0)
 
 
 def build_world(radius: int = 4, opaque_lut=None):
@@ -76,7 +97,8 @@ def build_world(radius: int = 4, opaque_lut=None):
     return svo, count, hf
 
 
-def main() -> None:
+def _scene_procedural():
+    """(render_fn, render_batch_fn, pose list, label)."""
     from voxelrs_tpu.world.heightfield import opaque_lut_from_mask
 
     svo = Svo(new_registry(), capacity_mb=64)
@@ -93,7 +115,7 @@ def main() -> None:
     # camera flying over the terrain looking down the valley
     fwd = np.array([0.55, -0.35, 0.76], np.float32)
     fwd /= np.linalg.norm(fwd)
-    params = RenderParams(
+    base = RenderParams(
         cam_pos=np.array([16.0, 95.0, -20.0], np.float32),
         cam_fwd=fwd,
         aspect_ratio=W / H,
@@ -101,8 +123,53 @@ def main() -> None:
         render_shadows=True,
         shadow_distance=300.0,
     )
+    poses = []
+    for i in range(FRAMES):
+        p = RenderParams(**{**base.__dict__})
+        p.cam_pos = base.cam_pos + np.array([2.0 * i, 0.0, 1.5 * i],
+                                            np.float32)
+        poses.append(p)
+    return (lambda p: svo.render(p, W, H),
+            lambda ps: svo.render_batch(ps, W, H), poses, "procedural")
 
-    cam = np.array(params.cam_pos, np.float32)
+
+def _scene_mc():
+    """The reference MC benchmark world through the real streaming engine
+    (the scene the in-game matrix measures — the driver metric no longer
+    lives on a toy region)."""
+    from voxelrs_tpu.gamelogic.game import Game, GameArgs
+
+    rd = int(os.environ.get("VOXELRS_BENCH_RD", "20"))
+    game = Game(GameArgs(
+        mc_world=MC_WORLD, player_pos=MC_CAM_POS,
+        player_euler_rot=MC_CAM_ROT, render_distance=rd, fov=80.0,
+        render_shadows=True, gpu_buffer_size_mb=256, width=W, height=H,
+        benchmark_mode=True,
+    ))
+    t0 = time.time()
+    loaded = game.wait_for_world(timeout=1800)
+    print(f"# mc world loaded={loaded} in {time.time()-t0:.0f} s, "
+          f"{game.world.world_svo.get_stats().used_bytes/1e6:.1f} MB SVO",
+          file=sys.stderr)
+    game.step_frame(render=False)  # settle camera from player state
+
+    wsvo = game.world.world_svo
+    base = game.world.render_params(W / H)
+    base.shadow_distance = 300.0
+    poses = []
+    for i in range(FRAMES):
+        p = RenderParams(**{**base.__dict__})
+        p.cam_pos = np.asarray(base.cam_pos, np.float64) + np.array(
+            [2.0 * i, 0.0, 1.5 * i])
+        poses.append(p)
+    return (lambda p: wsvo.render(p, W, H),
+            lambda ps: wsvo.render_batch(ps, W, H), poses, "mc")
+
+
+def main() -> None:
+    scene = os.environ.get("VOXELRS_BENCH_SCENE", "mc")
+    render, render_batch, poses, label = (
+        _scene_mc() if scene == "mc" else _scene_procedural())
 
     # warmup: render along the fly-through path until the wavefront plans
     # and their compiled bucket shapes settle — a single cold shape mid-
@@ -110,10 +177,8 @@ def main() -> None:
     # the average
     warm = []
     for i in (0, 2, 4, 1, 3, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4):
-        p = RenderParams(**{**params.__dict__})
-        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
         t0 = time.time()
-        img = svo.render(p, W, H)
+        img = render(poses[i])
         _ = float(np.asarray(img[0, 0, 0]))
         warm.append(time.time() - t0)
         if len(warm) >= 6 and max(warm[-3:]) < 1.3 * min(warm[3:]):
@@ -122,11 +187,7 @@ def main() -> None:
           file=sys.stderr)  # force real completion
 
     def frame(i):
-        from voxelrs_tpu.graphics.svo import RenderParams as RP
-
-        p = RenderParams(**{**params.__dict__})
-        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
-        img = svo.render(p, W, H)
+        img = render(poses[i])
         img.block_until_ready()
         _ = float(np.asarray(img[0, 0, 0]))
 
@@ -143,9 +204,7 @@ def main() -> None:
     # previous one. (Thread-based pipelining raced the sticky plan buckets
     # and recompiled shapes; this keeps one deterministic plan stream.)
     def render_async(i):
-        p = RenderParams(**{**params.__dict__})
-        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
-        img = svo.render(p, W, H)
+        img = render(poses[i])
         # the frame fence: one element, with its host copy started NOW so
         # the ~26 ms tunnel round trip overlaps the next frame's dispatch
         # instead of sitting on the critical path when we sync it
@@ -172,23 +231,39 @@ def main() -> None:
         _ = float(np.asarray(inflight.popleft()))
     piped = (time.time() - t0) / (2 * FRAMES)
 
-    print(f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f} ms",
+    # batched: the whole pose sequence as ONE program dispatch (fused-frame
+    # path with the launch+sync floor amortized across FRAMES poses)
+    batched = None
+    imgs = render_batch(poses)
+    if imgs is not None:
+        _ = float(np.asarray(imgs[-1, 0, 0, 0]))  # compile + settle
+        reps = 3
+        t0 = time.time()
+        for _r in range(reps):
+            imgs = render_batch(poses)
+            _ = float(np.asarray(imgs[-1, 0, 0, 0]))
+        batched = (time.time() - t0) / (reps * FRAMES)
+
+    print(f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f}"
+          f" ms, batched {batched*1e3:.0f} ms" if batched is not None else
+          f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f}"
+          " ms, batched n/a",
           file=sys.stderr)
-    dt = min(seq, piped)
+    dt = min(d for d in (seq, piped, batched) if d is not None)
     # workload: primary + shadow ray per pixel (reference benchmark config)
     mrays = W * H * 2 / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays_per_sec_chip_1080p_shadows",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-                "seq_frame_ms": round(seq * 1e3, 1),
-                "piped_frame_ms": round(piped * 1e3, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "Mrays_per_sec_chip_1080p_shadows",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "scene": label,
+        "seq_frame_ms": round(seq * 1e3, 1),
+        "piped_frame_ms": round(piped * 1e3, 1),
+    }
+    if batched is not None:
+        out["batched_frame_ms"] = round(batched * 1e3, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -33,11 +33,31 @@ CONFIGS = [
     ("substeps6", {"VOXELRS_SUBSTEPS": "6"}),
 ]
 
+# Round-4 matrix (post engine-slim; bench.py gained the MC scene, so the
+# A/B rows pin the procedural scene for r3-comparability). docs/ab_r4.json.
+CONFIGS_R4 = [
+    ("base", {}),  # two-level hierarchy default, slimmed engine
+    ("hierarchy3", {"VOXELRS_HIERARCHY": "2"}),
+    ("hierarchy_off", {"VOXELRS_HIERARCHY": "0"}),
+    ("substeps6", {"VOXELRS_SUBSTEPS": "6"}),
+    ("seg16", {"VOXELRS_SEG": "16"}),
+]
+
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--r4" in sys.argv:
+        configs = CONFIGS_R4
+        out_path = os.path.join(ROOT, "docs", "ab_r4.json")
+        os.environ["VOXELRS_BENCH_SCENE"] = "procedural"
+        _run(configs, out_path)
+        return
     configs = CONFIGS[:4] if quick else CONFIGS
     out_path = os.path.join(ROOT, "docs", "ab_r3.json")
+    _run(configs, out_path)
+
+
+def _run(configs, out_path) -> None:
     results = {}
     if os.path.exists(out_path):
         results = json.load(open(out_path))

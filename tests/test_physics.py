@@ -131,3 +131,71 @@ def test_step_many():
     e2.velocity[:] = (1, 0, 0)
     Physics().step_many(DT, MockRaycaster([res(), res()]), [e1, e2])
     assert e1.position[1] < 0 and e2.position[0] > 0
+
+
+def test_moving_entity_never_reuses_memoized_raycast():
+    """Stale-cache insurance for the picker memoization
+    (graphics/svo.py raycast memo, r3): a falling entity under an
+    UNCHANGED world buffer must re-raycast every step — the memo key
+    includes the serialized task bytes, which move with the entity — while
+    a truly stationary repeat is served from the memo."""
+    import numpy as np
+
+    from voxelrs_tpu.gamelogic.content import STONE, new_registry
+    from voxelrs_tpu.graphics.svo import Svo
+    from voxelrs_tpu.systems.physics import Entity, Physics
+    from voxelrs_tpu.world import ChunkPos, Position
+    from voxelrs_tpu.world.esvo import Esvo, SerializedChunk
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True)
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+
+    calls = {"n": 0}
+    orig = svo._raycast_fn
+
+    def counting(n_pad):
+        fn = orig(n_pad)
+
+        def wrapped(*a):
+            calls["n"] += 1
+            return fn(*a)
+
+        return wrapped
+
+    svo._raycast_fn = counting
+
+    from voxelrs_tpu.systems.physics import AABBDef
+
+    e = Entity(position=np.array([16.0, 12.0, 16.0], np.float32),
+               aabb_def=AABBDef(
+                   np.array([-0.4, -1.7, -0.4], np.float32),
+                   np.array([0.8, 1.8, 0.8], np.float32)))
+    phys = Physics()
+
+    # falling entity: every step has new task bytes -> fresh raycast
+    ys, device_calls = [], []
+    for _ in range(4):
+        phys.step(1.0 / 60.0, svo, e)
+        ys.append(float(e.position[1]))
+        device_calls.append(calls["n"])
+    assert ys == sorted(ys, reverse=True) and ys[0] != ys[-1], \
+        "entity did not fall"
+    assert device_calls == [1, 2, 3, 4], \
+        f"moving entity reused a memoized raycast: {device_calls}"
+
+    # grounded entity at rest: identical tasks + unchanged buffer -> memo
+    for _ in range(30):  # land on the floor
+        phys.step(1.0 / 60.0, svo, e)
+    n0 = calls["n"]
+    y0 = float(e.position[1])
+    for _ in range(3):
+        phys.step(1.0 / 60.0, svo, e)
+    assert float(e.position[1]) == y0, "entity moved while grounded"
+    assert calls["n"] == n0, "stationary steps did not hit the memo"

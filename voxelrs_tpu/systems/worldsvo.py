@@ -316,6 +316,26 @@ class Svo:
             )
         return self.graphics_svo.render(p, width, height, max_steps)
 
+    def render_batch(self, params_list, width: int, height: int,
+                     max_steps: int = 1000):
+        """Batched pose-sequence render (see graphics.Svo.render_batch):
+        world->SVO camera conversion per pose, one fused XLA program for
+        the whole batch. None when the batched path can't run yet."""
+        import copy
+
+        if not hasattr(self.graphics_svo, "render_batch"):
+            return None
+        ps = []
+        for params in params_list:
+            p = copy.copy(params)
+            p.cam_pos = self.coord_space.cnv_block_pos(
+                np.asarray(params.cam_pos, np.float64))
+            if params.selected_voxel is not None:
+                p.selected_voxel = self.coord_space.cnv_block_pos(
+                    np.asarray(params.selected_voxel, np.float64))
+            ps.append(p)
+        return self.graphics_svo.render_batch(ps, width, height, max_steps)
+
     def raycast(self, batch: PickerBatch, result: PickerBatchResult) -> None:
         for ray in batch.rays:
             ray.pos = self.coord_space.cnv_block_pos(ray.pos)
