@@ -33,6 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # pure win here (~+10%). It stays opt-in for interactive play, where plan
 # shapes drift with the scene and each new shape is a remote recompile.
 os.environ.setdefault("VOXELRS_FUSED_REPLAY", "1")
+# compile fused programs synchronously during warmup so the measured
+# frames all run the settled fused path (async compile is the
+# production/streaming setting; scripts/bench_streaming.py exercises it)
+os.environ.setdefault("VOXELRS_ASYNC_COMPILE", "0")
 
 import numpy as np
 
@@ -232,9 +236,15 @@ def main() -> None:
     piped = (time.time() - t0) / (2 * FRAMES)
 
     # batched: the whole pose sequence as ONE program dispatch (fused-frame
-    # path with the launch+sync floor amortized across FRAMES poses)
+    # path with the launch+sync floor amortized across FRAMES poses).
+    # VOXELRS_BENCH_BATCH=0 skips it (A/B sweeps: each config would pay a
+    # fresh multi-minute remote compile of the batch program for a mode
+    # that measured BELOW pipelined — docs/PERF.md round 4)
     batched = None
-    imgs = render_batch(poses)
+    if os.environ.get("VOXELRS_BENCH_BATCH", "1") == "0":
+        imgs = None
+    else:
+        imgs = render_batch(poses)
     if imgs is not None:
         _ = float(np.asarray(imgs[-1, 0, 0, 0]))  # compile + settle
         reps = 3

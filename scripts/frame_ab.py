@@ -50,6 +50,7 @@ def main() -> None:
         configs = CONFIGS_R4
         out_path = os.path.join(ROOT, "docs", "ab_r4.json")
         os.environ["VOXELRS_BENCH_SCENE"] = "procedural"
+        os.environ["VOXELRS_BENCH_BATCH"] = "0"
         _run(configs, out_path)
         return
     configs = CONFIGS[:4] if quick else CONFIGS

@@ -10,6 +10,11 @@ import os
 
 import jax
 
+# deterministic fused-path behavior in tests: compile on the calling
+# thread (the async background compiler is a production/streaming feature;
+# see ops/shading._async_compile_on)
+os.environ.setdefault("VOXELRS_ASYNC_COMPILE", "0")
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()

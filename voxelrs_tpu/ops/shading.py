@@ -399,6 +399,98 @@ def _fused_frame_on() -> bool:
     ) == "1"
 
 
+def _async_compile_on() -> bool:
+    """Background compilation of fused-replay programs (default on).
+
+    A plan change means a fresh XLA program — seconds to minutes of
+    remote compile on the tunnel attachment — and compiling it on the
+    frame thread stalls that frame by the full compile (the streaming
+    fly-through's 5-10 s p99 frames, docs/ROUND3.md §4). With async
+    compilation the frame falls back to the already-compiled
+    multi-program replay path (~1.1-1.6x the fused frame) while the new
+    executable builds on a worker thread and swaps in when ready.
+    Tests set VOXELRS_ASYNC_COMPILE=0 for determinism."""
+    import os
+
+    return os.environ.get("VOXELRS_ASYNC_COMPILE", "1") == "1"
+
+
+class _AsyncCompiled:
+    """Keyed background compiler: ``get_or_submit`` returns the compiled
+    executable (plus its payload) once ready, else submits and returns
+    None. Failed keys (e.g. a plan mutated before the background trace
+    ran) are dropped permanently — their cache key can't recur."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._done: dict = {}
+        self._failed: set = set()
+        self._inflight: set = set()
+        self._exec = None
+
+    def get_or_submit(self, key, jfn, args, payload=None):
+        with self._lock:
+            if key in self._done:
+                return self._done[key]
+            if key in self._failed or key in self._inflight:
+                return None
+            self._inflight.add(key)
+        if self._exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fused-compile")
+
+        def work():
+            try:
+                compiled = jfn.lower(*args).compile()
+            except Exception:
+                with self._lock:
+                    self._failed.add(key)
+                    self._inflight.discard(key)
+                return
+            with self._lock:
+                if len(self._done) >= 64:
+                    self._done.pop(next(iter(self._done)))
+                self._done[key] = (compiled, payload)
+                self._inflight.discard(key)
+
+        self._exec.submit(work)
+        return None
+
+
+_ASYNC_COMPILED = _AsyncCompiled()
+
+
+def _arg_avals(args):
+    """Hashable (shape, dtype) signature of a pytree of arrays — part of
+    async-compile keys so a grown SVO buffer (fat-row ladder) maps to a
+    fresh executable instead of an aval-mismatched call."""
+    return tuple(
+        (tuple(l.shape), str(l.dtype))
+        for l in jax.tree_util.tree_leaves(args)
+        if hasattr(l, "shape")
+    )
+
+
+def _fused_trace_entry(fn, fargs):
+    """(callable, args) for a fused per-trace replay — the jitted ``fn``
+    itself when compiles are synchronous, the background-compiled
+    executable when VOXELRS_ASYNC_COMPILE is on, or None while that
+    executable is still building (the caller then falls back to the
+    multi-program replay for this frame instead of stalling on a remote
+    compile)."""
+    if not _async_compile_on():
+        return fn, fargs
+    got = _ASYNC_COMPILED.get_or_submit(
+        ("trace", id(fn), _arg_avals(fargs)), fn, fargs)
+    if got is None:
+        return None
+    return got[0], fargs
+
+
 class _IncompleteFramePlan(Exception):
     """Raised while tracing a fused whole-frame program when a plan or
     sticky bucket is not recorded yet — the caller falls back to the
@@ -508,6 +600,28 @@ def _plan_snapshot(store):
                 v = (v[0], tuple(v[1]))
             items.append((t, v))
     return tuple(sorted(items, key=repr))
+
+
+def _should_compact(width: int, bucket) -> bool:
+    """Whether shrinking ``width`` lanes to ``bucket`` pays for itself.
+
+    Compaction costs a full-width nonzero ordering + a packed row gather +
+    a frozen-record scatter (~fixed few ms inside the program); the
+    bandwidth it saves scales with the lanes removed. Below the width
+    floor (VOXELRS_COMPACT_FLOOR, default 32768) those savings are
+    micro — the round-4 plan ledger shows recorded plans carrying 3-4
+    tail compactions per trace at 8-24K widths — so small widths only
+    compact on a drastic (4x) shrink."""
+    import os
+
+    if bucket is None:
+        return False
+    if bucket > (width * 3) // 4:
+        return False
+    floor = int(os.environ.get("VOXELRS_COMPACT_FLOOR", "32768"))
+    if width <= floor and bucket > width // 4:
+        return False
+    return True
 
 
 def _sticky_bucket(prev, count: int) -> int:
@@ -751,7 +865,7 @@ class _PlanStore:
             for i, (seg, count) in enumerate(zip(segs, counts)):
                 replayed = old_plan[i][1] if i < len(old_plan) else None
                 bucket = _sticky_bucket(replayed, count)
-                if count > 0 and bucket <= (w * 3) // 4:
+                if count > 0 and _should_compact(w, bucket):
                     new_plan.append((seg, bucket))
                     w = bucket
                 else:
@@ -1289,8 +1403,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     steps_total = steps_total + steps
                     budget -= seg
                 counts.append(jnp.sum(state.active).astype(jnp.int32))
-                if (bucket is not None and bucket <= (width_now * 3) // 4
-                        and _compact_on()):
+                if _should_compact(width_now, bucket) and _compact_on():
                     sub_idx = compact_indices(state.active, bucket)
                     gidx = sub_idx if idx is None else idx[sub_idx]
                     if idx is None:
@@ -1429,23 +1542,21 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     plan_rec.append((seg, None))
                     break
                 bucket = _sticky_bucket(pl.bucket_hint(tag, seg_i), count)
-                if count > 0 and bucket <= (width_now * 3) // 4 and _compact_on():
+                if count > 0 and _should_compact(width_now, bucket) and _compact_on():
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
             pl.record(tag, n, plan_rec)
-        elif _fused_replay_on():
-            fn = _fused_replay(mode, tuple(plan), record_frozen,
-                               floored=t_floor is not None)
-            if t_floor is None:
-                frozen, hit_full, steps_total, counts = fn(
-                    descriptors, scale, ro, rd, max_dst, ray_args
-                )
-            else:
-                frozen, hit_full, steps_total, counts = fn(
-                    descriptors, scale, ro, rd, max_dst, ray_args, t_floor
-                )
+        elif _fused_replay_on() and (fused_entry := _fused_trace_entry(
+                _fused_replay(mode, tuple(plan), record_frozen,
+                              floored=t_floor is not None),
+                (descriptors, scale, ro, rd, max_dst, ray_args)
+                if t_floor is None else
+                (descriptors, scale, ro, rd, max_dst, ray_args, t_floor),
+        )) is not None:
+            fused_call, fargs = fused_entry
+            frozen, hit_full, steps_total, counts = fused_call(*fargs)
             seg_lens = []
             for seg, _bucket in plan:
                 seg = min(seg, budget)
@@ -1477,8 +1588,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 budget -= seg
                 seg_lens.append(seg)
                 counts_dev.append(active_count(cur_state))
-                if (bucket is not None and bucket <= (width_now * 3) // 4
-                        and _compact_on()):
+                if _should_compact(width_now, bucket) and _compact_on():
                     do_compact(bucket)
             if budget > 0:
                 # safety tail: stragglers beyond last frame's profile
@@ -2042,8 +2152,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     jnp.sum(state.active | (state.hit & ~done)).astype(
                         jnp.int32)
                 )
-                if (bucket is not None and bucket <= (width_now * 3) // 4
-                        and _compact_on()):
+                if _should_compact(width_now, bucket) and _compact_on():
                     sub_idx = compact_indices(
                         state.active | (state.hit & ~done), bucket
                     )
@@ -2179,20 +2288,21 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     plan_rec.append((seg, None))
                     break
                 bucket = _sticky_bucket(pl_store.bucket_hint(tag, seg_i), count)
-                if bucket <= (width_now * 3) // 4 and _compact_on():
+                if _should_compact(width_now, bucket) and _compact_on():
                     plan_rec.append((seg, bucket))
                     do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
             pl_store.record(tag, n, plan_rec)
-        elif _fused_replay_on():
-            fn = _fused_replay_j(tuple(plan), floored=t_floor is not None)
-            if t_floor is None:
-                res, sc, pl, ps, counts = fn(descriptors, scale, ro, rd,
-                                             max_dst, mips, mat_tex)
-            else:
-                res, sc, pl, ps, counts = fn(descriptors, scale, ro, rd,
-                                             max_dst, mips, mat_tex, t_floor)
+        elif _fused_replay_on() and (fused_entry := _fused_trace_entry(
+                _fused_replay_j(tuple(plan), floored=t_floor is not None),
+                (descriptors, scale, ro, rd, max_dst, mips, mat_tex)
+                if t_floor is None else
+                (descriptors, scale, ro, rd, max_dst, mips, mat_tex,
+                 t_floor),
+        )) is not None:
+            fused_call, fargs = fused_entry
+            res, sc, pl, ps, counts = fused_call(*fargs)
             seg_lens = []
             for seg, _bucket in plan:
                 seg = min(seg, budget)
@@ -2224,8 +2334,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 budget -= seg
                 seg_lens.append(seg)
                 counts_dev.append(unfinished_count(cur_state, cur_done))
-                if (bucket is not None and bucket <= (width_now * 3) // 4
-                        and _compact_on()):
+                if _should_compact(width_now, bucket) and _compact_on():
                     do_compact(bucket)
             if budget > 0:
                 # safety tail: stragglers beyond last frame's profile get
@@ -3010,14 +3119,27 @@ def render_frames_opaque_batch(descriptors, octree_scale, mips, mat_params,
 
 def _fused_frame_call(store, flags, dev_args, body_fn):
     """Run (and cache) the fused whole-frame program for the current plan
-    snapshot; None when a needed plan isn't recorded yet. The cache key is
-    (static flags, full plan snapshot) — any plan change retraces, which
-    the plan store's structural hysteresis makes rare."""
+    snapshot; None when a needed plan isn't recorded yet OR while the
+    program is still compiling on the background worker (the caller's
+    multi-program fallback renders those frames — a plan change then
+    costs ~1.1-1.6x one frame instead of a multi-second compile stall).
+    The cache key is (static flags, full plan snapshot) — any plan change
+    retraces, which the plan store's structural hysteresis makes rare."""
     key = (flags, _plan_snapshot(store))
     entry = _FUSED_FRAME_CACHE.get(key)
     if entry is None:
-        planner = _SnapshotPlanner(store)
-        entry = (jax.jit(partial(body_fn, planner)), planner)
+        if _async_compile_on():
+            planner = _SnapshotPlanner(store)
+            jfn = jax.jit(partial(body_fn, planner))
+            got = _ASYNC_COMPILED.get_or_submit(
+                ("frame", key, _arg_avals(dev_args)), jfn, dev_args,
+                payload=planner)
+            if got is None:
+                return None
+            entry = got  # (compiled executable, its traced planner)
+        else:
+            planner = _SnapshotPlanner(store)
+            entry = (jax.jit(partial(body_fn, planner)), planner)
     jfn, planner = entry
     try:
         img, counts = jfn(*dev_args)
