@@ -37,34 +37,46 @@ CAM_ROT = (-18.0, 90.0, 0.0)
 
 def run_config(world_path, fmt, rd, shadows, no_lod, width, height, sample_s,
                passes):
+    """One config, ``passes`` sampling passes.
+
+    The world LOADS ONCE per config and the Game is reused across passes
+    (the reference harness restarts the binary per pass, but what a pass
+    measures is the steady frame rate AFTER "all chunks loaded" — the
+    reload would re-measure the identical deterministic world while
+    costing minutes of single-core serialization per pass, which is what
+    limited round 3 to 2 passes). Each pass still resets the metrics and
+    re-warms."""
     rows = []
+    game = None
     for p in range(passes):
         benchmark.reset_all()
-        game = Game(
-            GameArgs(
-                mc_world=world_path,
-                player_pos=CAM_POS,
-                player_euler_rot=CAM_ROT,
-                render_distance=rd,
-                fov=80.0,
-                render_shadows=shadows,
-                no_lod=no_lod,
-                gpu_buffer_size_mb=256,
-                width=width,
-                height=height,
-                benchmark_mode=True,
-                svo_format=fmt,
+        if game is None:
+            game = Game(
+                GameArgs(
+                    mc_world=world_path,
+                    player_pos=CAM_POS,
+                    player_euler_rot=CAM_ROT,
+                    render_distance=rd,
+                    fov=80.0,
+                    render_shadows=shadows,
+                    no_lod=no_lod,
+                    gpu_buffer_size_mb=256,
+                    width=width,
+                    height=height,
+                    benchmark_mode=True,
+                    svo_format=fmt,
+                )
             )
-        )
-        loaded = game.wait_for_world(timeout=600)
+            loaded = game.wait_for_world(timeout=600)
         for _ in range(8):  # absorb compiles + plan-replay warmup
             img = game.step_frame(render=True, width=width, height=height)
             img.block_until_ready()
             _ = float(np.asarray(img[0, 0, 0]))
         benchmark.reset_fps()
         t_end = time.time() + sample_s
+        t_cap = time.time() + 4 * sample_s  # frames>=20 floor, bounded
         frames = 0
-        while time.time() < t_end:
+        while time.time() < t_end or (frames < 20 and time.time() < t_cap):
             t0 = time.time()
             img = game.step_frame(render=True, width=width, height=height)
             img.block_until_ready()
@@ -99,8 +111,9 @@ def run_config(world_path, fmt, rd, shadows, no_lod, width, height, sample_s,
                     * 1e3, 1),
             )
         )
-        game.shutdown()
         print(rows[-1], flush=True)
+    if game is not None:
+        game.shutdown()
     return rows
 
 
