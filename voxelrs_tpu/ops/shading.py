@@ -1456,7 +1456,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         hit_full = jnp.zeros(n, bool)
         steps_total = jnp.int32(0)
 
-        seg0 = int(_os.environ.get("VOXELRS_SEG", "12"))
+        seg0 = int(_os.environ.get("VOXELRS_SEG", "16"))
         schedule = [seg0] * 5  # fine early grid: deep worlds need ~40+
         while sum(schedule) < max_steps:  # iterations at interesting widths
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
@@ -2206,7 +2206,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
         # segments are push-engine ITERATIONS (one fetch + 3 substeps each,
         # i.e. up to ~2-3 reference steps of progress per iteration)
-        seg0 = int(os.environ.get("VOXELRS_SEG", "12"))
+        seg0 = int(os.environ.get("VOXELRS_SEG", "16"))
         schedule = [seg0] * 5  # fine early grid: deep worlds need ~40+
         while sum(schedule) < max_steps:  # iterations at interesting widths
             schedule.append(min(schedule[-1] * 2, max_steps - sum(schedule)))
