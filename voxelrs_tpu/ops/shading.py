@@ -290,24 +290,65 @@ def _fused_replay_on() -> bool:
 
 def compact_indices(mask, size: int):
     """Ascending indices of set lanes, padded with 0 — a drop-in for
-    ``jnp.nonzero(mask, size=size, fill_value=0)[0]`` that runs ~1.45x
-    faster on TPU (scripts and /tmp probes: 17.9 -> 12.3 ms at 2M lanes):
-    per-block counts + tiny block-offset scan + in-block cumsum + one
-    masked scatter, instead of XLA's full-width scan lowering."""
+    ``jnp.nonzero(mask, size=size, fill_value=0)[0]``.
+
+    Bitpack + bucket-width formulation (scripts/probes/compact_probe.py,
+    measured on the chip): the only full-width work is packing the mask
+    into (nb, 16) u32 block words (elementwise); everything data-dependent
+    — owner-block resolution, rank, bit selection — runs at ``size`` lanes.
+    vs the previous blocked-cumsum + full-width masked scatter:
+    9.8 -> 1.7 ms at 2.07M lanes/size 131K, 2.4 -> 0.2 ms at 519K/64K."""
     blk = 512
+    w_per_blk = blk // 32
     n = mask.shape[0]
     nb = -(-n // blk)
     pad = nb * blk - n
     m = jnp.pad(mask, (0, pad)) if pad else mask
-    m2 = m.reshape(nb, blk)
-    cnt = m2.sum(axis=1, dtype=jnp.int32)
+    mw = m.reshape(nb, w_per_blk, 32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(
+        jnp.where(mw, weights[None, None, :], jnp.uint32(0)), axis=2,
+        dtype=jnp.uint32)                                     # (nb, 16)
+    pc_b = jax.lax.population_count(words).astype(jnp.int32)  # (nb, 16)
+    cnt = pc_b.sum(axis=1)                                    # (nb,)
     offs = jnp.cumsum(cnt) - cnt
-    within = jnp.cumsum(m2.astype(jnp.int32), axis=1) - 1
-    pos = jnp.where(m2, offs[:, None] + within, size)  # OOB -> dropped
-    lane = jnp.arange(nb * blk, dtype=jnp.int32).reshape(nb, blk)
-    out = jnp.zeros(size + 1, jnp.int32).at[pos.ravel()].set(
-        lane.ravel(), mode="drop")
-    return out[:size]
+    total = offs[-1] + cnt[-1]
+
+    # owner block of each output slot: each block stamps its id at its
+    # start; empty blocks share a start with the NEXT nonempty block and
+    # max() resolves to the true (largest-id) owner; cummax fills the rest
+    own0 = jnp.zeros(size, jnp.int32).at[offs].max(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")
+    own = jax.lax.cummax(own0)
+
+    # one (size, 17) row gather serves both the block offset and its words
+    tbl = jnp.concatenate(
+        [offs[:, None].astype(jnp.uint32), words], axis=1)
+    row = tbl[own]
+    j = jnp.arange(size, dtype=jnp.int32)
+    r = j - row[:, 0].astype(jnp.int32)                       # in-block rank
+    wrow = row[:, 1:]
+    pcs = jax.lax.population_count(wrow).astype(jnp.int32)
+    cum = jnp.cumsum(pcs, axis=1)
+    sel = (cum > r[:, None]) & ((cum - pcs) <= r[:, None])
+    word = jnp.sum(jnp.where(sel, wrow, jnp.uint32(0)), axis=1)
+    w_idx = jnp.sum(
+        jnp.where(sel, jnp.arange(w_per_blk, dtype=jnp.int32), 0), axis=1)
+    rw = r - jnp.sum(jnp.where(sel, cum - pcs, 0), axis=1)
+
+    # rw-th set bit of `word` by popcount binary search
+    pos = jnp.zeros(size, jnp.int32)
+    cur = word
+    for half in (16, 8, 4, 2, 1):
+        low_mask = jnp.uint32((1 << half) - 1)
+        cl = jax.lax.population_count(cur & low_mask).astype(jnp.int32)
+        go_high = rw >= cl
+        rw = jnp.where(go_high, rw - cl, rw)
+        pos = pos + jnp.where(go_high, half, 0)
+        cur = jnp.where(go_high, cur >> jnp.uint32(half), cur & low_mask)
+
+    out = own * blk + w_idx * 32 + pos
+    return jnp.where(j < total, out, 0)
 
 
 def _pack_cols(arrays):
