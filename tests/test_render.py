@@ -219,6 +219,82 @@ def test_judged_adaptive_matches_exact(monkeypatch):
     assert (per_pixel > 1e-3).mean() < 0.02
 
 
+def test_judged_hierarchy_matches_exact(monkeypatch):
+    """The judged pipeline's hierarchical coarse level (quarter-res fills
+    the half grid, VOXELRS_HIERARCHY>=1) must stay within the thick-ray
+    budget of the exact judged render. Uses a frame large enough for the
+    quarter grid to clear the Bq gate."""
+    from voxelrs_tpu.gamelogic.content import GLASS, WATER
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    vox[0:16, 9, 0:12] = WATER  # a hole-free translucent surface
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0), SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+    assert (svo.world_value_mask & svo.translucent_block_mask) != 0
+
+    wh, hh = 320, 200  # quarter grid 81x51 >= 4096 lanes
+    p = default_params(aspect_ratio=wh / hh)
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(svo.render(p, wh, hh, max_steps=300))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "1")
+    hier = np.asarray(svo.render(p, wh, hh, max_steps=300))
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")
+    flat = np.asarray(svo.render(p, wh, hh, max_steps=300))
+
+    assert not np.isnan(hier).any()
+    assert diff_images(hier, exact) < 0.004
+    per_pixel = np.abs(hier - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.03
+    # the hierarchical pass refines back onto the same half grid the flat
+    # adaptive pass traces directly: outputs agree within the same budget
+    assert diff_images(hier, flat) < 0.004
+
+
+def test_water_surface_fills_adaptively(monkeypatch):
+    """A hole-free translucent surface (water, uniform alpha 0.65) is
+    fillable: the traced judge accepts ANY alpha>0 texel, so the relaxed
+    guard (no alpha-0 texel, rather than full opacity) keeps the adaptive
+    fill exact on flat water while leaves/glass (real holes) still
+    re-trace."""
+    from voxelrs_tpu.gamelogic.content import WATER
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = WATER  # flat water sheet across the whole view
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0), SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+    assert (svo.world_value_mask & svo.translucent_block_mask) != 0
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(svo.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    adaptive = np.asarray(svo.render(p, W, H, max_steps=300))
+
+    # samples bit-exact; interior fills of the flat water plane exact
+    ys = np.r_[np.arange(0, H, 2), H - 1]
+    xs = np.r_[np.arange(0, W, 2), W - 1]
+    np.testing.assert_array_equal(adaptive[np.ix_(ys, xs)], exact[np.ix_(ys, xs)])
+    assert diff_images(adaptive, exact) < 0.002
+    per_pixel = np.abs(adaptive - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.02
+
+
 def test_deferred_matches_canonical_inloop(monkeypatch):
     """The host-orchestrated judged pipeline (segmented rounds, wavefront
     compaction with restarts, plan replay) must match the canonical

@@ -2471,7 +2471,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     # accepted surfaces (value, signed face, leaf scale, entry plane — the
     # identity survives translucent pass-throughs because only the ACCEPTED
     # hit is compared) fill interior pixels analytically; disagreements
-    # re-trace through the full judged pipeline.
+    # re-trace through the full judged pipeline. ``_make_res_merge``
+    # parametrizes the merge over (hi grid, lo grid) so the same machinery
+    # stacks hierarchically (quarter grid fills the half grid fills the
+    # pixel grid) exactly like the opaque pipeline's _make_frozen_merge.
     Hc, Wc, _coarse_pidx, _up4, _sample_masks, _pick = _coarse_grid_for(
         width, height
     )
@@ -2481,143 +2484,183 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             p, ray_args)))(_coarse_pidx())
     )
 
-    def _adaptive_merge_judged(res_c, scale_c, plane_c, passed_c, inside_c,
-                               scale, ray_args, mips, mat_tex):
-        from .bits import EPSILON, bits_f32
-        from .traversal import (
-            _exp2_scale,
-            _hit_geometry,
-            f32_bits,
-            make_ray_consts,
-        )
+    def _make_res_merge(hi_w, hi_h, hi_ids_fn):
+        """Result-level coplanar merge from the lo grid onto its hi grid.
+        ``hi_ids_fn() -> (Bhi,)`` global PIXEL ids of the hi lanes (the
+        pixel-grid instance passes arange; the half-grid instance passes
+        the coarse pixel ids). Returns the merged result tuple PLUS the
+        hi-level surface identity (scale, plane, passed) so the output can
+        feed the next merge level."""
+        _Hlo, _Wlo, _lo_in_hi, up4_l, masks_l, pick_l = _coarse_grid_for(
+            hi_w, hi_h)
 
-        t_c, value_c, face_c, pos_c, uv_c, lod_c = res_c
-        hit_c = t_c != -1.0
+        def merge(res_c, scale_c, plane_c, passed_c, inside_c,
+                  scale, ray_args, mips, mat_tex):
+            from .bits import EPSILON, bits_f32
+            from .traversal import (
+                _exp2_scale,
+                _hit_geometry,
+                f32_bits,
+                make_ray_consts,
+            )
+            _up4 = up4_l
+            _sample_masks = masks_l
+            _pick = pick_l
 
-        def same4(q):
-            a00, a01, a10, a11 = _up4(q)
-            return a00, (a00 == a01) & (a00 == a10) & (a00 == a11)
+            t_c, value_c, face_c, pos_c, uv_c, lod_c = res_c
+            hit_c = t_c != -1.0
 
-        h00, h01, h10, h11 = _up4(hit_c)
-        hit4 = h00 & h01 & h10 & h11
-        miss4 = ~(h00 | h01 | h10 | h11)
-        value00, value_eq = same4(value_c)
-        face00, face_eq = same4(face_c)
-        scale00, scale_eq = same4(scale_c)
-        plane00, plane_eq = same4(plane_c)
+            def same4(q):
+                a00, a01, a10, a11 = _up4(q)
+                return a00, (a00 == a01) & (a00 == a10) & (a00 == a11)
 
-        # translucency guards: a cell is only fillable when (a) no corner
-        # ray passed through a translucent texel on the way to its accepted
-        # surface (the interior ray could clip an opaque texel of that
-        # block — e.g. a glass frame), and (b) the accepted surface's own
-        # textures are fully opaque (the fill's texel may land on an
-        # alpha-0 spot of a translucent block's face)
-        p00, p01, p10, p11 = _up4(passed_c)
-        no_pass = ~(p00 | p01 | p10 | p11)
-        T = mips[0].shape[0]
-        V = mat_tex.shape[0]
-        layer_translucent = (mips[0][..., 3] < 1.0).any(axis=(1, 2))
-        block_translucent = layer_translucent[
-            jnp.clip(mat_tex[:, 0:3], 0, T - 1)
-        ].any(axis=1)
-        vid = value00.astype(jnp.int32)
-        value_opaque = (vid < V) & ~block_translucent[jnp.clip(vid, 0, V - 1)]
+            h00, h01, h10, h11 = _up4(hit_c)
+            hit4 = h00 & h01 & h10 & h11
+            miss4 = ~(h00 | h01 | h10 | h11)
+            value00, value_eq = same4(value_c)
+            face00, face_eq = same4(face_c)
+            scale00, scale_eq = same4(scale_c)
+            plane00, plane_eq = same4(plane_c)
 
-        is_sample, ylast, xlast = _sample_masks()
-        B = width * height
-        lane = jnp.arange(B, dtype=jnp.int32)
-        ro, rd = _pix_rays_for(width, height)(lane, ray_args)
-        c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
+            # translucency guards: a cell is only fillable when (a) no
+            # corner ray passed through a translucent texel on the way to
+            # its accepted surface (the interior ray could clip an opaque
+            # texel of that block — e.g. a glass frame), and (b) the
+            # accepted surface's own textures have no alpha-0 texel (the
+            # fill's texel may land on such a HOLE, where the true render
+            # would pass through — e.g. leaves). Partial alpha in (0,1] is
+            # fine: the traced judge accepts any alpha > 0 texel, so a
+            # hole-free surface (e.g. water, uniform 0.65) fills exactly
+            # like an opaque one.
+            p00, p01, p10, p11 = _up4(passed_c)
+            no_pass = ~(p00 | p01 | p10 | p11)
+            T = mips[0].shape[0]
+            V = mat_tex.shape[0]
+            layer_has_hole = (mips[0][..., 3] <= 0.0).any(axis=(1, 2))
+            block_has_hole = layer_has_hole[
+                jnp.clip(mat_tex[:, 0:3], 0, T - 1)
+            ].any(axis=1)
+            vid = value00.astype(jnp.int32)
+            value_opaque = (vid < V) & ~block_has_hole[
+                jnp.clip(vid, 0, V - 1)]
 
-        axis00 = face00 >> 1
-        sexp2 = _exp2_scale(scale00)
-        sx = (f32_bits(c.rdx) >> jnp.uint32(31)).astype(jnp.int32)
-        sy = (f32_bits(c.rdy) >> jnp.uint32(31)).astype(jnp.int32)
-        sz = (f32_bits(c.rdz) >> jnp.uint32(31)).astype(jnp.int32)
-        own_sign_ax = jnp.where(axis00 == 0, sx,
-                                jnp.where(axis00 == 1, sy, sz))
-        sign_ok = own_sign_ax == (face00 & 1)
+            is_sample, ylast, xlast = _sample_masks()
+            lane = hi_ids_fn()
+            ro, rd = _pix_rays_for(width, height)(lane, ray_args)
+            c = make_ray_consts(scale, ro, rd, jnp.float32(-1.0))
 
-        mirror_ax = jnp.where(
-            axis00 == 0, c.mirror_x,
-            jnp.where(axis00 == 1, c.mirror_y, c.mirror_z),
-        )
-        plane_m = jnp.where(mirror_ax, 3.0 - plane00, plane00)
-        tc_ax = jnp.where(axis00 == 0, c.tcx,
-                          jnp.where(axis00 == 1, c.tcy, c.tcz))
-        tb_ax = jnp.where(axis00 == 0, c.tbx,
-                          jnp.where(axis00 == 1, c.tby, c.tbz))
-        t_int = plane_m * tc_ax - tb_ax
+            axis00 = face00 >> 1
+            sexp2 = _exp2_scale(scale00)
+            sx = (f32_bits(c.rdx) >> jnp.uint32(31)).astype(jnp.int32)
+            sy = (f32_bits(c.rdy) >> jnp.uint32(31)).astype(jnp.int32)
+            sz = (f32_bits(c.rdz) >> jnp.uint32(31)).astype(jnp.int32)
+            own_sign_ax = jnp.where(axis00 == 0, sx,
+                                    jnp.where(axis00 == 1, sy, sz))
+            sign_ok = own_sign_ax == (face00 & 1)
 
-        def mcoord(roa, rda, mirror):
-            h = roa + t_int * rda
-            return jnp.where(mirror, 3.0 - h, h)
+            mirror_ax = jnp.where(
+                axis00 == 0, c.mirror_x,
+                jnp.where(axis00 == 1, c.mirror_y, c.mirror_z),
+            )
+            plane_m = jnp.where(mirror_ax, 3.0 - plane00, plane00)
+            tc_ax = jnp.where(axis00 == 0, c.tcx,
+                              jnp.where(axis00 == 1, c.tcy, c.tcz))
+            tb_ax = jnp.where(axis00 == 0, c.tbx,
+                              jnp.where(axis00 == 1, c.tby, c.tbz))
+            t_int = plane_m * tc_ax - tb_ax
 
-        sc = jnp.clip(scale00, 0, 31).astype(jnp.uint32)
+            def mcoord(roa, rda, mirror):
+                h = roa + t_int * rda
+                return jnp.where(mirror, 3.0 - h, h)
 
-        def quant(m):
-            return bits_f32((f32_bits(m) >> sc) << sc)
+            sc = jnp.clip(scale00, 0, 31).astype(jnp.uint32)
 
-        base_ax = plane_m - sexp2
-        posx = jnp.where(axis00 == 0, base_ax,
-                         quant(mcoord(c.rox, c.rdx, c.mirror_x)))
-        posy = jnp.where(axis00 == 1, base_ax,
-                         quant(mcoord(c.roy, c.rdy, c.mirror_y)))
-        posz = jnp.where(axis00 == 2, base_ax,
-                         quant(mcoord(c.roz, c.rdz, c.mirror_z)))
+            def quant(m):
+                return bits_f32((f32_bits(m) >> sc) << sc)
 
-        t2x = (posx + sexp2) * c.tcx - c.tbx
-        t2y = (posy + sexp2) * c.tcy - c.tby
-        t2z = (posz + sexp2) * c.tcz - c.tbz
-        tcmin = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
-        on_x = tcmin == t2x
-        on_y = (~on_x) & (tcmin == t2y)
-        face_own = jnp.where(on_x, sx, jnp.where(on_y, 2 | sy, 4 | sz))
-        t_cube_exit = jnp.minimum(
-            jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
-        )
-        smooth = (
-            hit4 & value_eq & face_eq & scale_eq & plane_eq & sign_ok
-            & no_pass & value_opaque
-            & (face_own == face00) & (t_int == tcmin)
-            & (t_int > 0) & (t_int <= t_cube_exit)
-        )
+            base_ax = plane_m - sexp2
+            posx = jnp.where(axis00 == 0, base_ax,
+                             quant(mcoord(c.rox, c.rdx, c.mirror_x)))
+            posy = jnp.where(axis00 == 1, base_ax,
+                             quant(mcoord(c.roy, c.rdy, c.mirror_y)))
+            posz = jnp.where(axis00 == 2, base_ax,
+                             quant(mcoord(c.roz, c.rdz, c.mirror_z)))
 
-        face_g, ux, uy, dst, tex_lod, (upx, upy, upz) = _hit_geometry(
-            c, 0, scale00, posx, posy, posz, t_int
-        )
-        hx = jnp.clip(c.rox + t_int * c.rdx, upx + EPSILON,
-                      upx + sexp2 - EPSILON)
-        hy = jnp.clip(c.roy + t_int * c.rdy, upy + EPSILON,
-                      upy + sexp2 - EPSILON)
-        hz = jnp.clip(c.roz + t_int * c.rdz, upz + EPSILON,
-                      upz + sexp2 - EPSILON)
-        pos_fill = (jnp.stack([hx, hy, hz], -1) - 1.0) / c.octree_scale
+            t2x = (posx + sexp2) * c.tcx - c.tbx
+            t2y = (posy + sexp2) * c.tcy - c.tby
+            t2z = (posz + sexp2) * c.tcz - c.tbz
+            tcmin = jnp.maximum(jnp.maximum(t2x, t2y), t2z)
+            on_x = tcmin == t2x
+            on_y = (~on_x) & (tcmin == t2y)
+            face_own = jnp.where(on_x, sx, jnp.where(on_y, 2 | sy, 4 | sz))
+            t_cube_exit = jnp.minimum(
+                jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
+            )
+            smooth = (
+                hit4 & value_eq & face_eq & scale_eq & plane_eq & sign_ok
+                & no_pass & value_opaque
+                & (face_own == face00) & (t_int == tcmin)
+                & (t_int > 0) & (t_int <= t_cube_exit)
+            )
 
-        samp = lambda *a4: _pick(ylast, xlast, *a4)  # noqa: E731
-        hit_full = jnp.where(is_sample, samp(h00, h01, h10, h11), smooth)
-        refine = ~is_sample & ~smooth & ~miss4
+            face_g, ux, uy, dst, tex_lod, (upx, upy, upz) = _hit_geometry(
+                c, 0, scale00, posx, posy, posz, t_int
+            )
+            hx = jnp.clip(c.rox + t_int * c.rdx, upx + EPSILON,
+                          upx + sexp2 - EPSILON)
+            hy = jnp.clip(c.roy + t_int * c.rdy, upy + EPSILON,
+                          upy + sexp2 - EPSILON)
+            hz = jnp.clip(c.roz + t_int * c.rdz, upz + EPSILON,
+                          upz + sexp2 - EPSILON)
+            pos_fill = (jnp.stack([hx, hy, hz], -1) - 1.0) / c.octree_scale
 
-        def fill(coarse, fill_val, miss_val):
-            a4 = _up4(coarse)
-            s = samp(*a4)
-            sm = smooth[:, None] if s.ndim == 2 else smooth
-            is_s = is_sample[:, None] if s.ndim == 2 else is_sample
-            return jnp.where(is_s, s, jnp.where(sm, fill_val, miss_val))
+            samp = lambda *a4: _pick(ylast, xlast, *a4)  # noqa: E731
+            hit_full = jnp.where(is_sample, samp(h00, h01, h10, h11), smooth)
+            refine = ~is_sample & ~smooth & ~miss4
 
-        out = (
-            fill(t_c, dst, jnp.float32(-1.0)),
-            fill(value_c, value00, jnp.uint32(0)),
-            fill(face_c, face00, jnp.int32(0)),
-            fill(pos_c, pos_fill, jnp.float32(0.0)),
-            fill(uv_c, jnp.stack([ux, uy], -1), jnp.float32(0.0)),
-            fill(lod_c, tex_lod, jnp.float32(0.0)),
-        )
-        inside_full = jnp.where(is_sample, samp(*_up4(inside_c)), False)
-        return (out, hit_full, inside_full, refine,
-                jnp.sum(refine).astype(jnp.int32))
+            def fill(coarse, fill_val, miss_val):
+                a4 = _up4(coarse)
+                s = samp(*a4)
+                sm = smooth[:, None] if s.ndim == 2 else smooth
+                is_s = is_sample[:, None] if s.ndim == 2 else is_sample
+                return jnp.where(is_s, s, jnp.where(sm, fill_val, miss_val))
 
-    adaptive_merge_j = jax.jit(_adaptive_merge_judged)
+            out = (
+                fill(t_c, dst, jnp.float32(-1.0)),
+                fill(value_c, value00, jnp.uint32(0)),
+                fill(face_c, face00, jnp.int32(0)),
+                fill(pos_c, pos_fill, jnp.float32(0.0)),
+                fill(uv_c, jnp.stack([ux, uy], -1), jnp.float32(0.0)),
+                fill(lod_c, tex_lod, jnp.float32(0.0)),
+            )
+            inside_full = jnp.where(is_sample, samp(*_up4(inside_c)), False)
+            # hi-level surface identity for the NEXT merge level: filled
+            # lanes carry the shared surface (coplanarity makes their own
+            # entry-plane coordinate equal plane00; no_pass + hole-free
+            # textures make passed False — what a traced accept of the
+            # same surface records)
+            scale_full = fill(scale_c, scale00, jnp.int32(0))
+            plane_full = fill(plane_c, plane00, jnp.float32(0.0))
+            passed_full = jnp.where(is_sample, samp(p00, p01, p10, p11),
+                                    False)
+            return (out, hit_full, inside_full, scale_full, plane_full,
+                    passed_full, refine, jnp.sum(refine).astype(jnp.int32))
+
+        return jax.jit(merge)
+
+    adaptive_merge_j = _make_res_merge(
+        width, height, lambda: jnp.arange(width * height, dtype=jnp.int32))
+    # hierarchical level 2 (judged): quarter-res results fill the half grid
+    adaptive_merge_jq = _make_res_merge(Wc, Hc, _coarse_pidx)
+    _Hqj, _Wqj, _q_in_c_j, _u4qj, _smqj, _pkqj = _coarse_grid_for(Wc, Hc)
+    quarter_rays_j = jax.jit(
+        lambda ray_args: (lambda p: (p, *_pix_rays_for(width, height)(
+            p, ray_args)))(_coarse_pidx()[_q_in_c_j()])
+    )
+    coarse_sub_ids_j = jax.jit(lambda idx, ray_args: (
+        lambda p: (p, *_pix_rays_for(width, height)(p, ray_args)))(
+            _coarse_pidx()[idx]))
+    Bq_j = _Hqj * _Wqj
 
     refine_order_j = jax.jit(
         lambda mask, size: compact_indices(mask, size),
@@ -2634,11 +2677,28 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
     merge_refined_res = jax.jit(_merge_refined_res, donate_argnums=(0, 1, 2))
 
+    def _merge_refined_res_full(res_full, inside_full, scale_full,
+                                plane_full, passed_full, idx_r, res_r,
+                                inside_r, scale_r, plane_r, passed_r):
+        """Scatter hi-level refined lanes back, surface identity included
+        (the quarter->half merge level feeds the half->full merge)."""
+        full = tuple(res_full) + (inside_full, scale_full, plane_full,
+                                  passed_full)
+        sub = tuple(res_r) + (inside_r, scale_r, plane_r, passed_r)
+        mat = _pack_cols(full).at[idx_r].set(_pack_cols(sub))
+        out = _unpack_cols(mat, full)
+        return out[:6], out[6], out[7], out[8], out[9]
+
+    merge_refined_res_full = jax.jit(
+        _merge_refined_res_full, donate_argnums=(0, 1, 2, 3, 4))
+
     _pipeline_cache[key] = (raygen, trace, shade, combine, hit_count,
                             hit_order, gather_lanes, combine_scatter,
                             finish_light, store, pix_rays_j, coarse_rays_j,
                             adaptive_merge_j, refine_order_j,
-                            merge_refined_res)
+                            merge_refined_res, adaptive_merge_jq,
+                            quarter_rays_j, coarse_sub_ids_j, Bq_j,
+                            merge_refined_res_full, Hc * Wc)
     return _pipeline_cache[key]
 
 
@@ -2794,15 +2854,38 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
                 ambient, light_dir, shadow_distance, highlight_pos, beams)
 
     if _fused_frame_on():
+        import os as _os
+
+        # VOXELRS_STAGE_CUT: same profiling-only truncation knob as the
+        # opaque fused frame (see _render_frame_opaque) — attributes device
+        # cost inside the ONE fused judged program
+        cut = _os.environ.get("VOXELRS_STAGE_CUT")
         flags = ("jdg", width, height, render_shadows, max_steps, rounds,
                  stack_height, engine, beams is not None,
-                 beams is not None and beams.has_sun())
+                 beams is not None and beams.has_sun(), cut)
 
         def body_fn(planner, *args):
             planner.reset()
-            img = _judged_frame_body(
-                *args[:15], beams=args[15], planner=planner,
-                mark=lambda *_a: None, **kwargs)
+            if not cut:
+                img = _judged_frame_body(
+                    *args[:15], beams=args[15], planner=planner,
+                    mark=lambda *_a: None, **kwargs)
+                return img, tuple(planner.arrays)
+
+            box: list = []
+
+            def cut_mark(name, ref):
+                if str(name).startswith(cut):
+                    box.append(ref)
+                    raise _StageCut()
+
+            try:
+                img = _judged_frame_body(
+                    *args[:15], beams=args[15], planner=planner,
+                    mark=cut_mark, **kwargs)
+            except _StageCut:
+                anchor = jnp.sum(box[0].astype(jnp.float32))
+                img = jnp.zeros((height, width, 4), jnp.float32) + anchor
             return img, tuple(planner.arrays)
 
         out = _fused_frame_call(store, flags, dev_args, body_fn)
@@ -2827,7 +2910,9 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
     B = width * height
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
      combine_scatter, finish_light, store, pix_rays_j, coarse_rays_j,
-     adaptive_merge_j, refine_order_j, merge_refined_res) = (
+     adaptive_merge_j, refine_order_j, merge_refined_res,
+     adaptive_merge_jq, quarter_rays_j, coarse_sub_ids_j, Bq_j,
+     merge_refined_res_full, Bc_j) = (
         _deferred_pipeline(B, width, height, render_shadows, max_steps,
                            rounds, stack_height, engine))
     # shape-only helpers shared with the opaque pipeline (bool-mask order,
@@ -2842,24 +2927,76 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         _shadow_sign = jax.jit(lambda h: jnp.where(h, 1.0, -1.0))
 
     ray_args = (cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
+    # profiling anchor: cut here = the fused program's fixed floor (launch
+    # + arg landing + fence sync), everything downstream DCE'd
+    _desc0 = jax.tree_util.tree_leaves(descriptors)[0]
+    mark("args", cam_pos[0] + _desc0.ravel()[0].astype(jnp.float32))
     ro, rd = raygen(cam_pos, cam_right, cam_up, cam_fwd, fov_y_rad, aspect)
     mark("raygen", rd)
 
     t_floor = beams.t_floor if beams is not None else None
-    cpidx, ro_c, rd_c = coarse_rays_j(ray_args)
     if _floor_gather is None:
         _make_floor_gather()
-    res_c, scale_c, plane_c, passed_c = trace(
-        descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0), mips,
-        mat_tex, tag="coarse",
-        t_floor=None if t_floor is None else _floor_gather(t_floor, cpidx),
-        planner=tr_planner,
-    )
-    mark("coarse", res_c.t)
 
-    resf, hit, inside_full, refine_mask, refine_count = adaptive_merge_j(
-        (res_c.t, res_c.value, res_c.face_id, res_c.pos, res_c.uv,
-         res_c.lod), scale_c, plane_c, passed_c, res_c.inside_voxel,
+    def _flg(pix_idx):
+        return None if t_floor is None else _floor_gather(t_floor, pix_idx)
+
+    # hierarchical coarse level (VOXELRS_HIERARCHY, same knob as the
+    # opaque pipeline, default on): trace the QUARTER grid, fill
+    # same-surface half-grid lanes analytically, judged-re-trace the
+    # disagreements — the flat half-res judged trace was the single
+    # largest stage of the MC frame (+135 ms of 328 in-program ms,
+    # scripts/probes/fused_stage_cut_mc.py)
+    import os as _os
+
+    _hier_env = _os.environ.get("VOXELRS_HIERARCHY")
+    try:
+        _hier_levels = int(_hier_env) if _hier_env else 1
+    except ValueError:
+        _hier_levels = 1
+    if _hier_levels >= 1 and Bq_j >= 4096:
+        qpix, ro_q, rd_q = quarter_rays_j(ray_args)
+        res_q, scale_q, plane_q, passed_q = trace(
+            descriptors, octree_scale, ro_q, rd_q, jnp.float32(-1.0), mips,
+            mat_tex, tag="coarse4j", t_floor=_flg(qpix), planner=tr_planner,
+        )
+        mark("coarse4j", res_q.t)
+        (resc, hit_c, inside_c, scale_c, plane_c, passed_c, refq_mask,
+         refq_count) = adaptive_merge_jq(
+            (res_q.t, res_q.value, res_q.face_id, res_q.pos, res_q.uv,
+             res_q.lod), scale_q, plane_q, passed_q, res_q.inside_voxel,
+            octree_scale, ray_args, mips, mat_tex,
+        )
+        k_rq = planner.sticky_scalar("jqrefine_k", refq_count, Bc_j)
+        idx_rq = refine_order_j(refq_mask, k_rq)
+        qsub, ro_rq, rd_rq = coarse_sub_ids_j(idx_rq, ray_args)
+        res_rq, sc_rq, pl_rq, ps_rq = trace(
+            descriptors, octree_scale, ro_rq, rd_rq, jnp.float32(-1.0),
+            mips, mat_tex, tag=("jqrefine", k_rq), t_floor=_flg(qsub),
+            planner=tr_planner,
+        )
+        resc, inside_c, scale_c, plane_c, passed_c = merge_refined_res_full(
+            resc, inside_c, scale_c, plane_c, passed_c, idx_rq,
+            (res_rq.t, res_rq.value, res_rq.face_id, res_rq.pos, res_rq.uv,
+             res_rq.lod), res_rq.inside_voxel, sc_rq, pl_rq, ps_rq,
+        )
+        res_c_tuple = resc
+        inside_c_arr = inside_c
+        mark("coarse", res_c_tuple[0])
+    else:
+        cpidx, ro_c, rd_c = coarse_rays_j(ray_args)
+        res_c, scale_c, plane_c, passed_c = trace(
+            descriptors, octree_scale, ro_c, rd_c, jnp.float32(-1.0), mips,
+            mat_tex, tag="coarse", t_floor=_flg(cpidx), planner=tr_planner,
+        )
+        res_c_tuple = (res_c.t, res_c.value, res_c.face_id, res_c.pos,
+                       res_c.uv, res_c.lod)
+        inside_c_arr = res_c.inside_voxel
+        mark("coarse", res_c.t)
+
+    (resf, hit, inside_full, _scf, _plf, _psf, refine_mask,
+     refine_count) = adaptive_merge_j(
+        res_c_tuple, scale_c, plane_c, passed_c, inside_c_arr,
         octree_scale, ray_args, mips, mat_tex,
     )
     mark("adaptive-merge", hit)
@@ -2929,8 +3066,10 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
             sidx = hit_order_b(mask, kc)
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
                                              shadow_max_k)
+            mark(f"shadow-bucket {name}={kc}", sro2)
             if has_sun:
                 lit2, blk2 = beams.sun_verdicts(sro2, smax2)
+                mark(f"sun-verdicts {name}", lit2)
                 un = _mask_pads(_uncertified(lit2, blk2), cnt)
                 kt = planner.sticky_scalar(name + "t", hit_count_b(un), kc)
                 tidx = hit_order_b(un, kt)
@@ -2941,7 +3080,9 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
                 )
                 # pad lanes duplicate global lane 0 - value-identical
                 # writes (certificate == traced verdict)
-                return sidx, _or_scatter(blk2, tidx, sres.t != -1.0)
+                blocked2 = _or_scatter(blk2, tidx, sres.t != -1.0)
+                mark(f"shadow-trace {name}", blocked2)
+                return sidx, blocked2
             tfl = None
             if beams is not None:
                 tfl = beams.shadow_ray_floors(
@@ -2950,6 +3091,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
                 descriptors, octree_scale, sro2, srd2, smax2, mips, mat_tex,
                 tag=(name, kc), t_floor=tfl, planner=tr_planner,
             )
+            mark(f"shadow-trace {name}", sres.t)
             return sidx, sres.t != -1.0
 
         blk0 = jnp.zeros(k, bool)
