@@ -170,8 +170,8 @@ def _scene_mc():
             lambda ps: wsvo.render_batch(ps, W, H), poses, "mc")
 
 
-def main() -> None:
-    scene = os.environ.get("VOXELRS_BENCH_SCENE", "mc")
+def _measure_scene(scene: str):
+    """Measure one scene; returns the result dict (sans metric wrapper)."""
     render, render_batch, poses, label = (
         _scene_mc() if scene == "mc" else _scene_procedural())
 
@@ -239,9 +239,10 @@ def main() -> None:
     # path with the launch+sync floor amortized across FRAMES poses).
     # VOXELRS_BENCH_BATCH=0 skips it (A/B sweeps: each config would pay a
     # fresh multi-minute remote compile of the batch program for a mode
-    # that measured BELOW pipelined — docs/PERF.md round 4)
+    # that measured BELOW pipelined — docs/PERF.md round 4). The MC scene
+    # runs the judged pipeline, which has no batch program — skip there.
     batched = None
-    if os.environ.get("VOXELRS_BENCH_BATCH", "1") == "0":
+    if label == "mc" or os.environ.get("VOXELRS_BENCH_BATCH", "1") == "0":
         imgs = None
     else:
         imgs = render_batch(poses)
@@ -254,25 +255,51 @@ def main() -> None:
             _ = float(np.asarray(imgs[-1, 0, 0, 0]))
         batched = (time.time() - t0) / (reps * FRAMES)
 
-    print(f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f}"
-          f" ms, batched {batched*1e3:.0f} ms" if batched is not None else
-          f"# frame: sequential {seq*1e3:.0f} ms, pipelined {piped*1e3:.0f}"
-          " ms, batched n/a",
+    print(f"# {label} frame: sequential {seq*1e3:.0f} ms, pipelined "
+          f"{piped*1e3:.0f} ms, batched {batched*1e3:.0f} ms"
+          if batched is not None else
+          f"# {label} frame: sequential {seq*1e3:.0f} ms, pipelined "
+          f"{piped*1e3:.0f} ms, batched n/a",
           file=sys.stderr)
     dt = min(d for d in (seq, piped, batched) if d is not None)
     # workload: primary + shadow ray per pixel (reference benchmark config)
     mrays = W * H * 2 / dt / 1e6
-    out = {
-        "metric": "Mrays_per_sec_chip_1080p_shadows",
+    res = {
         "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "scene": label,
         "seq_frame_ms": round(seq * 1e3, 1),
         "piped_frame_ms": round(piped * 1e3, 1),
     }
     if batched is not None:
-        out["batched_frame_ms"] = round(batched * 1e3, 1)
+        res["batched_frame_ms"] = round(batched * 1e3, 1)
+    return res
+
+
+def main() -> None:
+    # VOXELRS_BENCH_SCENE: "mc" (headline, default), "procedural", or
+    # "both" — both scenes in ONE JSON line (VERDICT r3 weak #1: the
+    # driver metric should report the real MC world AND keep the
+    # longitudinal procedural number visible)
+    scene = os.environ.get("VOXELRS_BENCH_SCENE", "both")
+    out = {
+        "metric": "Mrays_per_sec_chip_1080p_shadows",
+        "unit": "Mrays/s",
+    }
+    if scene in ("mc", "both"):
+        mc = _measure_scene("mc")
+        out.update(mc)
+        out["vs_baseline"] = round(mc["value"] / BASELINE_MRAYS, 4)
+    if scene in ("procedural", "both"):
+        pr = _measure_scene("procedural")
+        if scene == "procedural":
+            out.update(pr)
+            out["vs_baseline"] = round(pr["value"] / BASELINE_MRAYS, 4)
+        else:
+            out["procedural_mrays"] = pr["value"]
+            out["procedural_piped_ms"] = pr["piped_frame_ms"]
+            out["procedural_seq_ms"] = pr["seq_frame_ms"]
+            if "batched_frame_ms" in pr:
+                out["procedural_batched_ms"] = pr["batched_frame_ms"]
     print(json.dumps(out))
 
 

@@ -295,6 +295,61 @@ def test_water_surface_fills_adaptively(monkeypatch):
     assert (per_pixel > 1e-3).mean() < 0.02
 
 
+def test_leaf_canopy_hole_fill(monkeypatch):
+    """HOLED surfaces (alpha-0 texels, e.g. oak leaves) fill per-pixel:
+    the adaptive merge judges each interior pixel's own texel on the
+    shared plane with the traced judge's sampler — alpha>0 pixels fill,
+    alpha-0 pixels re-trace through the holes. On a flat canopy the fill
+    plane/uv math reproduces the trace, so diffs are confined to the
+    knife-edge texel-flip class (the binary alpha mask amplifies sub-ULP
+    uv rounding into full-color flips at texel boundaries — measured
+    ~2% of pixels, same class the glass test documents); the frame must
+    stay within that budget (VOXELRS_HOLE_FILL=1, the default)."""
+    from voxelrs_tpu.gamelogic.content import OAK_LEAVES
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[:, 14, :] = OAK_LEAVES  # flat canopy; holes show grass below
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0), SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+    assert (svo.world_value_mask & svo.translucent_block_mask) != 0
+
+    p = default_params(
+        cam_pos=np.array([2.0, 24.0, -4.0], np.float32))
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    exact = np.asarray(svo.render(p, W, H, max_steps=300))
+    # conservative path first: it records the LARGER refine bucket, so the
+    # hole-fill frame replays within it (the reverse order would overflow
+    # the sticky refine plan and drop lanes for one frame)
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HOLE_FILL", "0")
+    unfilled = np.asarray(svo.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_HOLE_FILL", "1")
+    filled = np.asarray(svo.render(p, W, H, max_steps=300))
+
+    # samples bit-exact in both modes
+    ys = np.r_[np.arange(0, H, 2), H - 1]
+    xs = np.r_[np.arange(0, W, 2), W - 1]
+    np.testing.assert_array_equal(filled[np.ix_(ys, xs)], exact[np.ix_(ys, xs)])
+    np.testing.assert_array_equal(unfilled[np.ix_(ys, xs)], exact[np.ix_(ys, xs)])
+    # knife-edge texel flips only (reference CI budget is 0.015 mean-abs).
+    # The conservative path measures the same ~0.005 class: the judged
+    # re-trace under compaction restarts flips texels at the canopy's
+    # alpha boundaries too — the hole fill must not exceed that class.
+    assert diff_images(unfilled, exact) < 0.01
+    assert diff_images(filled, exact) < 0.01
+    per_pixel = np.abs(filled - exact).max(axis=-1)
+    assert (per_pixel > 1e-3).mean() < 0.04
+    assert diff_images(filled, unfilled) < 0.01
+
+
 def test_deferred_matches_canonical_inloop(monkeypatch):
     """The host-orchestrated judged pipeline (segmented rounds, wavefront
     compaction with restarts, plan replay) must match the canonical

@@ -405,6 +405,14 @@ def _compact_on() -> bool:
     return os.environ.get("VOXELRS_COMPACT", "1") != "0"
 
 
+def _hole_fill_on() -> bool:
+    """Per-pixel texel-judged fill of holed (alpha-0-texel) surfaces in
+    the judged adaptive merge (VOXELRS_HOLE_FILL=0 disables)."""
+    import os
+
+    return os.environ.get("VOXELRS_HOLE_FILL", "1") != "0"
+
+
 def _margin_bucket(count: int) -> int:
     return max(_bucket_size(count + count // 2 + 256), 8192)
 
@@ -2495,7 +2503,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             hi_w, hi_h)
 
         def merge(res_c, scale_c, plane_c, passed_c, inside_c,
-                  scale, ray_args, mips, mat_tex):
+                  scale, ray_args, mips, mat_tex, hole_fill=True):
             from .bits import EPSILON, bits_f32
             from .traversal import (
                 _exp2_scale,
@@ -2596,9 +2604,9 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             t_cube_exit = jnp.minimum(
                 jnp.minimum(c.tcx - c.tbx, c.tcy - c.tby), c.tcz - c.tbz
             )
-            smooth = (
+            fillable = (
                 hit4 & value_eq & face_eq & scale_eq & plane_eq & sign_ok
-                & no_pass & value_opaque
+                & no_pass
                 & (face_own == face00) & (t_int == tcmin)
                 & (t_int > 0) & (t_int <= t_cube_exit)
             )
@@ -2606,6 +2614,22 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             face_g, ux, uy, dst, tex_lod, (upx, upy, upz) = _hit_geometry(
                 c, 0, scale00, posx, posy, posz, t_int
             )
+
+            # HOLED surfaces (textures with alpha-0 texels, e.g. leaves):
+            # judge the pixel's OWN texel on the shared plane with the
+            # traced judge's exact sampler — alpha>0 pixels fill (what a
+            # traced first-encounter accept of this surface records),
+            # alpha==0 pixels pass through and re-trace. Same thick-ray
+            # approximation class as the opaque fill; the full-width texel
+            # gather costs far less than the judged re-trace of every
+            # pixel of every leaf-canopy cell (VOXELRS_HOLE_FILL=0
+            # disables).
+            if hole_fill:
+                alpha_px = make_alpha_fn(mips, mat_tex)(
+                    value00, face00, jnp.stack([ux, uy], -1), tex_lod)
+                smooth = fillable & (value_opaque | (alpha_px > 0.0))
+            else:
+                smooth = fillable & value_opaque
             hx = jnp.clip(c.rox + t_int * c.rdx, upx + EPSILON,
                           upx + sexp2 - EPSILON)
             hy = jnp.clip(c.roy + t_int * c.rdy, upy + EPSILON,
@@ -2646,7 +2670,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             return (out, hit_full, inside_full, scale_full, plane_full,
                     passed_full, refine, jnp.sum(refine).astype(jnp.int32))
 
-        return jax.jit(merge)
+        return jax.jit(merge, static_argnums=(9,))
 
     adaptive_merge_j = _make_res_merge(
         width, height, lambda: jnp.arange(width * height, dtype=jnp.int32))
@@ -2862,7 +2886,8 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
         cut = _os.environ.get("VOXELRS_STAGE_CUT")
         flags = ("jdg", width, height, render_shadows, max_steps, rounds,
                  stack_height, engine, beams is not None,
-                 beams is not None and beams.has_sun(), cut)
+                 beams is not None and beams.has_sun(), cut,
+                 _hole_fill_on())
 
         def body_fn(planner, *args):
             planner.reset()
@@ -2965,7 +2990,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
          refq_count) = adaptive_merge_jq(
             (res_q.t, res_q.value, res_q.face_id, res_q.pos, res_q.uv,
              res_q.lod), scale_q, plane_q, passed_q, res_q.inside_voxel,
-            octree_scale, ray_args, mips, mat_tex,
+            octree_scale, ray_args, mips, mat_tex, _hole_fill_on(),
         )
         k_rq = planner.sticky_scalar("jqrefine_k", refq_count, Bc_j)
         idx_rq = refine_order_j(refq_mask, k_rq)
@@ -2997,7 +3022,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
     (resf, hit, inside_full, _scf, _plf, _psf, refine_mask,
      refine_count) = adaptive_merge_j(
         res_c_tuple, scale_c, plane_c, passed_c, inside_c_arr,
-        octree_scale, ray_args, mips, mat_tex,
+        octree_scale, ray_args, mips, mat_tex, _hole_fill_on(),
     )
     mark("adaptive-merge", hit)
 
