@@ -11,8 +11,12 @@ frame to.
 Run on the TPU from /root/repo:  python -u scripts/probes/plan_ledger_mc.py
 """
 
+import faulthandler
 import os
+import signal
 import sys
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("VOXELRS_FUSED_REPLAY", "1")
