@@ -2007,9 +2007,20 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
     _substeps = int(_os.environ.get("VOXELRS_SUBSTEPS", "4"))
 
     def round_body(descriptors, consts, state, steps_total, acc, done,
-                   mips, mat_tex, seg_steps):
+                   mips, mat_tex, seg_steps, fresh=False):
         """One deferred round: run the loop to the next leaf hits, judge
-        texel alpha + adjacency, record accepted hits, resume the rest."""
+        texel alpha + adjacency, record accepted hits, resume the rest.
+
+        ``fresh`` (static): every lane entering this round is in its
+        pre-first-judge state (adjacency 0, no suppress/resume) — true for
+        the FIRST nonzero segment of any trace, where all lanes come
+        straight from start()/restart() with untouched bookkeeping. The
+        loop then runs with the slim opaque carries, which are
+        bit-identical for fresh lanes (the translucency bookkeeping only
+        diverges after a resume): the in-loop adjacency/miss updates are
+        no-ops on zeroed state, and the judge below reads the same zeros.
+        This removes ~6 lane-word rewrites per substep from the one
+        full-width segment that dominates the judged frame."""
         from .traversal import _exp2_scale
 
         if seg_steps == 0:
@@ -2020,7 +2031,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
 
         prepared = eng.prep(descriptors)
         steps, state = eng.run_loop(prepared, consts, state, seg_steps,
-                                    _substeps)
+                                    _substeps, opaque=fresh)
         steps_total = steps_total + steps
 
         res = eng.finalize(prepared, consts, state, steps_total)
@@ -2079,7 +2090,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         return state, steps_total, acc, done
 
     round_jit = jax.jit(round_body, donate_argnums=(2, 4, 5),
-                        static_argnums=(8,))
+                        static_argnums=(8, 9))
 
     # -- wavefront compaction: shrink to the unfinished-ray bucket ----------
     # Restart-based: the ESVO walk is memoryless given (ray, t_min), so
@@ -2188,14 +2199,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             segs = list(plan)
             if sum(s for s, _ in plan) < max_steps:
                 segs.append((max_steps - sum(s for s, _ in plan), None))
+            fresh = True
             for seg, bucket in segs:
                 seg = min(seg, budget)
                 if seg <= 0 and budget <= 0:
                     break
                 state, steps_total, acc, done = round_body(
                     descriptors, consts, state, steps_total, acc, done,
-                    mips, mat_tex, seg,
+                    mips, mat_tex, seg, fresh,
                 )
+                if seg > 0:
+                    fresh = False
                 budget -= seg
                 counts.append(
                     jnp.sum(state.active | (state.hit & ~done)).astype(
@@ -2313,14 +2327,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 tmark(f"compact->{bucket}")
 
         budget = max_steps
+        fresh = True
         if plan is None:
             plan_rec = []
             for seg_i, steps in enumerate(schedule):
                 seg = min(steps, budget)
                 cur_state, steps_total, cur_acc, cur_done = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, cur_acc,
-                    cur_done, mips, mat_tex, seg,
+                    cur_done, mips, mat_tex, seg, fresh,
                 )
+                if seg > 0:
+                    fresh = False
                 if timing:
                     _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now}")
@@ -2375,8 +2392,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     break
                 cur_state, steps_total, cur_acc, cur_done = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, cur_acc,
-                    cur_done, mips, mat_tex, seg,
+                    cur_done, mips, mat_tex, seg, fresh,
                 )
+                if seg > 0:
+                    fresh = False
                 if timing:
                     _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now} (replay)")
@@ -2390,7 +2409,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 # the remaining budget (and one more alpha judgement)
                 cur_state, steps_total, cur_acc, cur_done = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, cur_acc,
-                    cur_done, mips, mat_tex, budget,
+                    cur_done, mips, mat_tex, budget, fresh,
                 )
                 seg_lens.append(budget)
                 counts_dev.append(unfinished_count(cur_state, cur_done))

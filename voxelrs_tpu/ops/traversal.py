@@ -548,6 +548,18 @@ class PushState(NamedTuple):
     need_fetch: jnp.ndarray  # (B,) bool: desc/child_ptr stale (pending push)
     stack_desc: jnp.ndarray
     stack_cptr: jnp.ndarray
+    # pending stack write (deferred-flush registers): pushes record their
+    # (slot, desc, child_ptr) here instead of rewriting the (H, B) stacks
+    # every substep; the fetch phase flushes once per iteration. POP reads
+    # consult the pending slot first, so reads-after-buffered-writes stay
+    # exact. A push that would need a SECOND distinct pending slot within
+    # one iteration (rare: one fetch-free descent + a later stalled push)
+    # simply spins until the next flush — no state change, no semantics
+    # change. This cuts the dominant substep bandwidth (2 full (H, B)
+    # rewrites per substep -> per iteration).
+    pend_slot: jnp.ndarray  # (B,) i32: stack slot of the buffered write (-1 = none)
+    pend_desc: jnp.ndarray  # (B,) u32
+    pend_cptr: jnp.ndarray  # (B,) u32
     # occupancy registers: words 0..3 of the block at ``c_owner`` (the 8 u16
     # descriptors of that node's children), loaded by the same fetch that
     # resolved child_ptr. While c_owner == child_ptr a push into a child
@@ -660,6 +672,9 @@ def _push_state_from(s: State, B: int, H: int, floor) -> PushState:
         need_fetch=jnp.ones(B, bool),  # first fetch loads the root registers
         stack_desc=jnp.zeros((H, B), u32),
         stack_cptr=jnp.zeros((H, B), u32),
+        pend_slot=jnp.full(B, -1, i32),
+        pend_desc=jnp.zeros(B, u32),
+        pend_cptr=jnp.zeros(B, u32),
         floor=floor,
         c0=jnp.zeros(B, u32), c1=jnp.zeros(B, u32),
         c2=jnp.zeros(B, u32), c3=jnp.zeros(B, u32),
@@ -703,12 +718,27 @@ def restart_state_push(c: RayConsts, t_floor, inside, adj_last, missed,
     return _push_state_from(s, B, stack_height, s.t_min)
 
 
+def flush_pending(s: PushState) -> PushState:
+    """Flush the buffered stack write into the (H, B) stacks: ONE one-hot
+    rewrite per stack per iteration (vs one per substep pre-buffering)."""
+    H = s.stack_desc.shape[0]
+    have = s.pend_slot >= 0
+    lv = jnp.arange(H, dtype=i32)[:, None] == s.pend_slot[None, :]
+    do_store = have[None, :] & lv
+    return s._replace(
+        stack_desc=jnp.where(do_store, s.pend_desc[None, :], s.stack_desc),
+        stack_cptr=jnp.where(do_store, s.pend_cptr[None, :], s.stack_cptr),
+        pend_slot=jnp.full_like(s.pend_slot, -1),
+    )
+
+
 def fetch_phase(fat_rows, s: PushState) -> PushState:
     """Serve pending pushes: load the pushed-into node's descriptor and its
     resolved child pointer (one wide gather; non-fetching lanes keep theirs),
     plus the node's own block header (its children's 8 descriptors) into the
     occupancy registers via a second gather — later pushes into all-leaf
     children then run fetch-free (see PushState.c0)."""
+    s = flush_pending(s)
     ptr = s.pp & PTR_MASK
     pidx = (s.pp >> PTR_BITS).astype(i32)
     raw_desc, raw_ptr = _fetch_words(fat_rows, ptr, [pidx // 2, 4 + pidx])
@@ -805,15 +835,21 @@ def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
     t_center_z = half_scale * c.tcz + tcoz
     tv_max = jnp.minimum(s.t_max, tc_max)
 
-    want_push = (
+    want_push_raw = (
         runnable & hit_branch & ~(is_leaf & (s.t_min > 0)) & (s.t_min <= tv_max)
     )
 
+    # buffered stack write: a push records (slot, desc, child_ptr) in the
+    # pending registers; the fetch phase flushes them. If the pending slot
+    # is occupied by a DIFFERENT slot (a second distinct-level push within
+    # one iteration), the push is deferred — the lane keeps its state
+    # unchanged this substep and retries after the next flush.
     slot = s.scale - stack_base
-    lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
-    do_store = want_push[None, :] & lv
-    stack_desc = jnp.where(do_store, s.desc[None, :], s.stack_desc)
-    stack_cptr = jnp.where(do_store, s.child_ptr[None, :], s.stack_cptr)
+    pend_ok = (s.pend_slot < 0) | (s.pend_slot == slot)
+    want_push = want_push_raw & pend_ok
+    pend_slot = jnp.where(want_push, slot, s.pend_slot)
+    pend_desc = jnp.where(want_push, s.desc, s.pend_desc)
+    pend_cptr = jnp.where(want_push, s.child_ptr, s.pend_cptr)
 
     push_pp = (s.child_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
     push_scale = s.scale - 1
@@ -848,7 +884,8 @@ def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
     push_posz = s.posz + jnp.where(pin_z, half_scale, 0.0)
 
     # ---- ADVANCE -----------------------------------------------------------
-    advance = runnable & ~want_push
+    # (deferred pushes neither advance nor pop: they spin in place)
+    advance = runnable & ~want_push_raw
 
     step_x = tc_max >= tcox
     step_y = tc_max >= tcoy
@@ -876,9 +913,17 @@ def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
     iota_h = jnp.arange(H, dtype=i32)[:, None]
     pop_lv = iota_h == pop_slot[None, :]
     pop_lv1 = iota_h == (pop_slot + 1)[None, :]
-    pop_desc = jnp.where(pop_lv, stack_desc, 0).sum(axis=0).astype(u32)
-    pop_cptr = jnp.where(pop_lv, stack_cptr, 0).sum(axis=0).astype(u32)
-    par_cptr = jnp.where(pop_lv1, stack_cptr, 0).sum(axis=0).astype(u32)
+    pop_desc = jnp.where(pop_lv, s.stack_desc, 0).sum(axis=0).astype(u32)
+    pop_cptr = jnp.where(pop_lv, s.stack_cptr, 0).sum(axis=0).astype(u32)
+    par_cptr = jnp.where(pop_lv1, s.stack_cptr, 0).sum(axis=0).astype(u32)
+    # reads-after-buffered-writes: the pending slot shadows the stack (a
+    # popping lane never pushes in the same substep, so its pending entry
+    # is from an earlier substep of this iteration)
+    pop_hit = s.pend_slot == pop_slot
+    pop_hit1 = s.pend_slot == pop_slot + 1
+    pop_desc = jnp.where(pop_hit, s.pend_desc, pop_desc)
+    pop_cptr = jnp.where(pop_hit, s.pend_cptr, pop_cptr)
+    par_cptr = jnp.where(pop_hit1, s.pend_cptr, par_cptr)
 
     sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
     shx = f32_bits(adv_posx) >> sc
@@ -941,8 +986,11 @@ def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
                        jnp.where(fetch_free, desc_c, s.desc)),
         child_ptr=jnp.where(do_pop, pop_cptr, s.child_ptr),
         need_fetch=s.need_fetch | (want_push & ~fetch_free),
-        stack_desc=stack_desc,
-        stack_cptr=stack_cptr,
+        stack_desc=s.stack_desc,
+        stack_cptr=s.stack_cptr,
+        pend_slot=pend_slot,
+        pend_desc=pend_desc,
+        pend_cptr=pend_cptr,
         floor=s.floor,
         c0=s.c0, c1=s.c1, c2=s.c2, c3=s.c3, c_owner=s.c_owner,
     )

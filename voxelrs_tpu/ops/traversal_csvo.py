@@ -612,6 +612,16 @@ class CsvoPushState(NamedTuple):
     win: jnp.ndarray        # (12, B) u32: words [win_base, win_base+12)
     win_base: jnp.ndarray   # (B,) i32 word index of win[0]
     stack_hdr: jnp.ndarray  # (H, B) u32
+    # pending stack write (deferred flush, see traversal.PushState): pushes
+    # buffer (slot, pp, t_max, hdr) here; fetch_phase_csvo flushes once per
+    # iteration instead of three (H, B) rewrites per substep. POP reads
+    # consult the pending slot. A push that wants to STORE while the
+    # pending register holds a different slot rides the existing ``defer``
+    # path (refetch + retry after the flush — value-identical refetch).
+    pend_slot: jnp.ndarray  # (B,) i32, -1 = empty
+    pend_pp: jnp.ndarray    # (B,) u32
+    pend_tmax: jnp.ndarray  # (B,) f32
+    pend_hdr: jnp.ndarray   # (B,) u32
 
 
 WIN_WORDS = 12      # 48-byte node window: covers header16 + the widest
@@ -720,6 +730,10 @@ def _fresh_regs(B, H):
         # (b = ptr - win_base*4 stays ≥ 0 and > 48 for any u28 ptr)
         win_base=jnp.full(B, -(1 << 28), i32),
         stack_hdr=jnp.zeros((H, B), u32),
+        pend_slot=jnp.full(B, -1, i32),
+        pend_pp=jnp.zeros(B, u32),
+        pend_tmax=jnp.zeros(B, jnp.float32),
+        pend_hdr=jnp.zeros(B, u32),
     )
 
 
@@ -784,6 +798,18 @@ def fetch_phase_csvo(table, s: CsvoPushState) -> CsvoPushState:
     loads the 48-byte window (and its header) for every lane whose window
     is stale; other lanes keep their registers."""
     u32, i32 = jnp.uint32, jnp.int32
+    # flush the buffered stack write (one one-hot rewrite per stack per
+    # iteration)
+    H = s.stack_pp.shape[0]
+    have = s.pend_slot >= 0
+    lv = jnp.arange(H, dtype=i32)[:, None] == s.pend_slot[None, :]
+    do_store = have[None, :] & lv
+    s = s._replace(
+        stack_pp=jnp.where(do_store, s.pend_pp[None, :], s.stack_pp),
+        stack_tmax=jnp.where(do_store, s.pend_tmax[None, :], s.stack_tmax),
+        stack_hdr=jnp.where(do_store, s.pend_hdr[None, :], s.stack_hdr),
+        pend_slot=jnp.full_like(s.pend_slot, -1),
+    )
     ptr = s.pp & PTR_MASK
     w0 = (ptr >> 2).astype(i32)
     k = w0 >> 3
@@ -899,8 +925,15 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         _covered(ptr + 2 + off_internal, 4),
         jnp.where(depth == 3, _covered(ptr + 1, 8), True),
     )
-    can_push = want_push & dec_ok
-    defer = want_push & ~dec_ok  # refetch this node's window, retry
+    # a push that wants to STORE needs the pending register free (or
+    # holding the same slot); otherwise it defers exactly like a window
+    # eviction — the refetch is value-identical and the flush frees pend
+    slot = s.scale - stack_base
+    store_wanted = tc_max < s.h
+    pend_ok = (s.pend_slot < 0) | (s.pend_slot == slot)
+    push_ok = dec_ok & (pend_ok | ~store_wanted)
+    can_push = want_push & push_ok
+    defer = want_push & ~push_ok  # refetch this node's window, retry
 
     raw = _win_u32(s.win, s.win_base, ptr + 2 + off_internal)
     width_mask = jnp.where(
@@ -928,12 +961,11 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
     child_cov = _covered(next_ptr, 2) & ~crossed
     hdr_child = _win_u32(s.win, s.win_base, next_ptr) & jnp.uint32(0xFFFF)
 
-    slot = s.scale - stack_base
-    lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
-    do_store = (can_push & (tc_max < s.h))[None, :] & lv
-    stack_pp = jnp.where(do_store, s.pp[None, :], s.stack_pp)
-    stack_tmax = jnp.where(do_store, s.t_max[None, :], s.stack_tmax)
-    stack_hdr = jnp.where(do_store, s.hdr[None, :], s.stack_hdr)
+    store = can_push & store_wanted
+    pend_slot = jnp.where(store, slot, s.pend_slot)
+    pend_pp = jnp.where(store, s.pp, s.pend_pp)
+    pend_tmax = jnp.where(store, s.t_max, s.pend_tmax)
+    pend_hdr = jnp.where(store, s.hdr, s.pend_hdr)
     h_new = jnp.where(can_push, tc_max, s.h)
 
     # crossed pushes park at the blob header (depth bits unused until the
@@ -978,9 +1010,14 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
 
     pop_slot = jnp.clip(pop_scale - stack_base, 0, H - 1)
     pop_lv = jnp.arange(H, dtype=i32)[:, None] == pop_slot[None, :]
-    pop_pp = jnp.where(pop_lv, stack_pp, 0).sum(axis=0).astype(u32)
-    pop_t_max = jnp.where(pop_lv, stack_tmax, 0.0).sum(axis=0)
-    pop_hdr = jnp.where(pop_lv, stack_hdr, 0).sum(axis=0).astype(u32)
+    pop_pp = jnp.where(pop_lv, s.stack_pp, 0).sum(axis=0).astype(u32)
+    pop_t_max = jnp.where(pop_lv, s.stack_tmax, 0.0).sum(axis=0)
+    pop_hdr = jnp.where(pop_lv, s.stack_hdr, 0).sum(axis=0).astype(u32)
+    # reads-after-buffered-writes: the pending slot shadows the stack
+    pop_hit = s.pend_slot == pop_slot
+    pop_pp = jnp.where(pop_hit, s.pend_pp, pop_pp)
+    pop_t_max = jnp.where(pop_hit, s.pend_tmax, pop_t_max)
+    pop_hdr = jnp.where(pop_hit, s.pend_hdr, pop_hdr)
 
     sc = jnp.clip(pop_scale, 0, MAX_SCALE).astype(u32)
     shx = f32_bits(adv_posx) >> sc
@@ -1016,8 +1053,8 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         adj_last=adj_last,
         missed=missed,
         suppress=suppress,
-        stack_pp=stack_pp,
-        stack_tmax=stack_tmax,
+        stack_pp=s.stack_pp,
+        stack_tmax=s.stack_tmax,
         mat_ptr=jnp.where(resolve, ptr + 5, s.mat_ptr),
         pre_leaf=pre_leaf,
         floor=s.floor,
@@ -1027,7 +1064,11 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         crossing=(s.crossing & ~resolve) | (can_push & crossed),
         win=s.win,
         win_base=s.win_base,
-        stack_hdr=stack_hdr,
+        stack_hdr=s.stack_hdr,
+        pend_slot=pend_slot,
+        pend_pp=pend_pp,
+        pend_tmax=pend_tmax,
+        pend_hdr=pend_hdr,
     )
 
 
