@@ -44,8 +44,27 @@ CONFIGS_R4 = [
 ]
 
 
+# Round-5 matrix: re-validate the headline on the MC scene (VERDICT r4
+# item 2 — the three headline-path commits that landed after the last A/B
+# get individual hardware rows via their gates) + hierarchy3 on MC
+# (item 5). docs/ab_r5.json.
+CONFIGS_R5 = [
+    ("mc_default", {}),
+    ("mc_hole_fill_off", {"VOXELRS_HOLE_FILL": "0"}),
+    ("mc_defer_flush_off", {"VOXELRS_DEFER_FLUSH": "0"}),
+    ("mc_fresh_off", {"VOXELRS_FRESH_OPAQUE": "0"}),
+    ("mc_hierarchy3", {"VOXELRS_HIERARCHY": "2"}),
+]
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--r5" in sys.argv:
+        out_path = os.path.join(ROOT, "docs", "ab_r5.json")
+        os.environ["VOXELRS_BENCH_SCENE"] = "mc"
+        os.environ["VOXELRS_BENCH_BATCH"] = "0"
+        _run(CONFIGS_R5, out_path)
+        return
     if "--r4" in sys.argv:
         configs = CONFIGS_R4
         out_path = os.path.join(ROOT, "docs", "ab_r4.json")

@@ -592,3 +592,134 @@ def test_fused_frame_judged_matches(monkeypatch):
     fused = np.asarray(svo.render(p, W, H, max_steps=300))
     assert len(shading._FUSED_FRAME_CACHE) > cache0, "fused path did not run"
     np.testing.assert_allclose(fused, ref, rtol=0, atol=2.5e-7)
+
+
+def test_async_compile_fallback_matches_settled(scene, monkeypatch):
+    """VOXELRS_ASYNC_COMPILE=1 (the production/streaming setting): while
+    the fused whole-frame executable is still building on the background
+    worker, frames must fall back to the multi-program replay — and that
+    fallback frame must match the settled fused frame (1 ULP: fusing
+    across former program boundaries lets XLA re-pick fma points, same
+    budget as test_fused_frame_matches_multiprogram). Once the background
+    compile finishes, the fused path must engage. (VERDICT r4 item 7 —
+    the conftest-wide ASYNC_COMPILE=0 pin gets this one exception.)"""
+    import time
+
+    from voxelrs_tpu.ops import shading
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_HIERARCHY", "0")
+    monkeypatch.setenv("VOXELRS_FUSED_REPLAY", "1")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "1")
+    monkeypatch.setenv("VOXELRS_ASYNC_COMPILE", "0")
+    # record plans + warm the multi-program replay path synchronously
+    for _ in range(2):
+        _ = np.asarray(scene.render(p, W, H, max_steps=300))
+
+    class GatedCompiler(shading._AsyncCompiled):
+        """Background compiler whose compiles are withheld until released —
+        deterministically models 'the executable is still compiling'."""
+
+        def __init__(self):
+            super().__init__()
+            self.released = False
+            self.submissions = []
+
+        def get_or_submit(self, key, jfn, args, payload=None):
+            if not self.released:
+                if key not in {s[0] for s in self.submissions}:
+                    self.submissions.append((key, jfn, args, payload))
+                return None  # still compiling: the frame must fall back
+            return super().get_or_submit(key, jfn, args, payload)
+
+    gated = GatedCompiler()
+    monkeypatch.setattr(shading, "_ASYNC_COMPILED", gated)
+    monkeypatch.setenv("VOXELRS_ASYNC_COMPILE", "1")
+    shading._FUSED_FRAME_CACHE.clear()
+
+    # frame under a still-compiling executable: multi-program fallback
+    fallback = np.asarray(scene.render(p, W, H, max_steps=300))
+    assert gated.submissions, "async path submitted no background compile"
+    assert len(shading._FUSED_FRAME_CACHE) == 0, "fused engaged too early"
+
+    # release the worker; replay the captured submissions for real and
+    # wait for the compiles to land
+    gated.released = True
+    for key, jfn, args, payload in gated.submissions:
+        gated.get_or_submit(key, jfn, args, payload)
+    deadline = time.time() + 120
+    settled = fallback
+    while time.time() < deadline:
+        settled = np.asarray(scene.render(p, W, H, max_steps=300))
+        if len(shading._FUSED_FRAME_CACHE) > 0:
+            break
+        time.sleep(0.1)
+    assert len(shading._FUSED_FRAME_CACHE) > 0, \
+        "fused path never engaged after the background compile finished"
+    np.testing.assert_allclose(settled, fallback, rtol=0, atol=2.5e-7)
+    # and the settled fused frame is stable
+    again = np.asarray(scene.render(p, W, H, max_steps=300))
+    np.testing.assert_array_equal(again, settled)
+
+
+def test_fresh_opaque_first_segment_parity(monkeypatch):
+    """The judged pipeline's first nonzero segment runs with the slim
+    opaque carries (``fresh=True`` — sound because adj_count is only
+    incremented at judge time, never in-loop, so fresh lanes' translucency
+    bookkeeping is all zeros either way). VOXELRS_FRESH_OPAQUE=0 forces
+    the full-carry loop; the rendered frame must be BIT-identical on a
+    translucent world (ADVICE r4: this pins the judge-time-only
+    adj_count invariant — in-loop adjacency counting would break it)."""
+    from voxelrs_tpu.gamelogic.content import GLASS, OAK_LEAVES, WATER
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    vox[2:10, 9:11, 4:12] = WATER
+    vox[20:27, 12:18, 4:11] = OAK_LEAVES
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True,
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+    monkeypatch.setenv("VOXELRS_FRESH_OPAQUE", "1")
+    on = np.asarray(svo.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_FRESH_OPAQUE", "0")
+    off = np.asarray(svo.render(p, W, H, max_steps=300))
+    np.testing.assert_array_equal(on, off)
+
+
+def test_defer_flush_parity(monkeypatch):
+    """VOXELRS_DEFER_FLUSH=0 (immediate per-substep stack writes) must
+    render bit-identically to the default buffered pending-write engine."""
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "0")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :10, :] = STONE
+    vox[:, 10, :] = GRASS
+    vox[6:12, 11:18, 6:12] = STONE
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True,
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+
+    monkeypatch.setenv("VOXELRS_DEFER_FLUSH", "1")
+    on = np.asarray(svo.render(p, W, H, max_steps=300))
+    monkeypatch.setenv("VOXELRS_DEFER_FLUSH", "0")
+    off = np.asarray(svo.render(p, W, H, max_steps=300))
+    np.testing.assert_array_equal(on, off)

@@ -413,6 +413,15 @@ def _hole_fill_on() -> bool:
     return os.environ.get("VOXELRS_HOLE_FILL", "1") != "0"
 
 
+def _fresh_on() -> bool:
+    """First-segment slim-carry (opaque) fast path for fresh judged lanes
+    (VOXELRS_FRESH_OPAQUE=0 disables — A/B knob for the round-4 snapshot
+    change)."""
+    import os
+
+    return os.environ.get("VOXELRS_FRESH_OPAQUE", "1") != "0"
+
+
 def _margin_bucket(count: int) -> int:
     return max(_bucket_size(count + count // 2 + 256), 8192)
 
@@ -2199,7 +2208,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             segs = list(plan)
             if sum(s for s, _ in plan) < max_steps:
                 segs.append((max_steps - sum(s for s, _ in plan), None))
-            fresh = True
+            fresh = _fresh_on()
             for seg, bucket in segs:
                 seg = min(seg, budget)
                 if seg <= 0 and budget <= 0:
@@ -2327,7 +2336,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 tmark(f"compact->{bucket}")
 
         budget = max_steps
-        fresh = True
+        fresh = _fresh_on()
         if plan is None:
             plan_rec = []
             for seg_i, steps in enumerate(schedule):

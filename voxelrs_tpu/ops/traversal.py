@@ -502,6 +502,15 @@ def _occ_on() -> bool:
     return os.environ.get("VOXELRS_OCC", "0") == "1"
 
 
+def _defer_on() -> bool:
+    """Deferred stack-flush (buffered pending stack write, flushed once per
+    fetch phase). VOXELRS_DEFER_FLUSH=0 restores the per-substep immediate
+    one-hot stack write (A/B knob for the round-4 snapshot change)."""
+    import os
+
+    return os.environ.get("VOXELRS_DEFER_FLUSH", "1") != "0"
+
+
 class PushState(NamedTuple):
     """State plus cached node registers for the push-driven engine.
 
@@ -845,11 +854,22 @@ def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
     # one iteration), the push is deferred — the lane keeps its state
     # unchanged this substep and retries after the next flush.
     slot = s.scale - stack_base
-    pend_ok = (s.pend_slot < 0) | (s.pend_slot == slot)
-    want_push = want_push_raw & pend_ok
-    pend_slot = jnp.where(want_push, slot, s.pend_slot)
-    pend_desc = jnp.where(want_push, s.desc, s.pend_desc)
-    pend_cptr = jnp.where(want_push, s.child_ptr, s.pend_cptr)
+    if _defer_on():
+        pend_ok = (s.pend_slot < 0) | (s.pend_slot == slot)
+        want_push = want_push_raw & pend_ok
+        pend_slot = jnp.where(want_push, slot, s.pend_slot)
+        pend_desc = jnp.where(want_push, s.desc, s.pend_desc)
+        pend_cptr = jnp.where(want_push, s.child_ptr, s.pend_cptr)
+        stack_desc = s.stack_desc
+        stack_cptr = s.stack_cptr
+    else:
+        # immediate per-substep one-hot stack write (pre-buffering variant)
+        want_push = want_push_raw
+        lv = jnp.arange(H, dtype=i32)[:, None] == slot[None, :]
+        do_store = want_push[None, :] & lv
+        stack_desc = jnp.where(do_store, s.desc[None, :], s.stack_desc)
+        stack_cptr = jnp.where(do_store, s.child_ptr[None, :], s.stack_cptr)
+        pend_slot, pend_desc, pend_cptr = s.pend_slot, s.pend_desc, s.pend_cptr
 
     push_pp = (s.child_ptr & PTR_MASK) | (octant_idx << PTR_BITS)
     push_scale = s.scale - 1
@@ -986,8 +1006,8 @@ def substep(c: RayConsts, s: PushState, opaque: bool = False) -> PushState:
                        jnp.where(fetch_free, desc_c, s.desc)),
         child_ptr=jnp.where(do_pop, pop_cptr, s.child_ptr),
         need_fetch=s.need_fetch | (want_push & ~fetch_free),
-        stack_desc=s.stack_desc,
-        stack_cptr=s.stack_cptr,
+        stack_desc=stack_desc,
+        stack_cptr=stack_cptr,
         pend_slot=pend_slot,
         pend_desc=pend_desc,
         pend_cptr=pend_cptr,

@@ -926,14 +926,17 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         jnp.where(depth == 3, _covered(ptr + 1, 8), True),
     )
     # a push that wants to STORE needs the pending register free (or
-    # holding the same slot); otherwise it defers exactly like a window
-    # eviction — the refetch is value-identical and the flush frees pend
+    # holding the same slot); otherwise it defers. Only decode-coverage
+    # defers (~dec_ok) refetch the window; a pend-busy-only defer keeps
+    # its VALID window and just spins until the next fetch phase flushes
+    # the pending register (mirrors the ESVO engine's spin — no redundant
+    # value-identical row gather for the lane).
     slot = s.scale - stack_base
     store_wanted = tc_max < s.h
     pend_ok = (s.pend_slot < 0) | (s.pend_slot == slot)
     push_ok = dec_ok & (pend_ok | ~store_wanted)
     can_push = want_push & push_ok
-    defer = want_push & ~push_ok  # refetch this node's window, retry
+    defer_refetch = want_push & ~dec_ok  # window lacks the decode bytes
 
     raw = _win_u32(s.win, s.win_base, ptr + 2 + off_internal)
     width_mask = jnp.where(
@@ -1060,7 +1063,8 @@ def substep_csvo(c: RayConsts, s: CsvoPushState) -> CsvoPushState:
         floor=s.floor,
         hdr=jnp.where(do_pop, pop_hdr,
                       jnp.where(can_push & child_cov, hdr_child, s.hdr)),
-        need_fetch=s.need_fetch | (can_push & ~child_cov) | defer | resolve,
+        need_fetch=s.need_fetch | (can_push & ~child_cov) | defer_refetch
+        | resolve,
         crossing=(s.crossing & ~resolve) | (can_push & crossed),
         win=s.win,
         win_base=s.win_base,
