@@ -560,6 +560,20 @@ class _StageCut(Exception):
     fused frame trace after a named stage (see _render_frame_opaque)."""
 
 
+def _anchor_all(ref):
+    """Profiling anchor over EVERY array leaf of a mark's ref pytree.
+
+    Carry-forcing (VERDICT r4 item 8): anchoring only one output (e.g.
+    the t chain) lets XLA dead-code-eliminate the other loop carries
+    (value/face/pos/uv/scale/plane) from every trace before the cut, so
+    adjacent stage deltas mis-attribute the dropped carries to whichever
+    later stage first forces them. Summing all leaves pins the full
+    carry set at each cut point."""
+    leaves = [l for l in jax.tree_util.tree_leaves(ref)
+              if hasattr(l, "dtype")]
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
 class _SnapshotPlanner:
     """Read-only plan view used while TRACING a fused whole-frame program.
 
@@ -2937,7 +2951,7 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
                     *args[:15], beams=args[15], planner=planner,
                     mark=cut_mark, **kwargs)
             except _StageCut:
-                anchor = jnp.sum(box[0].astype(jnp.float32))
+                anchor = _anchor_all(box[0])
                 img = jnp.zeros((height, width, 4), jnp.float32) + anchor
             return img, tuple(planner.arrays)
 
@@ -3013,7 +3027,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
             descriptors, octree_scale, ro_q, rd_q, jnp.float32(-1.0), mips,
             mat_tex, tag="coarse4j", t_floor=_flg(qpix), planner=tr_planner,
         )
-        mark("coarse4j", res_q.t)
+        mark("coarse4j", (res_q, scale_q, plane_q, passed_q))
         (resc, hit_c, inside_c, scale_c, plane_c, passed_c, refq_mask,
          refq_count) = adaptive_merge_jq(
             (res_q.t, res_q.value, res_q.face_id, res_q.pos, res_q.uv,
@@ -3035,7 +3049,8 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         )
         res_c_tuple = resc
         inside_c_arr = inside_c
-        mark("coarse", res_c_tuple[0])
+        mark("coarse", (res_c_tuple, inside_c_arr, scale_c, plane_c,
+                        passed_c))
     else:
         cpidx, ro_c, rd_c = coarse_rays_j(ray_args)
         res_c, scale_c, plane_c, passed_c = trace(
@@ -3045,14 +3060,16 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         res_c_tuple = (res_c.t, res_c.value, res_c.face_id, res_c.pos,
                        res_c.uv, res_c.lod)
         inside_c_arr = res_c.inside_voxel
-        mark("coarse", res_c.t)
+        mark("coarse", (res_c_tuple, inside_c_arr, scale_c, plane_c,
+                        passed_c))
 
     (resf, hit, inside_full, _scf, _plf, _psf, refine_mask,
      refine_count) = adaptive_merge_j(
         res_c_tuple, scale_c, plane_c, passed_c, inside_c_arr,
         octree_scale, ray_args, mips, mat_tex, _hole_fill_on(),
     )
-    mark("adaptive-merge", hit)
+    mark("adaptive-merge", (resf, hit, inside_full, refine_mask,
+                            refine_count))
 
     k_r = planner.sticky_scalar("refine_k", refine_count, B)
     idx_r = refine_order_j(refine_mask, k_r)
@@ -3068,7 +3085,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         (res_r.t, res_r.value, res_r.face_id, res_r.pos, res_r.uv,
          res_r.lod), res_r.inside_voxel,
     )
-    mark("refine", hit)
+    mark("refine", (resf, hit, inside_full))
 
     t_f, value_f, face_f, pos_f, uv_f, lod_f = resf
     k = planner.sticky_scalar("hits_k", hit_count(t_f), B)
@@ -3081,7 +3098,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         idx = hit_order(t_f, k)
         res_k = gather_lanes(idx, *resf)
         ro_k, rd_k = pix_rays_j(idx, ray_args)
-    mark("compact-hits", res_k[0])
+    mark("compact-hits", (res_k, ro_k, rd_k))
 
     def _shade_at(sl):
         return shade(
@@ -3102,7 +3119,8 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
     else:
         (color_k, diffuse_k, specular_k, _hk, need_shadow_k, shadow_ro_k,
          shadow_rd_k, shadow_max_k) = _shade_at(slice(0, k))
-    mark("shade", color_k)
+    mark("shade", (color_k, diffuse_k, specular_k, need_shadow_k,
+                   shadow_ro_k, shadow_rd_k, shadow_max_k))
 
     if render_shadows:
         # sun-map certificate elision on the CANDIDATE BUCKET (see the
@@ -3248,7 +3266,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                     *args[:15], beams=args[15], planner=planner,
                     mark=cut_mark, **kwargs)
             except _StageCut:
-                anchor = jnp.sum(box[0].astype(jnp.float32))
+                anchor = _anchor_all(box[0])
                 img = jnp.zeros((height, width, 4), jnp.float32) + anchor
             return img, tuple(planner.arrays)
 
