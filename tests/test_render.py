@@ -304,7 +304,8 @@ def test_leaf_canopy_hole_fill(monkeypatch):
     knife-edge texel-flip class (the binary alpha mask amplifies sub-ULP
     uv rounding into full-color flips at texel boundaries — measured
     ~2% of pixels, same class the glass test documents); the frame must
-    stay within that budget (VOXELRS_HOLE_FILL=1, the default)."""
+    stay within that budget (VOXELRS_HOLE_FILL=1; default off by
+    measurement — docs/ab_r5.json mc_hole_fill_off)."""
     from voxelrs_tpu.gamelogic.content import OAK_LEAVES
 
     vox = np.zeros((32, 32, 32), np.uint32)

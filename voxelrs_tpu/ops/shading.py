@@ -407,10 +407,16 @@ def _compact_on() -> bool:
 
 def _hole_fill_on() -> bool:
     """Per-pixel texel-judged fill of holed (alpha-0-texel) surfaces in
-    the judged adaptive merge (VOXELRS_HOLE_FILL=0 disables)."""
+    the judged adaptive merge (VOXELRS_HOLE_FILL=1 enables).
+
+    Default OFF by hardware measurement (docs/ab_r5.json): on the MC
+    scene the fill's full-width alpha gather per merge level costs
+    ~24 ms/frame (13.68 -> 14.85 Mrays/s without it) while buying almost
+    no refine reduction — canopy cells rarely pass the coplanar
+    same-surface guard, so the judged re-trace ran anyway."""
     import os
 
-    return os.environ.get("VOXELRS_HOLE_FILL", "1") != "0"
+    return os.environ.get("VOXELRS_HOLE_FILL", "0") == "1"
 
 
 def _fresh_on() -> bool:
