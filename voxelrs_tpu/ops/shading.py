@@ -421,11 +421,16 @@ def _hole_fill_on() -> bool:
 
 def _fresh_on() -> bool:
     """First-segment slim-carry (opaque) fast path for fresh judged lanes
-    (VOXELRS_FRESH_OPAQUE=0 disables — A/B knob for the round-4 snapshot
-    change)."""
+    (VOXELRS_FRESH_OPAQUE=1 enables).
+
+    Default OFF by hardware measurement (docs/ab_r5.json): on the MC
+    scene the fork measured as a small loss (piped 279.3 ms with vs
+    275.1 without, within the ±5 ms noise band but never a win) while
+    doubling the compiled round-body variants. Bit-identical either way
+    (tests/test_render.py::test_fresh_opaque_first_segment_parity)."""
     import os
 
-    return os.environ.get("VOXELRS_FRESH_OPAQUE", "1") != "0"
+    return os.environ.get("VOXELRS_FRESH_OPAQUE", "0") == "1"
 
 
 def _margin_bucket(count: int) -> int:
