@@ -69,27 +69,49 @@ def face_texture_layer(mat_tex, value, face_id, normal: bool):
 def make_alpha_fn(mips, mat_tex, exact: bool = False):
     """In-traversal texel alpha sampler for translucent pass-through.
 
-    The default fast path reads level 0 with NEAREST — identical to GL
-    semantics for lod <= 0 (all hits closer than 15 blocks, where the
-    custom lod curve is zero) and only differing on far translucent edges;
-    it keeps the traversal loop body small. ``exact=True`` uses the full
-    trilinear sampler."""
+    The reference judges ``textureLod(textures, vec3(uv, tex), tex_lod).a``
+    (reference: svo.esvo.glsl:235-241) — at distance the custom lod curve
+    rises and the MIP alpha is a box average, so a leaf canopy's alpha-0
+    holes blend away and the first leaf hit accepts. The default fast
+    path here is the alpha half of the renderer's LINEAR_MIPMAP_NEAREST
+    deviation: NEAREST texel at the NEAREST mip level — ONE element
+    gather from a flat all-levels alpha atlas, level metadata via
+    ``small_lookup``. Identical to GL for lod <= 0.5 and matching GL's
+    hole-free behavior at distance (level-0-only judging kept far-canopy
+    holes alive at any distance, driving resume cascades — the dominant
+    judged-trace cost on the MC scene, docs/PERF.md round-5).
+    ``exact=True`` uses the full trilinear sampler (footprint gathers)."""
     if exact:
         def alpha_fn(value, face_id, uv, lod):
             layer = face_texture_layer(mat_tex, value, face_id, normal=False)
-            return sample_texture_lod(mips, layer, uv, lod)[:, 3]
+            return sample_texture_lod(mips, layer, uv, lod, footprint=True
+                                      )[:, 3]
 
         return alpha_fn
 
-    level0 = mips[0]
-    T, h, w = level0.shape[0], level0.shape[1], level0.shape[2]
-    alpha0 = level0[..., 3]
+    n_levels = len(mips)
+    T = mips[0].shape[0]
+    flats, meta_rows = [], []
+    off = 0
+    for m in mips:
+        h, w = m.shape[1], m.shape[2]
+        flats.append(m[..., 3].reshape(-1))
+        meta_rows.append((h, w, off))
+        off += T * h * w
+    alpha_flat = jnp.concatenate(flats)
+    meta = jnp.asarray(meta_rows, jnp.int32)  # (L, 3): h, w, offset
 
     def alpha_fn(value, face_id, uv, lod):
-        layer = jnp.clip(face_texture_layer(mat_tex, value, face_id, False), 0, T - 1)
+        layer = jnp.clip(face_texture_layer(mat_tex, value, face_id, False),
+                         0, T - 1)
+        # same level rounding as sample_texture_lod(mip_mode="nearest")
+        dl = jnp.round(jnp.clip(lod, 0.0, float(n_levels - 1))
+                       ).astype(jnp.int32)
+        row = small_lookup(meta, dl)
+        h, w, off_l = row[:, 0], row[:, 1], row[:, 2]
         x = jnp.clip(jnp.floor(uv[:, 0] * w).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(jnp.floor(uv[:, 1] * h).astype(jnp.int32), 0, h - 1)
-        return alpha0[layer, y, x]
+        return alpha_flat[off_l + layer * h * w + y * w + x]
 
     return alpha_fn
 
@@ -2597,13 +2619,20 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             no_pass = ~(p00 | p01 | p10 | p11)
             T = mips[0].shape[0]
             V = mat_tex.shape[0]
-            layer_has_hole = (mips[0][..., 3] <= 0.0).any(axis=(1, 2))
-            block_has_hole = layer_has_hole[
+            # per-LEVEL hole table (mip-aware, matching the judge's
+            # NEAREST-mip alpha): a cell fills when the level its pixels'
+            # tex_lod rounds to has no alpha-0 texel for the surface's
+            # face textures — the traced judge at that lod would accept
+            # every texel. Distant canopy (lod >= 1, box-averaged alpha)
+            # becomes fillable through this tiny (V, L) table instead of
+            # the retired full-width per-pixel alpha gather.
+            n_lv = len(mips)
+            layer_hole_L = jnp.stack(
+                [(m[..., 3] <= 0.0).any(axis=(1, 2)) for m in mips], axis=1)
+            block_hole_L = layer_hole_L[
                 jnp.clip(mat_tex[:, 0:3], 0, T - 1)
-            ].any(axis=1)
+            ].any(axis=1)  # (V, L)
             vid = value00.astype(jnp.int32)
-            value_opaque = (vid < V) & ~block_has_hole[
-                jnp.clip(vid, 0, V - 1)]
 
             is_sample, ylast, xlast = _sample_masks()
             lane = hi_ids_fn()
@@ -2667,6 +2696,16 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
             face_g, ux, uy, dst, tex_lod, (upx, upy, upz) = _hit_geometry(
                 c, 0, scale00, posx, posy, posz, t_int
             )
+
+            # mip-aware fill validity (same level rounding as the judge)
+            dl_cell = jnp.round(jnp.clip(tex_lod, 0.0, float(n_lv - 1))
+                                ).astype(jnp.int32)
+            hole_rows = small_lookup(block_hole_L.astype(jnp.int32), vid)
+            hole_at = jnp.sum(
+                jnp.where(dl_cell[:, None]
+                          == jnp.arange(n_lv, dtype=jnp.int32)[None, :],
+                          hole_rows, 0), axis=1)
+            value_opaque = (vid < V) & (hole_at == 0)
 
             # HOLED surfaces (textures with alpha-0 texels, e.g. leaves):
             # judge the pixel's OWN texel on the shared plane with the
