@@ -724,3 +724,99 @@ def test_defer_flush_parity(monkeypatch):
     monkeypatch.setenv("VOXELRS_DEFER_FLUSH", "0")
     off = np.asarray(svo.render(p, W, H, max_steps=300))
     np.testing.assert_array_equal(on, off)
+
+
+def test_cold_shape_guard_recording_matches(monkeypatch):
+    """Streaming p99 guard: with VOXELRS_ASYNC_COMPILE=1 and a warmed
+    pipeline, a stale-plan re-record must produce a BIT-identical frame
+    while refusing cold compaction shapes (it traces wider + warms them
+    in the background instead of compiling on the frame thread)."""
+    from voxelrs_tpu.gamelogic.content import GLASS
+    from voxelrs_tpu.ops import shading
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True,
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+    monkeypatch.setenv("VOXELRS_ASYNC_COMPILE", "0")
+    for _ in range(2):
+        ref = np.asarray(svo.render(p, W, H, max_steps=300))
+
+    # warmed pipeline, then all plans go stale at once
+    monkeypatch.setenv("VOXELRS_ASYNC_COMPILE", "1")
+    stores = [v[9] for k, v in shading._pipeline_cache.items()
+              if isinstance(k[0], int) and len(v) > 20]
+    assert stores, "judged pipeline not cached"
+    for s in stores:
+        s._epoch = 32  # past bootstrap: the guard must engage
+        with s.lock:
+            s.plans.clear()
+    again = np.asarray(svo.render(p, W, H, max_steps=300))
+    # With a cold in-process compiler this is BIT-identical (verified
+    # standalone). Under the persistent compile cache the re-record can
+    # load AOT programs compiled with different machine features whose
+    # fma choices shift rays ~1 ULP and flip a few silhouette pixels —
+    # same caveat as test_render_batch_matches_single. Assert the
+    # golden budget + near-total exactness, which still catches every
+    # guard logic bug (dropped lanes, wrong widths, skipped segments).
+    d = np.abs(again - ref)
+    assert diff_images(again, ref) < 1e-3
+    assert float((d.max(axis=-1) <= 2.5e-7).mean()) > 0.95
+
+
+def test_rebuilt_plan_keeps_judges(monkeypatch):
+    """Round-5 regression: _PlanStore.resolve()'s rebuild used to merge
+    compaction-free segments on the judged pipeline (merge_none_below),
+    REMOVING alpha-judge opportunities — rays needing several
+    accept/resume judgements (a glass wall) ended hit-but-unjudged and
+    rendered as misses. Wiping plans AND history forces re-records and
+    count-driven rebuilds; every subsequent frame must stay bit-identical
+    (modulo the AOT-cache fma caveat) to the settled render."""
+    from voxelrs_tpu.gamelogic.content import GLASS
+    from voxelrs_tpu.ops import shading
+
+    vox = np.zeros((32, 32, 32), np.uint32)
+    vox[:, :8, :] = STONE
+    vox[:, 8, :] = GRASS
+    vox[4:28, 9:16, 18] = GLASS
+    world = Esvo()
+    world.set_leaf(
+        Position(0, 0, 0),
+        SerializedChunk.from_voxels(ChunkPos(0, 0, 0), vox, 5), True,
+    )
+    world.serialize()
+    svo = Svo(new_registry(), capacity_mb=4)
+    svo.update(world)
+
+    p = default_params()
+    monkeypatch.setenv("VOXELRS_ADAPTIVE", "1")
+    monkeypatch.setenv("VOXELRS_FUSED_FRAME", "0")
+    for _ in range(2):
+        ref = np.asarray(svo.render(p, W, H, max_steps=300))
+
+    stores = [v[9] for k, v in shading._pipeline_cache.items()
+              if isinstance(k[0], int) and len(v) > 20]
+    assert stores
+    for s in stores:
+        with s.lock:
+            s.plans.clear()
+            s.history.clear()
+    # several frames: re-record, then resolve()'s lagged-count rebuild
+    # rewrites the plans — the frames must never change
+    for i in range(5):
+        img = np.asarray(svo.render(p, W, H, max_steps=300))
+        d = np.abs(img - ref)
+        assert diff_images(img, ref) < 1e-3, f"frame {i}"
+        assert float((d.max(axis=-1) <= 2.5e-7).mean()) > 0.95, f"frame {i}"

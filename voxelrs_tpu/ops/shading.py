@@ -555,6 +555,92 @@ class _AsyncCompiled:
 _ASYNC_COMPILED = _AsyncCompiled()
 
 
+def _avals_at_width(args, w0: int, w: int):
+    """ShapeDtypeStruct pytree for ``args`` with every dimension equal to
+    ``w0`` (the captured lane width, always >= 8192 so texture/stack dims
+    cannot collide) remapped to ``w`` — the aval signature of the same
+    call at a different wavefront width, for background AOT warming."""
+    def cvt(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            shape = tuple(w if d == w0 else d for d in x.shape)
+            return jax.ShapeDtypeStruct(shape, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(cvt, args)
+
+
+class _ShapeWarm:
+    """Registry of program SHAPES already compiled in this process, plus a
+    background AOT warmer (streaming p99, VERDICT r4 item 6a).
+
+    A stale wavefront plan re-records on the frame thread, and any NEW
+    bucket width there used to mean synchronous remote compiles
+    (measured: a 60.9 s frame on one bucket-growth event during the
+    streaming fly-through). Under VOXELRS_ASYNC_COMPILE the recording
+    path now refuses to enter cold shapes: it keeps tracing at the
+    current width (correct, just wider) and submits the cold shapes
+    here. ``jfn.lower(*avals).compile()`` on the worker thread populates
+    the persistent compile cache, after which the bundle is marked warm
+    and the affected plan is invalidated so the next recording compacts
+    normally at a cache-load cost (~0.1-1 s) instead of the remote
+    compiler."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._seen: set = set()
+        self._inflight: set = set()
+        self._exec = None
+
+    def have(self, *key) -> bool:
+        with self._lock:
+            return key in self._seen
+
+    def note(self, *key) -> None:
+        with self._lock:
+            self._seen.add(key)
+
+    def trace_widths(self):
+        """Noted full-trace widths (for sticky-bucket width reuse)."""
+        with self._lock:
+            return sorted(w for (kind, w) in (
+                k for k in self._seen if len(k) == 2 and k[0] == "trace"))
+
+    def submit(self, key, thunks, on_done=None) -> None:
+        """Run ``thunks`` serially on the worker; mark ``key`` warm when
+        ALL succeed, then call ``on_done`` (e.g. invalidate the plan that
+        was blocked on this bundle)."""
+        with self._lock:
+            if key in self._seen or key in self._inflight:
+                return
+            self._inflight.add(key)
+            if self._exec is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._exec = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="shape-warm")
+
+        def work():
+            try:
+                for t in thunks:
+                    t()
+            except Exception:
+                with self._lock:
+                    self._inflight.discard(key)
+                return
+            with self._lock:
+                self._seen.add(key)
+                self._inflight.discard(key)
+            if on_done is not None:
+                try:
+                    on_done()
+                except Exception:
+                    pass
+
+        self._exec.submit(work)
+
+
 def _arg_avals(args):
     """Hashable (shape, dtype) signature of a pytree of arrays — part of
     async-compile keys so a grown SVO buffer (fat-row ladder) maps to a
@@ -795,6 +881,12 @@ class _PlanStore:
             self.plans[tag] = (n, plan)
             self.history[tag] = [b for _seg, b in plan]
 
+    def invalidate(self, tag):
+        """Drop a recorded plan (background shape-warm completion: the
+        next recording can now take the compaction it had to skip)."""
+        with self.lock:
+            self.plans.pop(tag, None)
+
     def bucket_hint(self, tag, i):
         """Bucket used for segment ``i`` the last time this tag ran."""
         with self.lock:
@@ -843,7 +935,19 @@ class _PlanStore:
             return min(prev, cap)
         # synchronous first pick / post-overflow re-sync: exact for this
         # frame, with margin so steady growth doesn't overflow immediately
-        return min(cap, _margin_bucket(int(count_dev)))
+        need = int(count_dev)
+        k = _margin_bucket(need)
+        warm = getattr(self, "warm", None)
+        if (warm is not None and getattr(self, "_epoch", 0) >= 8
+                and _async_compile_on() and k <= cap
+                and not warm.have("trace", k)):
+            # cold-shape guard: a NEW tag width means fresh trace programs
+            # compiling on the frame thread — reuse the smallest width a
+            # trace has already run at instead (pad lanes are masked work)
+            bigger = [w for w in warm.trace_widths() if w >= need]
+            if bigger:
+                k = bigger[0]
+        return min(cap, k)
 
     def sticky_sync(self, name, needed, cap):
         """Synchronous sticky bucket (exact, one readback already paid)."""
@@ -1461,6 +1565,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
     )
 
     store = _PlanStore(merge_none_below=1 << 62)  # no judge in rounds
+    warm = _ShapeWarm()
+    store.warm = warm
 
     # -- fused replay: one compiled program per recorded plan -------------
     # A replayed trace is a FIXED sequence of rounds and static-bucket
@@ -1596,6 +1702,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         def do_compact(bucket):
             nonlocal idx, cur_consts, cur_state, width_now
             nonlocal frozen, hit_full
+            warm.note("bundle", width_now, bucket)
             sub_idx = order_active(cur_state, bucket)
             gidx = sub_idx if idx is None else idx[sub_idx]
             if idx is None:
@@ -1617,9 +1724,39 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 _hard_sync(cur_state.t_min)
                 tmark(f"compact->{bucket}")
 
+        def _submit_bundle_o(bucket):
+            """Opaque counterpart of _submit_bundle_j (see _ShapeWarm)."""
+            w = width_now
+            st_av, cons_av = _avals_at_width((cur_state, cur_consts), w,
+                                             bucket)
+            stw = cur_state
+            bidx = jax.ShapeDtypeStruct((bucket,), jnp.int32)
+            seg_w = seg0
+            thunks = [
+                lambda: order_active.lower(stw, bucket).compile(),
+                lambda: compact_jit.lower(
+                    descriptors, scale, ray_args, max_dst, stw, bidx,
+                    bidx).compile(),
+                lambda: round_jit.lower(
+                    descriptors, cons_av, st_av, steps_total,
+                    seg_w).compile(),
+                lambda: active_count.lower(st_av).compile(),
+            ]
+            warm.submit(("bundle", w, bucket), thunks,
+                        on_done=lambda: store.invalidate(tag))
+
         budget = max_steps
+        guard = (_async_compile_on() and pl is store
+                 and getattr(store, "_epoch", 0) >= 8)
         if plan is None:
-            # synced exploration: a count readback decides each compaction
+            # synced exploration: a count readback decides each compaction.
+            # Under the cold-shape guard (see the judged pipeline) the
+            # schedule is seg0-sized rounds only and cold compaction
+            # shapes are skipped + background-warmed instead of compiled
+            # on the frame thread.
+            if guard:
+                schedule = [0] * (schedule[0] == 0) + [seg0] * (
+                    -(-max_steps // seg0))
             plan_rec = []
             seg_lens = []
             counts_dev = []
@@ -1628,6 +1765,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 cur_state, steps_total = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, seg
                 )
+                if seg > 0:
+                    warm.note("round", width_now, seg)
                 if timing:
                     _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now}")
@@ -1648,8 +1787,12 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                     break
                 bucket = _sticky_bucket(pl.bucket_hint(tag, seg_i), count)
                 if count > 0 and _should_compact(width_now, bucket) and _compact_on():
-                    plan_rec.append((seg, bucket))
-                    do_compact(bucket)
+                    if guard and not warm.have("bundle", width_now, bucket):
+                        _submit_bundle_o(bucket)
+                        plan_rec.append((seg, None))
+                    else:
+                        plan_rec.append((seg, bucket))
+                        do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
             pl.record(tag, n, plan_rec)
@@ -1687,6 +1830,8 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 cur_state, steps_total = round_jit(
                     descriptors, cur_consts, cur_state, steps_total, seg
                 )
+                if seg > 0:
+                    warm.note("round", width_now, seg)
                 if timing:
                     _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now} (replay)")
@@ -1694,7 +1839,10 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
                 seg_lens.append(seg)
                 counts_dev.append(active_count(cur_state))
                 if _should_compact(width_now, bucket) and _compact_on():
-                    do_compact(bucket)
+                    if guard and not warm.have("bundle", width_now, bucket):
+                        _submit_bundle_o(bucket)  # rebuilt plan, cold shape
+                    else:
+                        do_compact(bucket)
             if budget > 0:
                 # safety tail: stragglers beyond last frame's profile
                 cur_state, steps_total = round_jit(
@@ -1713,6 +1861,7 @@ def _opaque_pipeline(B: int, width: int, height: int, max_steps: int,
         else:
             hit_full = scatter_hit(hit_full, idx, cur_state)
         frozen = unfreeze_mat_jit(frozen, cur_state)
+        warm.note("trace", n)
         return frozen, hit_full, steps_total
 
     def _finalize_lanes(descriptors, scale, ro_k, rd_k, max_dst, frozen_k,
@@ -2205,7 +2354,17 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         static_argnums=(2,),
     )
 
-    store = _PlanStore(merge_none_below=32768)  # keep judges at width
+    # merge_none_below MUST stay 0 here: a judge runs only at segment
+    # boundaries, so merging compaction-free segments (as the opaque
+    # store does for dispatch latency) REMOVES judge opportunities — a
+    # ray needing more accept/resume judgements than the merged plan
+    # offers ends the trace hit-but-unjudged and renders as a miss
+    # (found round 5: resolve()'s rebuild merged a cleared plan's
+    # segments and a glass wall rendered as sky;
+    # tests/test_render.py::test_rebuilt_plan_keeps_judges).
+    store = _PlanStore(merge_none_below=0)
+    warm = _ShapeWarm()
+    store.warm = warm
 
     # fused replay: the whole recorded round/judge/compaction sequence as
     # one compiled program (see the opaque pipeline's _fused_replay)
@@ -2361,6 +2520,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
         def do_compact(bucket):
             nonlocal idx, cur_consts, cur_state, cur_acc, cur_done, width_now
             nonlocal matF
+            warm.note("bundle", width_now, bucket)
             sub_idx = order_unfinished(cur_state, cur_done, bucket)
             gidx = sub_idx if idx is None else idx[sub_idx]
             new_consts, new_state, new_acc, new_done = compact_jit(
@@ -2382,9 +2542,48 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 _hard_sync(cur_state.t_min)
                 tmark(f"compact->{bucket}")
 
+        def _submit_bundle_j(bucket):
+            """Background-AOT-warm the programs a compaction into
+            ``bucket`` from ``width_now`` would need, then invalidate
+            this tag's plan so the next recording takes the compaction
+            at cache-load cost."""
+            w = width_now
+            st_av, acc_av, done_av, cons_av = _avals_at_width(
+                (cur_state, cur_acc, cur_done, cur_consts), w, bucket)
+            stw, accw, donew = cur_state, cur_acc, cur_done
+            bidx = jax.ShapeDtypeStruct((bucket,), jnp.int32)
+            seg_w = seg0
+            thunks = [
+                lambda: order_unfinished.lower(stw, donew, bucket).compile(),
+                lambda: compact_jit.lower(
+                    descriptors, scale, ro, rd, max_dst, stw, accw, donew,
+                    bidx, bidx).compile(),
+                lambda: round_jit.lower(
+                    descriptors, cons_av, st_av, steps_total, acc_av,
+                    done_av, mips, mat_tex, seg_w, False).compile(),
+                lambda: unfinished_count.lower(st_av, done_av).compile(),
+            ]
+            warm.submit(("bundle", w, bucket), thunks,
+                        on_done=lambda: store.invalidate(tag))
+
         budget = max_steps
         fresh = _fresh_on()
+        # cold-shape guard (streaming p99): once the pipeline is past its
+        # bootstrap frames, a stale-plan recording must never enter a
+        # program shape that hasn't compiled yet — it keeps tracing at
+        # the current width instead (correct, just wider) and the cold
+        # bundle warms on the background AOT worker (see _ShapeWarm)
+        guard = (_async_compile_on() and pl_store is store
+                 and getattr(store, "_epoch", 0) >= 8)
         if plan is None:
+            if guard:
+                # seg0-sized rounds only: segmentation is semantically
+                # free (judges between segments make identical
+                # accept/resume decisions, just sooner), and it keeps the
+                # shape set at ("round", width, seg0) which is warm by
+                # construction
+                schedule = [0] * (schedule[0] == 0) + [seg0] * (
+                    -(-max_steps // seg0))
             plan_rec = []
             for seg_i, steps in enumerate(schedule):
                 seg = min(steps, budget)
@@ -2394,6 +2593,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 )
                 if seg > 0:
                     fresh = False
+                    warm.note("round", width_now, seg)
                 if timing:
                     _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now}")
@@ -2411,8 +2611,13 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                     break
                 bucket = _sticky_bucket(pl_store.bucket_hint(tag, seg_i), count)
                 if _should_compact(width_now, bucket) and _compact_on():
-                    plan_rec.append((seg, bucket))
-                    do_compact(bucket)
+                    if guard and not warm.have("bundle", width_now, bucket):
+                        # cold compaction shapes: stay at width, warm them
+                        _submit_bundle_j(bucket)
+                        plan_rec.append((seg, None))
+                    else:
+                        plan_rec.append((seg, bucket))
+                        do_compact(bucket)
                 else:
                     plan_rec.append((seg, None))
             pl_store.record(tag, n, plan_rec)
@@ -2452,6 +2657,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 )
                 if seg > 0:
                     fresh = False
+                    warm.note("round", width_now, seg)
                 if timing:
                     _hard_sync(cur_state.t_min)
                     tmark(f"round w={width_now} (replay)")
@@ -2459,7 +2665,10 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                 seg_lens.append(seg)
                 counts_dev.append(unfinished_count(cur_state, cur_done))
                 if _should_compact(width_now, bucket) and _compact_on():
-                    do_compact(bucket)
+                    if guard and not warm.have("bundle", width_now, bucket):
+                        _submit_bundle_j(bucket)  # rebuilt plan, cold shape
+                    else:
+                        do_compact(bucket)
             if budget > 0:
                 # safety tail: stragglers beyond last frame's profile get
                 # the remaining budget (and one more alpha judgement)
@@ -2478,6 +2687,7 @@ def _deferred_pipeline(B: int, width: int, height: int, render_shadows: bool,
                                cur_state.inside)
         unpacked = unpack_full_jit(matF)
         acc, inside_full = unpacked[:-2], unpacked[-1]
+        warm.note("trace", n)
 
         from .traversal import TraversalResult
 
