@@ -106,6 +106,7 @@ class Svo:
         # over the tunnel), up to 9 syncs per rendered frame.
         self._buffer_version = 0
         self._raycast_memo = None
+        self._prewarm_words = None  # next-ladder-step growth prediction
 
     # -- world upload ---------------------------------------------------------
 
@@ -121,12 +122,30 @@ class Svo:
         allocated (full re-upload required)."""
         cur = self.device_buf.shape[0]
         if needed_words <= cur:
+            # growth prediction (streaming): approaching the ladder
+            # boundary → expose the NEXT step's exact shape so the render
+            # path can pre-compile the fused frame for it in the
+            # background (ops/shading._fused_frame_call prewarm)
+            self._prewarm_words = (
+                self._next_ladder_words(cur)
+                if needed_words * 4 > cur * 3 else None)
             return False
         rows = max((needed_words * 21 // 20) // 108 + 1, 1024)
         p = 1 << (rows - 1).bit_length()
         bucket = p if rows > (p * 3) // 4 else (p * 3) // 4
         self.device_buf = jnp.zeros(bucket * 108, jnp.uint32)
+        self._prewarm_words = None
         return True
+
+    @staticmethod
+    def _next_ladder_words(cur_words: int) -> int:
+        """The buffer size the NEXT _grow_device call would allocate —
+        the first {3/4*2^k, 2^k} fat-row ladder point above the current
+        one."""
+        rows = cur_words // 108 + 1
+        p = 1 << (rows - 1).bit_length()
+        bucket = p if rows > (p * 3) // 4 else (p * 3) // 4
+        return bucket * 108
 
     def update(self, world_svo) -> None:
         """Apply the serializer's changed ranges to the device buffer
@@ -245,6 +264,14 @@ class Svo:
                 # full height: inside-voxel rays descend below leaf scale
                 stack_h = 12
 
+            prewarm = None
+            if (self._prewarm_words is not None
+                    and self._prewarm_words > self.device_buf.shape[0]):
+                grown = jax.ShapeDtypeStruct((self._prewarm_words,),
+                                             jnp.uint32)
+                prewarm = (grown if self.buffer_dtype == np.uint32 else
+                           (grown,) + tuple(descriptors[1:]))
+
             return render_frame_deferred(
                 descriptors, jnp.float32(self.octree_scale), self.mips,
                 self.mat_params, self.mat_tex, width=width, height=height,
@@ -259,6 +286,7 @@ class Svo:
                 highlight_pos=jnp.asarray(highlight), max_steps=max_steps,
                 opaque=(self.world_value_mask & self.translucent_block_mask) == 0,
                 stack_height=stack_h, engine=engine, beams=beams,
+                prewarm_descriptors=prewarm,
             )
 
         if mode == "csvo":

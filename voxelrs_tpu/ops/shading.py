@@ -3035,7 +3035,8 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
                           shadow_distance, highlight_pos,
                           max_steps: int = 1000, rounds: int = 4,
                           opaque: bool = False, stack_height: int = 12,
-                          engine: str = "esvo", beams=None):
+                          engine: str = "esvo", beams=None,
+                          prewarm_descriptors=None):
     """Host-orchestrated frame: raygen → deferred primary trace → shading →
     deferred shadow trace → composite. Same output as ``render_frame`` (up
     to the deferred-rounds bound on translucent pass-throughs).
@@ -3070,6 +3071,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
             max_steps=max_steps, mark=mark, stack_height=stack_height,
             engine=engine, beams=beams,
+            prewarm_descriptors=prewarm_descriptors,
         )
 
     _adaptive_env = os.environ.get("VOXELRS_ADAPTIVE")
@@ -3087,6 +3089,7 @@ def render_frame_deferred(descriptors, octree_scale, mips, mat_params,
             shadow_distance=shadow_distance, highlight_pos=highlight_pos,
             max_steps=max_steps, rounds=rounds, mark=mark,
             stack_height=stack_height, engine=engine, beams=beams,
+            prewarm_descriptors=prewarm_descriptors,
         )
 
     (raygen, trace, shade, combine, hit_count, hit_order, gather_lanes,
@@ -3156,7 +3159,8 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
                                   cam_fwd, fov_y_rad, aspect, ambient,
                                   light_dir, shadow_distance, highlight_pos,
                                   max_steps, rounds, mark, stack_height=12,
-                                  engine="esvo", beams=None):
+                                  engine="esvo", beams=None,
+                                  prewarm_descriptors=None):
     """Adaptive thick-ray frame over the alpha-judged (translucent-capable)
     pipeline: quarter-res judged trace, result-level coplanar fill keyed on
     each pixel cell's ACCEPTED surface (value, signed face, leaf scale,
@@ -3215,7 +3219,8 @@ def _render_frame_judged_adaptive(descriptors, octree_scale, mips,
                 img = jnp.zeros((height, width, 4), jnp.float32) + anchor
             return img, tuple(planner.arrays)
 
-        out = _fused_frame_call(store, flags, dev_args, body_fn)
+        out = _fused_frame_call(store, flags, dev_args, body_fn,
+                                prewarm_descriptors=prewarm_descriptors)
         if out is not None:
             mark("fused-frame", out)
             return out
@@ -3463,7 +3468,7 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                          cam_right, cam_up, cam_fwd, fov_y_rad, aspect,
                          ambient, light_dir, shadow_distance, highlight_pos,
                          max_steps, mark, stack_height=12, engine="esvo",
-                         beams=None):
+                         beams=None, prewarm_descriptors=None):
     """Opaque-world frame: first-hit traversal rounds, one finalize on the
     compacted hit lanes, shadow pass returns only the hit flag. Steady-state
     frames run with a single host sync (the hit-count) plus one batched
@@ -3530,7 +3535,8 @@ def _render_frame_opaque(descriptors, octree_scale, mips, mat_params,
                 img = jnp.zeros((height, width, 4), jnp.float32) + anchor
             return img, tuple(planner.arrays)
 
-        out = _fused_frame_call(store, flags, dev_args, body_fn)
+        out = _fused_frame_call(store, flags, dev_args, body_fn,
+                                prewarm_descriptors=prewarm_descriptors)
         if out is not None:
             mark("fused-frame", out)
             return out
@@ -3631,23 +3637,32 @@ def render_frames_opaque_batch(descriptors, octree_scale, mips, mat_params,
     return imgs
 
 
-def _fused_frame_call(store, flags, dev_args, body_fn):
+def _fused_frame_call(store, flags, dev_args, body_fn,
+                      prewarm_descriptors=None):
     """Run (and cache) the fused whole-frame program for the current plan
     snapshot; None when a needed plan isn't recorded yet OR while the
     program is still compiling on the background worker (the caller's
     multi-program fallback renders those frames — a plan change then
     costs ~1.1-1.6x one frame instead of a multi-second compile stall).
-    The cache key is (static flags, full plan snapshot) — any plan change
-    retraces, which the plan store's structural hysteresis makes rare."""
-    key = (flags, _plan_snapshot(store))
+    The cache key is (static flags, full plan snapshot, arg avals) — any
+    plan change retraces (the plan store's structural hysteresis makes
+    that rare), and a grown SVO buffer maps to a fresh executable
+    instead of an aval-mismatched call on a cached one.
+
+    ``prewarm_descriptors`` (aval pytree of the NEXT buffer-ladder step,
+    graphics/svo.py): when the buffer is approaching a ladder boundary,
+    submit the executable for the grown shape to the background compiler
+    NOW — the growth frame then finds it ready instead of falling back
+    to a fully-cold multi-program path (the 19.7 s streaming growth
+    stall, docs/streaming_r5.json pre-fix)."""
+    key = (flags, _plan_snapshot(store), _arg_avals(dev_args))
     entry = _FUSED_FRAME_CACHE.get(key)
     if entry is None:
         if _async_compile_on():
             planner = _SnapshotPlanner(store)
             jfn = jax.jit(partial(body_fn, planner))
             got = _ASYNC_COMPILED.get_or_submit(
-                ("frame", key, _arg_avals(dev_args)), jfn, dev_args,
-                payload=planner)
+                ("frame", key), jfn, dev_args, payload=planner)
             if got is None:
                 return None
             entry = got  # (compiled executable, its traced planner)
@@ -3664,6 +3679,14 @@ def _fused_frame_call(store, flags, dev_args, body_fn):
             _FUSED_FRAME_CACHE.pop(next(iter(_FUSED_FRAME_CACHE)))
         _FUSED_FRAME_CACHE[key] = entry
     planner.flush_to_store(counts)
+    if prewarm_descriptors is not None and _async_compile_on():
+        grown = (prewarm_descriptors,) + tuple(dev_args[1:])
+        key2 = (flags, key[1], _arg_avals(grown))
+        if key2 != key and key2 not in _FUSED_FRAME_CACHE:
+            planner2 = _SnapshotPlanner(store)
+            _ASYNC_COMPILED.get_or_submit(
+                ("frame", key2), jax.jit(partial(body_fn, planner2)),
+                grown, payload=planner2)
     return img
 
 
