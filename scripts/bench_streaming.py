@@ -64,6 +64,7 @@ def main() -> None:
     # expires within one >1 s frame) — p50 3.2 s. Under churn the async
     # quiet gate simply skips the build and shadow rays trace.
     hf.sun_async = True
+    hf.reserve(RADIUS * 4)  # wrapped-window span: envelope shapes constant
     gen = Generator(1, default_config())
     center = ChunkPos(RADIUS, 2, RADIUS)
     leafs: dict = {}  # (cx, cz) -> [(LeafId, chunk_pos)]
@@ -121,6 +122,16 @@ def main() -> None:
     next_in = RADIUS * 2  # next x column index to stream in
     next_out = 0          # next x column index to drop
 
+    # The real streaming engine recenters chunk positions on camera
+    # movement (systems/worldsvo.py shift_chunks), so SVO positions —
+    # and with them the octree depth, the buffer ladder step and the
+    # envelope span — stay BOUNDED during play. The bench models that
+    # with a wrapped column window (span 2x the live width, so in/out
+    # never collide); without it the ever-growing x deepens the octree
+    # and crosses envelope pow2 spans mid-measurement, recompiling
+    # programs the real engine's steady state never would.
+    SPAN = RADIUS * 4
+
     def frame(i: int, churn: bool, log: bool = False):
         nonlocal next_in, next_out
         t0 = time.time()
@@ -128,8 +139,8 @@ def main() -> None:
             # one column in, one out, per frame: ~8 chunks churned —
             # the chunkloader's steady-state rate at walking speed
             for cz in (i % (RADIUS * 2),):
-                stream_column(next_in, cz)
-                drop_column(next_out, cz)
+                stream_column(next_in % SPAN, cz)
+                drop_column(next_out % SPAN, cz)
             if i % (RADIUS * 2) == RADIUS * 2 - 1:
                 next_in += 1
                 next_out += 1
@@ -141,7 +152,9 @@ def main() -> None:
             t1 = time.time()
         t2 = time.time()
         p = RenderParams(**{**base.__dict__})
-        p.cam_pos = cam + np.array([2.0 * i, 0.0, 1.5 * i], np.float32)
+        p.cam_pos = cam + np.array(
+            [2.0 * (i % (RADIUS * 2)), 0.0, 1.5 * (i % (RADIUS * 2))],
+            np.float32)
         img = svo.render(p, W, H)
         _ = float(np.asarray(img[0, 0, 0]))
         if log:

@@ -100,6 +100,10 @@ class Svo:
         # table builds are seconds of host work on big worlds: never
         # stall a frame for them in the streaming engine
         self.heightfield.sun_async = True
+        # the shifted window's chunk span is bounded by the render
+        # distance: reserving it upfront keeps the beam pyramid's array
+        # shapes constant for the session (no mid-play recompiles)
+        self.heightfield.reserve(2 * render_distance + 2)
         self._col_tops: dict[ChunkPos, np.ndarray] = {}
         self._vox_tops: dict[ChunkPos, np.ndarray] = {}
         self._sol_bases: dict[ChunkPos, np.ndarray] = {}

@@ -177,6 +177,17 @@ class HeightField:
             self._H[:old_n, :old_n] = old
         self._dirty = True
 
+    def reserve(self, chunks_per_axis: int) -> None:
+        """Pre-size the envelope for a known chunk span (the streaming
+        engine's shifted window is bounded by the render distance): the
+        beam pyramid's array shapes are a function of ``_n``, so growing
+        it mid-play recompiles the beam-march programs (measured 5-12 s
+        frames at pow2 span crossings over the remote-compile tunnel).
+        One upfront reservation keeps the shapes constant for the whole
+        session."""
+        self._ensure_size(self._required_n((chunks_per_axis - 1, 0,
+                                            chunks_per_axis - 1)))
+
     def set_chunk(self, pos: tuple[int, int, int], tops: np.ndarray,
                   vtops: Optional[np.ndarray] = None,
                   sbase: Optional[np.ndarray] = None) -> None:
