@@ -177,9 +177,14 @@ def main() -> None:
         frame(i, churn=True)
         wtimes.append(time.time() - t0)
         i += 1
-        if len(wtimes) >= 4 and max(wtimes[-3:]) < 2.0 * min(wtimes):
+        # steady state = one full wrap cycle absorbed (every plan/bucket
+        # shape the churn can produce has appeared) AND the last 8 churn
+        # frames are all within 2x of the best — a single slow frame here
+        # is a compile still landing, so keep warming
+        if (len(wtimes) >= 2 * RADIUS * 2
+                and max(wtimes[-8:]) < 2.0 * min(wtimes)):
             break
-        if len(wtimes) >= 24 or time.time() - t_w > 1200:
+        if len(wtimes) >= 48 or time.time() - t_w > 1800:
             break
     print(f"# warmup {time.time()-t_w:.1f} s ({len(wtimes)} churn frames)",
           file=sys.stderr)

@@ -534,12 +534,16 @@ class BeamContext:
         return sun_verdict_masks(sb_map, n1=n1, ro=ro, max_dst=max_dst,
                                  d_len=d_len, d=d, origin=origin)
 
-    def shadow_ray_floors(self, ro, max_dst, direction):
+    def shadow_ray_floors(self, ro, max_dst, direction,
+                          prefer_envelope: bool = False):
         """(k,) conservative floors for shadow rays from origins ``ro``
         along the constant ``direction`` (toward the light). Prefers the
         per-voxel sun map (exact on slopes and side faces); falls back to
-        the envelope march (effective on flat ground only)."""
-        if self._sun is not None:
+        the envelope march (effective on flat ground only).
+        ``prefer_envelope`` forces the envelope path — used while the
+        just-attached sun map's programs are still warming in the
+        background (the envelope shapes are already compiled)."""
+        if self._sun is not None and not prefer_envelope:
             sb_map, n1, d_len, d, origin = self._sun
             return sun_lit_floors(sb_map, n1=n1, ro=ro, max_dst=max_dst,
                                   d_len=d_len, d=d, origin=origin)

@@ -668,6 +668,33 @@ def _fused_trace_entry(fn, fargs):
     return got[0], fargs
 
 
+def _make_sun_ready(store, tr_planner, beams):
+    """Sun-map attach transition guard: the first frames after
+    ``beams.has_sun()`` flips would compile the sun-verdict programs at
+    the candidate-bucket widths ON the frame thread (measured ~10 s
+    frames over the remote-compile tunnel). Under async compile, the
+    eager path keeps tracing with the already-warm envelope floors while
+    a background thunk runs the cert program once per width; fused
+    traces (structure fixed by their flags) always use certs. The
+    certificate==trace identity makes both choices bit-identical."""
+    def ready(kc: int) -> bool:
+        if tr_planner is not None or not _async_compile_on():
+            return True
+        warm = getattr(store, "warm", None)
+        if warm is None or warm.have("sunv", kc):
+            return True
+
+        def thunk(kc=kc, beams=beams):
+            out = beams.sun_verdicts(
+                jnp.zeros((kc, 3), jnp.float32), jnp.zeros(kc, jnp.float32))
+            jax.block_until_ready(out)
+
+        warm.submit(("sunv", kc), [thunk])
+        return False
+
+    return ready
+
+
 class _IncompleteFramePlan(Exception):
     """Raised while tracing a fused whole-frame program when a plan or
     sticky bucket is not recorded yet — the caller falls back to the
@@ -3395,6 +3422,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
         # gathered per candidate lane, never at full frame width (the
         # full-width verdict gather cost ~205 ms/frame, round-3 audit).
         has_sun = beams is not None and beams.has_sun()
+        _sun_ready = _make_sun_ready(store, tr_planner, beams)
 
         def shadow_trace(mask, name):
             cnt = hit_count_b(mask)
@@ -3403,7 +3431,7 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
             sro2, srd2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_rd_k,
                                              shadow_max_k)
             mark(f"shadow-bucket {name}={kc}", sro2)
-            if has_sun:
+            if has_sun and _sun_ready(kc):
                 lit2, blk2 = beams.sun_verdicts(sro2, smax2)
                 mark(f"sun-verdicts {name}", lit2)
                 un = _mask_pads(_uncertified(lit2, blk2), cnt)
@@ -3422,7 +3450,8 @@ def _judged_frame_body(descriptors, octree_scale, mips, mat_params, mat_tex,
             tfl = None
             if beams is not None:
                 tfl = beams.shadow_ray_floors(
-                    sro2, smax2, -jnp.asarray(light_dir, jnp.float32))
+                    sro2, smax2, -jnp.asarray(light_dir, jnp.float32),
+                    prefer_envelope=has_sun)
             sres, _a, _b, _c2 = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, mips, mat_tex,
                 tag=(name, kc), t_floor=tfl, planner=tr_planner,
@@ -3931,6 +3960,7 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
     if render_shadows:
         neg_light = -jnp.asarray(light_dir, jnp.float32)
         has_sun = beams is not None and beams.has_sun()
+        _sun_ready = _make_sun_ready(store, tr_planner, beams)
 
         def shadow_trace(mask, name):
             """Resolve shadow verdicts for the masked lanes: gather the
@@ -3949,7 +3979,8 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
             sro2, smax2 = gather_lanes(sidx, shadow_ro_k, shadow_max_k)
             srd2 = jnp.broadcast_to(neg_light, sro2.shape)
             mark(f"shadow-bucket {name}={kc}", sro2)
-            if has_sun:
+            sun_now = has_sun and _sun_ready(kc)
+            if sun_now:
                 lit2, blk2 = beams.sun_verdicts(sro2, smax2)
                 mark(f"sun-verdicts {name}", lit2)
                 un = _mask_pads(_uncertified(lit2, blk2), cnt)
@@ -3974,7 +4005,8 @@ def _opaque_frame_body(descriptors, octree_scale, mips, mat_params,
                 return sidx, blocked2
             tfl = None
             if beams is not None:
-                tfl = beams.shadow_ray_floors(sro2, smax2, neg_light)
+                tfl = beams.shadow_ray_floors(sro2, smax2, neg_light,
+                                              prefer_envelope=has_sun)
             _f, shit2, _s = trace(
                 descriptors, octree_scale, sro2, srd2, smax2, "dir",
                 (sro2, neg_light), (name, kc), record_frozen=False,
